@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+One place to build a correctly-configured session so every entry point
+(tests, bench, driver contract, streaming jobs) shares the same tuning.
+
+Scale notes (the knobs that matter at 100 TB / 1000 executors):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion replace any hand-tuned partition counts (the
+  reference hard-codes ``repartition(2, "language_id")``; we never do).
+- ``spark.sql.shuffle.partitions`` is only the *initial* number under
+  AQE; locally we match core count, on a cluster set ~2-3x total cores.
+- UTC session timezone: required for oracle comparison (DuckDB is
+  UTC-naive) and the only sane choice for event-time partitioning.
+- Arrow on: every Pandas-UDF path (similarity, multimodal, generator)
+  moves data in Arrow batches, not pickled rows.
+- Nested-schema pruning on: event payloads are one wide struct
+  (``event_specifics``); queries projecting 2 of its 30 fields must not
+  read the other 28 from Parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "event-streaming-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so the same code
+    runs unmodified under the bench/driver harness; on a real cluster the
+    caller passes the cluster master (or spark-submit supplies it).
+    """
+    cpus = DEFAULT_CPUS
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
