@@ -1,0 +1,50 @@
+"""Physical layout: repartitioning + partitioned Parquet sink
+(SURVEY.md §2.5 R1/R2, §2.6 K3).
+
+The reference hard-codes ``repartition(2, "language_id")`` and writes
+Parquet under hand-built date directories with ``partitionBy
+("language_id")`` (``toy_glue.py:58-65``). Here the full partition
+spec (``year/month/day/hour/language_id``) is declarative and the file
+count per partition is left to AQE coalescing — at 100 TB you tune
+``spark.sql.files.maxPartitionBytes`` / target file size, not a literal
+``2``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_toy_example_spark.sources.ndjson import with_time_partitions
+
+PROCESSED_PARTITION_COLS = ["year", "month", "day", "hour", "language_id"]
+
+
+def write_processed_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    repartition_keys: list[str] | None = None,
+    num_files_per_partition: int | None = None,
+) -> None:
+    """R1+R2+K3: event-time partition columns -> optional keyed
+    repartition (only if the caller insists — AQE normally does better)
+    -> Hive-partitioned Parquet.
+    """
+    out = with_time_partitions(df)
+    if num_files_per_partition and repartition_keys:
+        out = out.repartition(num_files_per_partition, *repartition_keys)
+    (
+        out.write.mode(mode)
+        .partitionBy(*PROCESSED_PARTITION_COLS)
+        .parquet(path)
+    )
+
+
+def read_processed_parquet(spark: SparkSession, path: str,
+                           where: str | None = None) -> DataFrame:
+    """Read the processed store; partition-column predicates prune
+    directories (no manual glob)."""
+    df = spark.read.parquet(path)
+    if where:
+        df = df.where(where)
+    return df
