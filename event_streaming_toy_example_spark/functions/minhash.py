@@ -1,0 +1,229 @@
+"""Near-duplicate detection: shingling, MinHash + LSH banding, SimHash,
+n-gram Jaccard.
+
+Design for 100 TB:
+- Never all-pairs. LSH banding reduces candidate generation to a
+  self-equi-join on ``(band_idx, band_key)`` — a hash shuffle on a
+  well-distributed key, linear in corpus size; only candidates pay the
+  exact-verification cost.
+- Signatures are narrow projections (codegen'd md5/xxhash min-reduces);
+  no Python in the loop.
+- The md5-string MinHash construction (min over hex digests of
+  seed-salted shingles) is deliberately *portable*: the DuckDB oracle
+  can compute bit-identical signatures, so even the LSH pipeline is
+  hash-checkable, not just "rows look plausible".
+
+SimHash uses Spark's ``xxhash64`` (64-bit) — cheap and good, but
+engine-specific, so its oracle is a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from event_streaming_toy_example_spark.functions.text import normalize_text, tokens
+
+
+def token_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (word n-grams) of the normalized text.
+    A document shorter than k tokens contributes its full token-join as
+    the single shingle (so it still participates)."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Portable MinHash: element ``i`` of the signature is
+    ``min(md5(i || ':' || shingle))`` over the shingle set — min over
+    hex strings is a valid uniform min-hash (md5 is uniform on the hex
+    lexicographic order) and computes identically in any engine with
+    ``md5``. Returns an array<string> of length ``num_hashes``."""
+    # NB: single-arg lambdas only — PySpark treats a 2-arg lambda in
+    # ``transform`` as (element, index), which would shadow the seed.
+    def hash_i(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hash_i(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Split a signature into bands; band key = joined slice. Returns
+    array<struct<band_idx:int, band_key:string>> for posexplode-style
+    fan-out."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.array_join(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle -> signature -> band ->
+    self-join on band key -> distinct (a, b) with a < b.
+
+    One narrow projection + one explode + one self-equi-join (hash
+    shuffle on band_key). No cross join anywhere.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(token_shingles(F.col(text_col), k), num_hashes)
+    banded = (
+        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+        .select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"))
+        .select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays (portable:
+    list_intersect/list_distinct exist in DuckDB)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within blocking groups.
+
+    ``block_cols`` bounds the pair explosion (e.g. ``["lang"]``): the
+    self-join is an equi-join on the block key, so work is
+    sum-of-squares *per block*, not corpus². For unblocked scale use
+    ``minhash_lsh_candidates`` first and verify only candidates.
+    """
+    block_cols = block_cols or []
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        token_shingles(F.col(text_col), k).alias("sh"),
+    )
+    l, r = sh.alias("l"), sh.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            *[F.col(f"l.{c}").alias(c) for c in block_cols],
+            F.round(jaccard_similarity(F.col("l.sh"), F.col("r.sh")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, k: int = 3) -> Column:
+    """64-bit SimHash over token shingles using ``xxhash64`` (fast
+    path; engine-specific so oracle-checked rows-only).
+
+    bit_j(simhash) = sign of sum over shingles of (+1 if bit_j(hash)
+    else -1) — computed as 64 aggregate terms over the shingle array,
+    still a narrow projection."""
+    sh = token_shingles(text, k)
+    h = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote_j(j: int):
+        mask = F.shiftleft(F.lit(1).cast("long"), j)
+        return lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bits = []
+    for j in range(64):
+        votes = F.aggregate(h, F.lit(0).cast("long"), vote_j(j))
+        bits.append(F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates via the classic block-permutation
+    trick: split the 64-bit signature into ``num_blocks`` 16-bit blocks;
+    any pair within Hamming distance < num_blocks shares at least one
+    exact block (pigeonhole) -> self-equi-join per block, then exact
+    Hamming verification. No cross join."""
+    width = 64 // num_blocks
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    blocks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("sig"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", "b.block_idx", "b.block_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming64(F.col("l.sig"), F.col("r.sig")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

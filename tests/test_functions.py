@@ -1,0 +1,225 @@
+"""LLM-pipeline function library: text, minhash/LSH, similarity, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_toy_example_spark.functions.minhash import (
+    hamming64,
+    jaccard_similarity,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+    token_shingles,
+)
+from event_streaming_toy_example_spark.functions.multimodal import (
+    attach_binary_payload,
+    decode_image_stub,
+    extract_media_features,
+    sample_frames_stub,
+)
+from event_streaming_toy_example_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from event_streaming_toy_example_spark.functions.text import (
+    fingerprint_md5,
+    fingerprint_rolling,
+    predict_language,
+    quality_features,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------- text
+
+def test_token_count_matches_python(spark, docs):
+    rows = docs.select("doc_id", "text", token_count(F.col("text")).alias("n")).take(20)
+    for r in rows:
+        assert r["n"] == len(r["text"].split())
+
+
+def test_quality_features_ranges(spark, docs):
+    q = quality_features(docs.limit(50))
+    for r in q.collect():
+        assert 0.0 <= r["q_score"] <= 1.0
+        assert 0.0 <= r["q_punct_ratio"] <= 1.0
+        assert r["q_n_tokens"] > 0
+
+
+def test_predict_language_deterministic(spark, docs):
+    out = predict_language(docs.limit(30))
+    preds = {r["doc_id"]: r["predicted_lang"] for r in out.collect()}
+    preds2 = {r["doc_id"]: r["predicted_lang"] for r in out.collect()}
+    assert preds == preds2
+    assert set(preds.values()) <= set(list(preds.values()))  # sanity: strings
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "different text")],
+        ["id", "text"],
+    )
+    out = df.select(
+        "id",
+        fingerprint_md5(F.col("text")).alias("fp"),
+        fingerprint_rolling(F.col("text")).alias("rh"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    # normalization makes 1 and 2 identical under both fingerprints
+    assert by_id[1]["fp"] == by_id[2]["fp"] == hashlib.md5(b"hello world").hexdigest()
+    assert by_id[1]["rh"] == by_id[2]["rh"]
+    assert by_id[3]["fp"] != by_id[1]["fp"]
+    assert by_id[3]["rh"] != by_id[1]["rh"]
+
+
+# ------------------------------------------------------------- minhash
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["id", "text"])
+    sh = df.select("id", token_shingles(F.col("text"), 2).alias("sh"))
+    rows = {r["id"]: set(r["sh"]) for r in sh.collect()}
+    assert rows[1] == {"a b", "b c", "c d"}
+    j = (
+        sh.alias("l")
+        .join(sh.alias("r"), F.col("l.id") < F.col("r.id"))
+        .select(jaccard_similarity(F.col("l.sh"), F.col("r.sh")).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert j == pytest.approx(2 / 4)  # {a b, b c} / {a b, b c, c d, c e}
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w v"), (2, "x y z w v"), (3, "completely other words here")],
+        ["id", "text"],
+    )
+    sig = df.select(
+        "id", minhash_signature(token_shingles(F.col("text")), 8).alias("sig")
+    )
+    rows = {r["id"]: tuple(r["sig"]) for r in sig.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    assert len(rows[1]) == 8
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely unrelated content about database query engines and storage"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, num_hashes=16, num_bands=8).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near dup collides in some band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs_blocked(spark, docs):
+    pairs = ngram_jaccard_pairs(
+        docs.limit(200), block_cols=["lang"], k=3, threshold=0.2
+    )
+    for r in pairs.take(5):
+        assert r["id_a"] < r["id_b"]
+        assert 0.2 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words entirely unrelated stuff")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+    ham = df.select(hamming64(F.lit(sigs[1]), F.lit(sigs[3])).alias("h")).collect()[0]["h"]
+    assert ham > 0
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_near_dup_pairs(df, max_hamming=3).collect()}
+    assert (1, 2) in pairs
+
+
+# ---------------------------------------------------------- similarity
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    v = df.select(
+        cosine_similarity(F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(1.0), F.lit(1.0))).alias("c")
+    ).collect()[0]["c"]
+    assert v == pytest.approx(0.7071067811865475)
+
+
+def test_brute_force_topk(spark, embs):
+    queries = embs.limit(3)
+    out = brute_force_topk(embs, queries, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+        sims = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_lsh_topk_mostly_agrees_with_exact(spark, embs):
+    dim = len(embs.select("embedding").first()["embedding"])
+    queries = embs.limit(5)
+    exact = brute_force_topk(embs, queries, k=3).collect()
+    approx = lsh_bucketed_topk(embs, queries, dim=dim, k=3, bits=6).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    approx_by_q = {}
+    for r in approx:
+        approx_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # recall of exact top-1 within approx candidates: at least 2 of 5
+    hits = sum(
+        1 for q, n in exact_top1.items() if n in approx_by_q.get(q, set())
+    )
+    assert hits >= 2
+
+
+def test_embedding_near_dup_blocked(spark, embs):
+    out = embedding_near_dup_pairs(embs, threshold=0.5)
+    for r in out.take(5):
+        assert r["id_a"] < r["id_b"] and r["cosine"] >= 0.5
+
+
+# ---------------------------------------------------------- multimodal
+
+def test_decode_stub_gates_real_path():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"bytes", fake=False)
+
+
+def test_multimodal_plumbing(spark, docs):
+    mm = attach_binary_payload(docs.limit(20))
+    row = mm.first()
+    assert isinstance(row["payload"], bytearray | bytes)
+    assert row["media_meta"]["n_bytes"] == len(row["payload"])
+    feats = extract_media_features(mm).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert 0 <= r["width"] < 1920 and 0 <= r["height"] < 1080
+        assert len(r["digest"]) == 32
+    frames = sample_frames_stub(mm)
+    f = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] >= 1 for r in f)
