@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship end-to-end pipeline slice on sf0.001;
+``queries``/``oracle_sql`` expose the SURVEY.md §2 + extension operator
+catalog (implemented in ``event_streaming_toy_example_spark.plans``).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference pipeline end to end on the sf0.001
+    events table — Kinesis-envelope encode -> base64 decode -> exact
+    dedup of an injected-duplicate stream -> event-time enrichment ->
+    hourly counts (scan/codec/dedup/shuffle/agg in one plan)."""
+    from event_streaming_toy_example_spark.operators.dedup import dedup_exact
+    from event_streaming_toy_example_spark.sources.kinesis import (
+        decode_kinesis_records,
+        wrap_kinesis_envelope,
+    )
+
+    from event_streaming_toy_example_spark.schemas import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("double").alias("created_at"),
+        F.col("event_type").alias("event_name"),
+        F.struct(F.col("props").alias("language_id")).alias("event_specifics"),
+        F.col("event_id").cast("string").alias("event_uuid"),
+    )
+    with_dups = ev.unionAll(ev.where(F.col("event_uuid").cast("long") % 20 == 0))
+    decoded = decode_kinesis_records(wrap_kinesis_envelope(with_dups))
+    deduped = dedup_exact(decoded, ["event_uuid"])
+    ts = F.timestamp_seconds(F.col("created_at"))
+    return (
+        deduped.groupBy(
+            F.date_format(ts, "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("event_name").alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("hour", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from event_streaming_toy_example_spark.plans.queries import CORE_QUERIES
+    from event_streaming_toy_example_spark.plans.queries_ext import EXT_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**CORE_QUERIES, **EXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from event_streaming_toy_example_spark.plans.queries import CORE_ORACLES
+    from event_streaming_toy_example_spark.plans.queries_ext import EXT_ORACLES
+
+    return {**CORE_ORACLES, **EXT_ORACLES}

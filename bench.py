@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a count() action (no driver-side collect of
+payload rows). Wall-clock includes plan + execution, excludes session
+startup (that is amortized/shared in any real deployment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from event_streaming_toy_example_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per major engine surface (scan+agg, join, window,
+#: codec+dedup pipeline, LSH dedup, ANN, text, streaming, generator).
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_top_orders",
+    "asof_last_event_before_order",
+    "pipe_dedup_batch",
+    "pipe_dup_count",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "text_langid",
+    "mm_media_features",
+    "stream_hourly_counts",
+    "gen_events_profile",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

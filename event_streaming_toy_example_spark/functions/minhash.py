@@ -70,6 +70,83 @@ def lsh_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    extra_cols: list[str] | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """One row per (id, k-token shingle) — the fastest measured form.
+
+    Design notes (all three alternatives measured at sf0.1):
+    - higher-order ``transform``/``slice`` over the token array is
+      interpreted, not codegen'd (~10x slower);
+    - ``posexplode`` carrying the token array per row pays an
+      UnsafeArrayData copy per exploded row (~5x slower);
+    - this version explodes bare ``(pos, tok)`` rows and assembles
+      shingles with ``lead()`` windows — narrow rows, one hash shuffle
+      on the id (which the downstream signature/jaccard aggregation
+      needs anyway).
+
+    Shingle set is identical to ``token_shingles``: positions
+    0..max(n-k, 0); short docs contribute their full token join as a
+    single shingle (``concat_ws`` skips the null leads)."""
+    from pyspark.sql import Window
+
+    extra = extra_cols or []
+    # Spread the explode fan-out across cores: the input is narrow (a
+    # single parquet row-group locally; a few dense files at scale).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(par).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra],
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    shingle = F.concat_ws(
+        " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, k)]
+    )
+    out = (
+        base.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .withColumn("shingle", shingle)
+        .where(F.col("pos") <= F.greatest(F.col("n") - k, F.lit(0)))
+        .select("id", *extra, "shingle")
+    )
+    return out.distinct() if distinct else out
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures via explode + hash-aggregate: one md5 per
+    (shingle, hash-fn), one partial-aggregatable ``min`` per signature
+    slot. This is the scale path — the array-expression variant
+    (``minhash_signature``) inlines the shingle computation into every
+    slot (Catalyst collapses projections), multiplying regex/parse work
+    by ``num_hashes``; the explode form computes each shingle exactly
+    once and reduces map-side. (``min`` is duplicate-insensitive, so no
+    distinct pass is needed.) Returns ``id, sig_0..sig_{H-1}``."""
+    exploded = shingle_rows(df, id_col, text_col, k, distinct=False)
+    hashed = exploded.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"sig_{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -78,19 +155,27 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     num_bands: int = 4,
 ) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle -> signature -> band ->
-    self-join on band key -> distinct (a, b) with a < b.
+    """MinHash+LSH candidate pairs: shingle -> signature (explode+agg)
+    -> band -> self-join on band key -> distinct (a, b) with a < b.
 
-    One narrow projection + one explode + one self-equi-join (hash
-    shuffle on band_key). No cross join anywhere.
+    Explode + hash-agg + one self-equi-join (hash shuffle on band_key).
+    No cross join anywhere.
     """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(token_shingles(F.col(text_col), k), num_hashes)
-    banded = (
-        df.select(F.col(id_col).alias("id"), sig.alias("sig"))
-        .select("id", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"))
-        .select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
-    )
+    sig_df = minhash_signatures_agg(df, id_col, text_col, k, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias("band_key"),
+        )
+        for b in range(num_bands)
+    ]
+    banded = sig_df.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -124,28 +209,48 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocking groups.
 
-    ``block_cols`` bounds the pair explosion (e.g. ``["lang"]``): the
-    self-join is an equi-join on the block key, so work is
-    sum-of-squares *per block*, not corpus². For unblocked scale use
-    ``minhash_lsh_candidates`` first and verify only candidates.
+    Implementation is the inverted-index form, not a quadratic block
+    scan: explode distinct shingles, self-equi-join on
+    ``(block, shingle)`` to count intersections (only co-occurring
+    pairs materialize — a pair with zero shared shingles costs
+    nothing and cannot pass any threshold > 0), then join per-doc
+    set sizes for |A ∪ B| = |A| + |B| − |A ∩ B|. Work is proportional
+    to Σ-per-shingle-pairs, bounded by block sizes; ``block_cols``
+    (e.g. ``["lang"]``) double as the skew bound. For unblocked scale
+    use ``minhash_lsh_candidates`` first and verify only candidates.
+
+    Requires ``threshold > 0`` (zero-overlap pairs are never emitted).
     """
     block_cols = block_cols or []
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        token_shingles(F.col(text_col), k).alias("sh"),
-    )
+    sh = shingle_rows(df, id_col, text_col, k, extra_cols=block_cols).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
-    cond = F.col("l.id") < F.col("r.id")
+    cond = (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id"))
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    return (
+    inter = (
         l.join(r, cond)
-        .select(
+        .groupBy(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             *[F.col(f"l.{c}").alias(c) for c in block_cols],
-            F.round(jaccard_similarity(F.col("l.sh"), F.col("r.sh")), 6).alias("jaccard"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            *block_cols,
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -1,0 +1,471 @@
+"""Oracle-checked query catalog — core: pipeline parity + analytics.
+
+Every entry here is a pair: a Spark DataFrame program and a DuckDB-
+runnable ANSI-SQL twin (collected by ``__spark_entry__``). Conventions
+that make hash-comparison work:
+- every computed column is aliased identically on both sides;
+- float aggregates are ``round``-ed (sums 2dp, ratios 4-6dp);
+- timestamps cross the engine boundary as ``unix_micros`` bigints
+  (both engines floor ns-parquet to µs);
+- every non-aggregated output is deterministic (no arbitrary-survivor
+  rows without a total tie-break).
+
+The duplicate-injection used by dedup queries is the *portable* variant
+``key % 20 == 0`` (same rows re-appended on both engines) rather than
+the xxhash-seeded injector used elsewhere — the injector is engine-
+specific by design, the oracle-checked path must not be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from event_streaming_toy_example_spark.schemas import load_table
+from event_streaming_toy_example_spark.sources.kinesis import (
+    decode_kinesis_records,
+    wrap_kinesis_envelope,
+)
+
+# --------------------------------------------------------------------------
+# Pipeline parity (SURVEY.md §2.1-2.7 over the driver `events` table)
+# --------------------------------------------------------------------------
+
+
+def _events_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.unionAll(ev.where(F.col("event_id") % 20 == 0))
+
+
+def q_pipe_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: duplicate-key detector over a dup-injected stream."""
+    dup = _events_with_dups(spark, sf_dir)
+    per_key = dup.groupBy("event_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long").alias("dup_keys"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("surplus_rows"),
+        F.count(F.lit(1)).cast("long").alias("distinct_keys"),
+    )
+
+
+SQL_PIPE_DUP_COUNT = """
+WITH dup AS (
+  SELECT * FROM events
+  UNION ALL SELECT * FROM events WHERE event_id % 20 = 0
+), per_key AS (
+  SELECT event_id, count(*) AS cnt FROM dup GROUP BY event_id
+)
+SELECT CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+       CAST(sum(cnt - 1) AS BIGINT) AS surplus_rows,
+       CAST(count(*) AS BIGINT) AS distinct_keys
+FROM per_key
+"""
+
+
+def q_pipe_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: exact dedup of the dup-injected stream (verbatim copies, so
+    the deterministic survivor set == the original table)."""
+    from event_streaming_toy_example_spark.operators.dedup import dedup_exact
+
+    dedup = dedup_exact(_events_with_dups(spark, sf_dir), ["event_id"])
+    return dedup.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "props",
+    )
+
+
+SQL_PIPE_DEDUP_BATCH = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       round(value, 2) AS value, props
+FROM events
+"""
+
+
+def q_pipe_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S7: Kinesis envelope encode -> base64 -> decode round-trip on
+    real event rows; output equals a plain projection iff the codec is
+    lossless (the oracle is that projection)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("double").alias("created_at"),
+        F.col("event_type").alias("event_name"),
+        F.struct(
+            F.col("props").alias("language_id"),
+        ).alias("event_specifics"),
+        F.col("event_id").cast("string").alias("event_uuid"),
+    )
+    decoded = decode_kinesis_records(wrap_kinesis_envelope(ev))
+    return decoded.select(
+        F.col("event_uuid").cast("long").alias("event_id"),
+        F.col("event_name").alias("event_type"),
+        F.col("event_specifics.language_id").alias("props"),
+        F.round(F.col("created_at"), 6).alias("created_at_s"),
+    )
+
+
+SQL_PIPE_DECODE_ROUNDTRIP = """
+SELECT event_id, event_type, props,
+       round(epoch_us(ts) / 1000000.0, 6) AS created_at_s
+FROM events
+"""
+
+
+def q_pipe_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P5 + JSON extraction: event-time partition columns, ISO
+    datetime string, and a ``props`` JSON field hoist."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+        F.hour("ts").alias("hour"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("created_datetime"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+SQL_PIPE_ENRICH = """
+SELECT event_id, event_type,
+       CAST(EXTRACT(year FROM ts) AS INT) AS year,
+       CAST(EXTRACT(month FROM ts) AS INT) AS month,
+       CAST(EXTRACT(day FROM ts) AS INT) AS day,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS created_datetime,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+def q_pipe_hourly_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/K2 planning view: rows per event-time partition (the
+    partitionBy layout the staging sink produces)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+SQL_PIPE_HOURLY_PARTITIONS = """
+SELECT CAST(EXTRACT(year FROM ts) AS INT) AS year,
+       CAST(EXTRACT(month FROM ts) AS INT) AS month,
+       CAST(EXTRACT(day FROM ts) AS INT) AS day,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_pipe_error_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: derived ratio metrics (div-by-zero-guarded) from the
+    dup-injected stream."""
+    dup = _events_with_dups(spark, sf_dir)
+    per_key = dup.groupBy("event_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.round(
+            F.sum(F.col("cnt") - 1)
+            / F.nullif(F.sum(F.col("cnt")), F.lit(0)),
+            6,
+        ).alias("ingestion_error_ratio")
+    )
+
+
+SQL_PIPE_ERROR_RATIO = """
+WITH dup AS (
+  SELECT event_id FROM events
+  UNION ALL SELECT event_id FROM events WHERE event_id % 20 = 0
+), per_key AS (
+  SELECT event_id, count(*) AS cnt FROM dup GROUP BY event_id
+)
+SELECT round(sum(cnt - 1) / nullif(sum(cnt), 0), 6) AS ingestion_error_ratio
+FROM per_key
+"""
+
+
+# --------------------------------------------------------------------------
+# Analytics coverage (§2.8: joins, windows, sorts, set ops, rollup,
+# distinct aggs, as-of composition — Spark built-ins, oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate with partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 4-way join with broadcast dimension tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per customer (total tie-break)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            F.col("rn").cast("long").alias("rn"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+SQL_WINDOW_TOP_ORDERS = """
+SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject, no full sort at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+SQL_SORT_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_setop_purchase_and_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: INTERSECT of two filtered projections."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id")
+    b = ev.where(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+SQL_SETOP_PURCHASE_AND_ERROR_USERS = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with grouping-null markers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_ANTI_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_semi_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+SQL_SEMI_PARTS_ORDERED = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate per day."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+SQL_DISTINCT_USERS_DAILY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join composition (Spark lacks a native as-of): for each
+    order, the latest event of that user at-or-before the order date.
+
+    Implemented as equi-join on user + range filter + ``max_by`` single
+    aggregation — one shuffle on the join key, no window sort. At 100 TB
+    add a coarse time-bucket to the join key to bound the fan-out.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    ev = load_table(spark, sf_dir, "events")
+    j = orders.join(ev, (orders.o_custkey == ev.user_id) & (ev.ts <= orders.o_orderdate))
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_event_ts_us"),
+            F.max_by("event_id", F.struct(F.col("ts"), F.col("event_id"))).alias(
+                "last_event_id"
+            ),
+        )
+    )
+
+
+SQL_ASOF_LAST_EVENT_BEFORE_ORDER = """
+WITH j AS (
+  SELECT o_orderkey, ts, event_id,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM orders JOIN events ON o_custkey = user_id AND ts <= o_orderdate
+  WHERE o_custkey < 150
+)
+SELECT o_orderkey, epoch_us(ts) AS last_event_ts_us, event_id AS last_event_id
+FROM j WHERE rn = 1
+"""
+
+
+CORE_QUERIES = {
+    "pipe_dup_count": q_pipe_dup_count,
+    "pipe_dedup_batch": q_pipe_dedup_batch,
+    "pipe_decode_roundtrip": q_pipe_decode_roundtrip,
+    "pipe_enrich": q_pipe_enrich,
+    "pipe_hourly_partitions": q_pipe_hourly_partitions,
+    "pipe_error_ratio": q_pipe_error_ratio,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "window_top_orders": q_window_top_orders,
+    "sort_topk_orders": q_sort_topk_orders,
+    "setop_purchase_and_error_users": q_setop_purchase_and_error_users,
+    "rollup_lineitem": q_rollup_lineitem,
+    "anti_customers_without_orders": q_anti_customers_without_orders,
+    "semi_parts_ordered": q_semi_parts_ordered,
+    "distinct_users_daily": q_distinct_users_daily,
+    "asof_last_event_before_order": q_asof_last_event_before_order,
+}
+
+CORE_ORACLES = {
+    "pipe_dup_count": SQL_PIPE_DUP_COUNT,
+    "pipe_dedup_batch": SQL_PIPE_DEDUP_BATCH,
+    "pipe_decode_roundtrip": SQL_PIPE_DECODE_ROUNDTRIP,
+    "pipe_enrich": SQL_PIPE_ENRICH,
+    "pipe_hourly_partitions": SQL_PIPE_HOURLY_PARTITIONS,
+    "pipe_error_ratio": SQL_PIPE_ERROR_RATIO,
+    "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
+    "join_revenue_by_nation": SQL_JOIN_REVENUE_BY_NATION,
+    "window_top_orders": SQL_WINDOW_TOP_ORDERS,
+    "sort_topk_orders": SQL_SORT_TOPK_ORDERS,
+    "setop_purchase_and_error_users": SQL_SETOP_PURCHASE_AND_ERROR_USERS,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "anti_customers_without_orders": SQL_ANTI_CUSTOMERS_WITHOUT_ORDERS,
+    "semi_parts_ordered": SQL_SEMI_PARTS_ORDERED,
+    "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
+    "asof_last_event_before_order": SQL_ASOF_LAST_EVENT_BEFORE_ORDER,
+}

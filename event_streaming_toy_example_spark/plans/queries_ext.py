@@ -1,0 +1,588 @@
+r"""Oracle-checked query catalog — extensions: text analysis, dedup
+family, similarity search, multimodal, streaming.
+
+The SQL twins for shingling / MinHash / LSH are *generated* from the
+same parameters as the Spark implementation, so the two sides cannot
+drift: the oracle computes bit-identical MinHash signatures (the
+md5-hex-min construction is engine-neutral) and the full LSH pipeline
+is value-hash-checked, not just row-counted.
+
+Streaming entries run a real Structured Streaming query (availableNow
+over a file source into a memory sink) and return the sink table — the
+oracle checks the *result*, proving streaming semantics == batch SQL.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.functions.minhash import (
+    jaccard_similarity,
+    minhash_lsh_candidates,
+    simhash_near_dup_pairs,
+    token_shingles,
+)
+from event_streaming_toy_example_spark.functions.multimodal import (
+    attach_binary_payload,
+    extract_media_features,
+    sample_frames_stub,
+)
+from event_streaming_toy_example_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucketed_topk,
+)
+from event_streaming_toy_example_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint_md5,
+    predict_language,
+    quality_features,
+    token_count,
+    tokens,
+)
+from event_streaming_toy_example_spark.schemas import (
+    EVENTS_TABLE_SCHEMA,
+    load_table,
+)
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (kept in lockstep with functions/text.py + minhash.py)
+# --------------------------------------------------------------------------
+
+SQL_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+SQL_TOKS = "list_filter(string_split({norm}, ' '), x -> x <> '')"
+
+
+def _sql_tokens(col: str) -> str:
+    return SQL_TOKS.format(norm=SQL_NORM.format(c=col))
+
+
+def _sql_shingles(toks_expr: str, k: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks_expr}) - {k - 1}, 1)), "
+        f"i -> array_to_string(({toks_expr})[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _sql_minhash_sig_elems(num_hashes: int) -> list[str]:
+    return [
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(num_hashes)
+    ]
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        "q_avg_token_len",
+        "q_punct_ratio",
+        "q_alpha_ratio",
+        "q_stopword_hits",
+        "q_score",
+    )
+
+
+_STOP_ARRAY = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+SQL_TEXT_QUALITY = rf"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+         length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, len(toks) AS n_tokens, punct, alpha,
+         len(list_intersect(toks, {_STOP_ARRAY})) AS stop_hits,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN len(toks) > 0
+              THEN (n_chars - (len(toks) - 1)) / len(toks) ELSE 0.0 END AS avg_token_len
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS q_n_chars,
+       CAST(n_tokens AS BIGINT) AS q_n_tokens,
+       round(avg_token_len, 4) AS q_avg_token_len,
+       round(punct_ratio, 4) AS q_punct_ratio,
+       round(alpha_ratio, 4) AS q_alpha_ratio,
+       CAST(stop_hits AS BIGINT) AS q_stopword_hits,
+       round(0.25 * (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * (1.0 - punct_ratio)
+           + 0.25 * (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.0 END), 4) AS q_score
+FROM feat
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return predict_language(docs).select("doc_id", "lang", "predicted_lang")
+
+
+def _sql_text_langid() -> str:
+    score_cols = ",\n         ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{m}'" for m in marks)
+        + f"])) AS score_{lang}"
+        for lang, marks in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    cascade = "CASE\n"
+    for lang in langs:
+        cascade += f"  WHEN score_{lang} = g AND g > 0 THEN '{lang}'\n"
+    cascade += "  ELSE 'und' END"
+    toks = f"list_distinct({_sql_tokens('text')})"
+    # NB: Spark tokenizes lower(text) but normalize strips punctuation; the
+    # Spark langid uses plain lower+split (no punctuation strip). Keep the
+    # SQL in lockstep with predict_language: lower + whitespace split.
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x <> '')) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM t
+), g AS (
+  SELECT *, {greatest} AS g FROM s
+)
+SELECT doc_id, lang, {cascade} AS predicted_lang FROM g
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_TEXT_FINGERPRINT = (
+    "SELECT doc_id, md5(" + SQL_NORM.format(c="text") + ") AS fingerprint FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# Dedup family (documents)
+# --------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.unionAll(docs.where(F.col("doc_id") % 10 == 0))
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup over a dup-injected corpus: group by content,
+    keep the smallest doc_id as survivor."""
+    dup = _docs_with_dups(spark, sf_dir)
+    return (
+        dup.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT_DOCS = """
+WITH dup AS (
+  SELECT * FROM documents
+  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS survivor_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM dup GROUP BY 1
+"""
+
+_MH_K = 3
+_MH_HASHES = 8
+_MH_BANDS = 4
+_MH_THRESHOLD = 0.4
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pipeline, fully hash-checked: candidates
+    from banded signatures, verified with exact shingle Jaccard."""
+    from event_streaming_toy_example_spark.functions.minhash import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        docs, k=_MH_K, num_hashes=_MH_HASHES, num_bands=_MH_BANDS
+    )
+    # exact-Jaccard verification of candidates via the inverted-index
+    # form: candidates are few, so broadcast them into the shingle scan
+    # (zero-overlap candidates cannot pass the threshold, so counting
+    # only co-occurring shingles is exact).
+    sh = shingle_rows(docs, "doc_id", "text", _MH_K).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        F.broadcast(cand)
+        .join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _MH_THRESHOLD)
+    )
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    rows_per_band = _MH_HASHES // _MH_BANDS
+    sig_elems = _sql_minhash_sig_elems(_MH_HASHES)
+    sig_cols = ",\n         ".join(
+        f"{e} AS sig_{i}" for i, e in enumerate(sig_elems)
+    )
+    band_selects = []
+    for b in range(_MH_BANDS):
+        parts = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '|' || ".join(parts)
+        band_selects.append(
+            f"SELECT id, {b} AS band_idx, {key} AS band_key FROM sig"
+        )
+    bands = "\n  UNION ALL ".join(band_selects)
+    toks = _sql_tokens("text")
+    shingles = _sql_shingles("toks", _MH_K)
+    return rf"""
+WITH t AS (
+  SELECT doc_id AS id, {toks} AS toks FROM documents
+), s AS (
+  SELECT id, {shingles} AS sh FROM t
+), sig AS (
+  SELECT id, sh,
+         {sig_cols}
+  FROM s
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.id < r.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(a.sh, b.sh)) /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM cand
+JOIN s a ON a.id = cand.id_a
+JOIN s b ON b.id = cand.id_b
+WHERE round(len(list_intersect(a.sh, b.sh)) /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= {_MH_THRESHOLD}
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked by (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from event_streaming_toy_example_spark.functions.minhash import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(
+        docs, block_cols=["lang", "source"], k=3, threshold=0.2
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = rf"""
+WITH t AS (
+  SELECT doc_id AS id, lang, source, {_sql_tokens('text')} AS toks FROM documents
+), s AS (
+  SELECT id, lang, source, {_sql_shingles('toks', 3)} AS sh FROM t
+)
+SELECT l.id AS id_a, r.id AS id_b, l.lang, l.source,
+       round(len(list_intersect(l.sh, r.sh)) /
+             (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) AS jaccard
+FROM s l JOIN s r
+  ON l.lang = r.lang AND l.source = r.source AND l.id < r.id
+WHERE round(len(list_intersect(l.sh, r.sh)) /
+      (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) >= 0.2
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based — engine-specific, so no
+    SQL oracle: rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=12)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+_SIM_COSINE_SQL = (
+    "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)"
+)
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5)
+    return brute_force_topk(embs, queries, k=5)
+
+
+SQL_SIM_TOPK_BRUTEFORCE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_SIM_COSINE_SQL} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(embs, block_col="label", threshold=0.5)
+
+
+SQL_SIM_EMBEDDING_NEAR_DUP = f"""
+SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.label,
+       {_SIM_COSINE_SQL} AS cosine
+FROM embeddings q JOIN embeddings c
+  ON q.label = c.label AND q.vec_id < c.vec_id
+WHERE {_SIM_COSINE_SQL} >= 0.5
+"""
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed top-k (approximation — rows-only check;
+    the exact twin above is the hash-checked baseline)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    dim = len(embs.select("embedding").first()["embedding"])
+    return lsh_bucketed_topk(embs, embs.where(F.col("vec_id") < 5), dim=dim, k=5, bits=6)
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+
+def q_mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing end to end: text -> binary payload +
+    metadata -> Arrow-batched (mapInPandas) stub decode -> features.
+    The deterministic fake decode makes it oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_features(attach_binary_payload(docs), fake=True)
+
+
+SQL_MM_MEDIA_FEATURES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(('0x' || substring(md5(text), 1, 4))::INT % 1920 AS INT) AS width,
+       CAST(('0x' || substring(md5(text), 5, 4))::INT % 1080 AS INT) AS height
+FROM documents
+"""
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (rows-only: byte-chunk explode shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames_stub(attach_binary_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Streaming (real Structured Streaming runs, oracle checks the result)
+# --------------------------------------------------------------------------
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 as a stream: dup-injected events parquet -> file-source stream
+    -> stateful dropDuplicates -> memory sink. Result must equal the
+    clean batch table (the oracle)."""
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.unionAll(ev.where(F.col("event_id") % 20 == 0)).write.mode("overwrite").parquet(
+        f"{tmp}/in"
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(EVENTS_TABLE_SCHEMA)
+        .parquet(f"{tmp}/in")
+        .dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        "props",
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       round(value, 2) AS value, props
+FROM events
+"""
+
+
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation with watermark, run as a
+    real stream (complete mode -> memory sink); oracle = batch GROUP BY
+    date_trunc. The ns-timestamp source table is staged once to a µs
+    parquet dir (Spark 4 streaming readers reject ns timestamps)."""
+    tmp = tempfile.mkdtemp(prefix="stream_hourly_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(f"{tmp}/in")
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(EVENTS_TABLE_SCHEMA)
+        .parquet(f"{tmp}/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+SQL_STREAM_HOURLY_COUNTS = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Generator (engine-specific randomness — rows-only)
+# --------------------------------------------------------------------------
+
+
+def q_gen_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded synthetic generator smoke: distribution over event types
+    (rows-only: the counter-based PRNG is engine-specific by design)."""
+    from event_streaming_toy_example_spark.operators.enrich import enrich_events
+    from event_streaming_toy_example_spark.sources.generator import generate_events
+
+    ev = enrich_events(generate_events(spark, 20000, seed=42))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("event_subtype").cast("long").alias("n_subtypes"),
+        )
+    )
+
+
+EXT_QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_embedding_near_dup": q_sim_embedding_near_dup,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "mm_media_features": q_mm_media_features,
+    "mm_frame_sample": q_mm_frame_sample,
+    "stream_dedup": q_stream_dedup,
+    "stream_hourly_counts": q_stream_hourly_counts,
+    "gen_events_profile": q_gen_events_profile,
+}
+
+EXT_ORACLES = {
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_langid": _sql_text_langid(),
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+    "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "sim_topk_bruteforce": SQL_SIM_TOPK_BRUTEFORCE,
+    "sim_embedding_near_dup": SQL_SIM_EMBEDDING_NEAR_DUP,
+    "mm_media_features": SQL_MM_MEDIA_FEATURES,
+    "stream_dedup": SQL_STREAM_DEDUP,
+    "stream_hourly_counts": SQL_STREAM_HOURLY_COUNTS,
+    # dedup_simhash, sim_lsh_topk, mm_frame_sample, gen_events_profile:
+    # intentionally no oracle (engine-specific hash / approximation /
+    # byte-chunk shape / seeded PRNG) -> driver rows-only check.
+}

@@ -162,7 +162,21 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Load one driver testdata table (column-pruning/pushdown friendly)."""
+    """Load one driver testdata table (column-pruning/pushdown friendly).
+
+    The ``events`` table is written with nanosecond Parquet timestamps,
+    which Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL); we read
+    nanos as long via the legacy conf and convert to a microsecond
+    TimestampType (floor division — identical to DuckDB's ns->us
+    truncation, so oracle comparisons agree)."""
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

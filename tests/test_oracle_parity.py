@@ -1,0 +1,119 @@
+"""Local replica of the driver's correctness gate: run every catalog
+query on Spark AND its DuckDB oracle at sf0.01, compare row count,
+column names, and order-insensitive values.
+
+Comparison: columns sorted by name, rows sorted by their full value
+tuple, floats compared to 1e-9 relative (the driver hashes values; any
+real mismatch here would hash-mismatch there — this catches it first).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR_ORACLE
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, cols):
+    """Rows -> sorted list of tuples in sorted-column order."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def key(row):
+        return tuple(
+            (v is None, str(type(v)), str(v)) for v in (row[i] for i in order)
+        )
+
+    return sorted((tuple(row[i] for i in order) for row in rows), key=key), [
+        cols[i] for i in order
+    ]
+
+
+def _values_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql())
+ALL_NAMES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+
+    sdf = q(spark, SF_DIR_ORACLE)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} (spark) != {len(d_rows)} (duckdb)"
+    )
+
+    s_norm, cols = _normalize(s_rows, s_cols)
+    d_norm, _ = _normalize(d_rows, d_cols)
+    mismatches = []
+    for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
+        for c, sv, dv in zip(cols, sr, dr):
+            if not _values_equal(sv, dv):
+                mismatches.append((i, c, sv, dv))
+                if len(mismatches) >= 5:
+                    break
+        if len(mismatches) >= 5:
+            break
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_NAMES) - set(ORACLE_NAMES)))
+def test_rows_only_queries_run(spark, name):
+    """Queries without an oracle still must run and return rows."""
+    df = entry_mod.queries()[name](spark, SF_DIR_ORACLE)
+    assert df.count() > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["hour", "event_type", "n_events"]
