@@ -49,12 +49,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from event_streaming_toy_example_spark.plans.queries import CORE_QUERIES
     from event_streaming_toy_example_spark.plans.queries_ext import EXT_QUERIES
+    from event_streaming_toy_example_spark.plans.queries_ext2 import EXT2_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES}
+    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     from event_streaming_toy_example_spark.plans.queries import CORE_ORACLES
     from event_streaming_toy_example_spark.plans.queries_ext import EXT_ORACLES
+    from event_streaming_toy_example_spark.plans.queries_ext2 import EXT2_ORACLES
 
-    return {**CORE_ORACLES, **EXT_ORACLES}
+    return {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES}

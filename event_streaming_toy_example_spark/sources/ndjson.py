@@ -54,6 +54,21 @@ def write_staged_events(df: DataFrame, path: str, mode: str = "append",
     staged.write.mode(mode).partitionBy(*cols).json(path)
 
 
+def write_sample_json(df: DataFrame, path: str, n: int = 500,
+                      indent: int = 4) -> int:
+    """K5: pretty-printed JSON sample sink (reference
+    ``producer.py:134-139,170-173`` writes 500 events with
+    ``indent=4, ensure_ascii=False``). A bounded ``take`` feeds a
+    driver-side writer — this is a debugging/fixture sink, never a data
+    path, so the driver bottleneck is by design. Returns rows written."""
+    import json
+
+    rows = [r.asDict(recursive=True) for r in df.limit(n).collect()]
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(rows, f, indent=indent, ensure_ascii=False, default=str)
+    return len(rows)
+
+
 def read_staged_events(spark: SparkSession, path: str,
                        where: str | None = None) -> DataFrame:
     """S6: read the staging area with the pinned schema (no inference

@@ -1,0 +1,127 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference has exactly one stateful construct — the external Redis
+dedup set (``toy_lambda_function.py:48-52``); Spark's built-ins cover
+that (``dropDuplicatesWithinWatermark``).  This module adds the custom
+state surface a real pipeline needs beyond built-ins: per-key
+sessionization with explicit state transitions, the canonical
+"operator Spark's declarative API cannot express" (built-in
+``session_window`` aggregates whole sessions; this emits each *closed*
+session incrementally and carries open sessions across micro-batches).
+
+Scale design: state is one fixed-width row per key (3 longs), hash
+partitioned by the group key — state-store size is O(active keys), not
+O(events).  Arrow moves each group's rows in batches, and the
+per-group sort is bounded by a micro-batch's rows for that key.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("last_event_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+#: (session_start_us, last_ts_us, n_events) — one fixed-width row per key.
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _session_fn_factory(gap_us: int):
+    """Build the per-group transition function.
+
+    Semantics (kept in lockstep with the batch oracle): an event at
+    ``ts`` joins the open session iff ``ts - last_ts < gap``; at
+    ``ts - last_ts >= gap`` the open session closes (emitted) and a new
+    one starts.  Matches ``F.session_window``'s half-open
+    ``[start, last + gap)`` windows.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        # Micro-batches deliver a group's rows unordered; sessionization
+        # is order-defined, so sort within the batch (cross-batch order
+        # is the stream's arrival order, as in any incremental engine).
+        rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+
+        closed: list[tuple[int, int, int, int]] = []
+        uid = key[0]
+        for ts_us in rows["ts_us"]:
+            ts_us = int(ts_us)
+            if n == 0:
+                start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us - last_us >= gap_us:
+                closed.append((uid, start_us, last_us, n))
+                start_us, last_us, n = ts_us, ts_us, 1
+            else:
+                last_us = ts_us
+                n += 1
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+            )
+
+    return fn
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Incremental sessionization over a (possibly streaming) DataFrame.
+
+    Emits one row per *closed* session; the open tail session per key
+    stays in state (callers flushing a bounded run append a per-key
+    sentinel event beyond the gap horizon — see
+    ``plans.queries_ext2.q_stream_session_stateful``).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    prepped = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(id_col).alias("event_id"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _session_fn_factory(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
