@@ -46,6 +46,9 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     spark = get_spark(app_name="bench")
+    # JIT/codegen warm-up (no data touched): keeps the first measured
+    # query from absorbing one-time JVM scheduler/codegen costs.
+    spark.range(1000).selectExpr("sum(id)").collect()
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0

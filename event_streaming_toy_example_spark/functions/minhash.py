@@ -78,21 +78,23 @@ def shingle_rows(
     extra_cols: list[str] | None = None,
     distinct: bool = True,
 ) -> DataFrame:
-    """One row per (id, k-token shingle) — the fastest measured form.
-
-    Design notes (all three alternatives measured at sf0.1):
-    - higher-order ``transform``/``slice`` over the token array is
-      interpreted, not codegen'd (~10x slower);
-    - ``posexplode`` carrying the token array per row pays an
-      UnsafeArrayData copy per exploded row (~5x slower);
-    - this version explodes bare ``(pos, tok)`` rows and assembles
-      shingles with ``lead()`` windows — narrow rows, one hash shuffle
-      on the id (which the downstream signature/jaccard aggregation
-      needs anyway).
+    """One row per (id, k-token shingle) — the fastest measured form
+    *in full-query context* (interleaved medians of the whole
+    MinHash-LSH query at sf0.1):
+    - single ``lead()`` window (this version): 1.46 s
+    - two windows (extra ``count`` window for the length filter): 1.65 s
+    - shuffle-free ``arrays_zip`` of shifted ``slice``s: 2.99 s — wins
+      standalone (0.4 s vs 0.7 s) but loses end-to-end, because the
+      window's hash-shuffle on ``id`` is *reused* by every downstream
+      per-id aggregation/join (exchange reuse beats shuffle avoidance
+      when the consumer needs that partitioning anyway);
+    - higher-order ``transform``/``slice`` array build: ~10 s
+      (interpreted, not codegen'd).
 
     Shingle set is identical to ``token_shingles``: positions
     0..max(n-k, 0); short docs contribute their full token join as a
-    single shingle (``concat_ws`` skips the null leads)."""
+    single shingle (``concat_ws`` skips null leads; the ``pos == 0``
+    arm of the filter keeps exactly that one row)."""
     from pyspark.sql import Window
 
     extra = extra_cols or []
@@ -107,14 +109,24 @@ def shingle_rows(
         ),
     )
     w = Window.partitionBy("id").orderBy("pos")
-    shingle = F.concat_ws(
-        " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, k)]
+    leads = [F.lead("tok", i).over(w).alias(f"l{i}") for i in range(1, k)]
+    # a full shingle has all k tokens (last lead non-null); pos 0
+    # survives always so a short doc yields its full-text shingle
+    keep = (
+        (F.col("pos") == 0) | F.col(f"l{k - 1}").isNotNull()
+        if k > 1
+        else F.lit(True)
     )
     out = (
-        base.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("id")))
-        .withColumn("shingle", shingle)
-        .where(F.col("pos") <= F.greatest(F.col("n") - k, F.lit(0)))
-        .select("id", *extra, "shingle")
+        base.select("id", *extra, "pos", "tok", *leads)
+        .where(keep)
+        .select(
+            "id",
+            *extra,
+            F.concat_ws(
+                " ", "tok", *[f"l{i}" for i in range(1, k)]
+            ).alias("shingle"),
+        )
     )
     return out.distinct() if distinct else out
 
@@ -125,6 +137,7 @@ def minhash_signatures_agg(
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures via explode + hash-aggregate: one md5 per
     (shingle, hash-fn), one partial-aggregatable ``min`` per signature
@@ -133,8 +146,16 @@ def minhash_signatures_agg(
     slot (Catalyst collapses projections), multiplying regex/parse work
     by ``num_hashes``; the explode form computes each shingle exactly
     once and reduces map-side. (``min`` is duplicate-insensitive, so no
-    distinct pass is needed.) Returns ``id, sig_0..sig_{H-1}``."""
-    exploded = shingle_rows(df, id_col, text_col, k, distinct=False)
+    distinct pass is needed.) Returns ``id, sig_0..sig_{H-1}``.
+
+    ``shingles`` lets a caller that also needs the shingle table (e.g.
+    for exact-Jaccard verification) compute it once, persist it, and
+    share it — otherwise it is derived here."""
+    exploded = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, id_col, text_col, k, distinct=False)
+    )
     hashed = exploded.select(
         "id",
         *[
@@ -154,6 +175,7 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = 16,
     num_bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: shingle -> signature (explode+agg)
     -> band -> self-join on band key -> distinct (a, b) with a < b.
@@ -162,7 +184,7 @@ def minhash_lsh_candidates(
     No cross join anywhere.
     """
     rows_per_band = num_hashes // num_bands
-    sig_df = minhash_signatures_agg(df, id_col, text_col, k, num_hashes)
+    sig_df = minhash_signatures_agg(df, id_col, text_col, k, num_hashes, shingles)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -176,6 +198,11 @@ def minhash_lsh_candidates(
     banded = sig_df.select(
         "id", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    # Both sides of the self-join share this lineage; without a persist
+    # the whole shingle->md5->aggregate pipeline executes twice (2x the
+    # query's cost at any scale). MEMORY_AND_DISK spills gracefully when
+    # the signature table outgrows executor memory.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -375,6 +375,52 @@ WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
 """
 
 
+def q_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by revenue: fact-to-dim broadcast join +
+    hash aggregate + TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
+
+
+SQL_JOIN_SUPPLIER_REVENUE = """
+SELECT s_suppkey, s_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY s_suppkey, s_name, n_name
+ORDER BY revenue DESC, s_suppkey
+LIMIT 20
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count — the 100 TB path for A1-style
+    cardinality metrics (no exact-distinct shuffle). Sketch values are
+    engine-specific, so no SQL oracle: the unit suite asserts the
+    estimate lands within the configured 2% rsd of the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregate per day."""
     ev = load_table(spark, sf_dir, "events")
@@ -447,6 +493,8 @@ CORE_QUERIES = {
     "rollup_lineitem": q_rollup_lineitem,
     "anti_customers_without_orders": q_anti_customers_without_orders,
     "semi_parts_ordered": q_semi_parts_ordered,
+    "join_supplier_revenue": q_join_supplier_revenue,
+    "approx_distinct_users": q_approx_distinct_users,
     "distinct_users_daily": q_distinct_users_daily,
     "asof_last_event_before_order": q_asof_last_event_before_order,
 }
@@ -466,6 +514,8 @@ CORE_ORACLES = {
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "anti_customers_without_orders": SQL_ANTI_CUSTOMERS_WITHOUT_ORDERS,
     "semi_parts_ordered": SQL_SEMI_PARTS_ORDERED,
+    "join_supplier_revenue": SQL_JOIN_SUPPLIER_REVENUE,
+    # approx_distinct_users: HLL sketch is engine-specific -> rows-only.
     "distinct_users_daily": SQL_DISTINCT_USERS_DAILY,
     "asof_last_event_before_order": SQL_ASOF_LAST_EVENT_BEFORE_ORDER,
 }

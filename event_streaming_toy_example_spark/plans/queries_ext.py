@@ -246,14 +246,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_toy_example_spark.functions.minhash import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
+    # one shingle explode feeds BOTH the signature pipeline and the
+    # exact-Jaccard verification (distinct is idempotent on the already-
+    # distinct rows, so sharing the distinct table is safe for both).
+    sh = shingle_rows(docs, "doc_id", "text", _MH_K, distinct=True).persist()
     cand = minhash_lsh_candidates(
-        docs, k=_MH_K, num_hashes=_MH_HASHES, num_bands=_MH_BANDS
+        docs, k=_MH_K, num_hashes=_MH_HASHES, num_bands=_MH_BANDS, shingles=sh
     )
     # exact-Jaccard verification of candidates via the inverted-index
     # form: candidates are few, so broadcast them into the shingle scan
     # (zero-overlap candidates cannot pass the threshold, so counting
     # only co-occurring shingles is exact).
-    sh = shingle_rows(docs, "doc_id", "text", _MH_K).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
