@@ -42,6 +42,93 @@ class BatchResult:
     batch_duplicates: int
 
 
+def run_reference_pipeline(
+    spark: SparkSession,
+    workdir: str,
+    run_seconds: float = 5.0,
+    rows_per_second: int = 278,
+    trigger_seconds: int | None = None,
+    watermark: str = "365 days",
+    seed: int = 42,
+) -> "PipelineMetrics":
+    """C1: the reference's driver loop (reference
+    ``run_toy_example.py:21-49`` — 278 ev/s for a minute, then one glue
+    batch, then a CloudWatch report, forever) as ONE streaming query
+    plus a compaction pass and a Markdown report.
+
+    - ``rate`` source at ``rows_per_second`` drives the seeded
+      generator + Kinesis envelope (S1-S3),
+    - the ingest stream decodes, dedups within the watermark, enriches,
+      and stages partitioned NDJSON (S7, D1, P1/P2/P5, K1/K2),
+    - a ``StreamingQueryListener`` folds per-batch progress into the
+      metrics dataclass (A2),
+    - ``compact_staging`` runs the batch dedup -> Parquet job (the
+      per-minute "glue" call) and the report is appended (K4).
+
+    ``run_seconds`` bounds the demo; production would omit the stop and
+    let the trigger cadence run forever exactly like the reference loop.
+    """
+    import time
+
+    from event_streaming_toy_example_spark.streaming.ingest import (
+        rate_event_source,
+        start_ingest_stream,
+    )
+    from event_streaming_toy_example_spark.streaming.metrics_listener import (
+        PipelineMetricsListener,
+    )
+
+    staging = f"{workdir}/staging"
+    processed = f"{workdir}/processed"
+    report = f"{workdir}/cloudwatch_report.md"
+
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        records = rate_event_source(spark, rows_per_second, seed)
+        q = start_ingest_stream(
+            records,
+            staging,
+            f"{workdir}/ckpt",
+            watermark=watermark,
+            trigger_seconds=trigger_seconds,
+        )
+        # run at least ``run_seconds`` AND until at least one batch of
+        # events has actually been ingested (query startup can eat the
+        # first seconds); hard-capped so a wedged stream can't hang us.
+        soft = time.monotonic() + run_seconds
+        hard = time.monotonic() + max(run_seconds * 10, 60.0)
+        while q.isActive and (
+            time.monotonic() < soft
+            or (
+                listener.metrics.ingested_events == 0
+                and time.monotonic() < hard
+            )
+        ):
+            time.sleep(0.25)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.streams.removeListener(listener)
+
+    m = listener.metrics
+    staged_rows = spark.read.schema("event_uuid string").json(staging).count()
+    if staged_rows:
+        compact_staging(spark, staging, processed, metrics=m)
+    # a forced stop can abort the last micro-batch AFTER its progress
+    # event fired (listener over-counts), and compaction adds its own
+    # output count — the durable staging count is the single truth for
+    # "ingested"; reconcile so the report reflects committed rows only.
+    m.ingested_events = staged_rows
+    m.used_staging_storage_in_mbytes = dir_size_mbytes(staging)
+    from event_streaming_toy_example_spark.operators.metrics import (
+        append_markdown_report,
+    )
+
+    append_markdown_report(m.finalize(), report)
+    return m
+
+
 def ingest_batch(records: DataFrame, staging_path: str,
                  metrics: PipelineMetrics | None = None) -> None:
     """The "lambda" path as one batch write (SURVEY.md §3.2): decode

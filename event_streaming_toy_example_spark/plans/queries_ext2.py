@@ -12,7 +12,6 @@ outputs.  Session semantics are pinned to Spark's half-open
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -95,7 +94,10 @@ def q_stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch gaps-and-islands result — hash-checked against the same
     oracle as the built-in session_window query.
     """
-    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_stream_input,
+    )
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     sentinels = ev.groupBy("user_id").agg(
         (F.max(F.unix_micros("ts")) + 10 * _GAP_MIN * 60 * 1_000_000).alias(
@@ -106,12 +108,12 @@ def q_stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("ts_us")).alias("ts"),
         F.lit(-1).cast("long").alias("event_id"),
     )
-    ev.unionAll(sentinels).write.mode("overwrite").parquet(f"{tmp}/in")
+    in_path = stage_stream_input(ev.unionAll(sentinels), "sess", sf_dir)
 
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(
         "user_id bigint, ts timestamp, event_id bigint"
-    ).parquet(f"{tmp}/in")
+    ).parquet(in_path)
     q = (
         sessionize_stateful(stream, gap_minutes=_GAP_MIN)
         .writeStream.format("memory")
@@ -359,7 +361,49 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# SQL-string API (spark.sql over registered views)
+# --------------------------------------------------------------------------
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {orderdate_us} AS o_orderdate_us
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape via the ``spark.sql`` string API: the same text
+    (modulo the epoch-µs function name) runs on both engines, proving
+    the SQL surface — views registered per-sf_dir, plan identical to
+    the equivalent DataFrame program (same Catalyst)."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    # parquet timestamps surface as TIMESTAMP_NTZ; the session runs in
+    # UTC so the cast is an identity relabel, not a shift.
+    return spark.sql(
+        _SQL_SHIPPING_PRIORITY.format(
+            orderdate_us="unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+        )
+    )
+
+
+SQL_SQL_SHIPPING_PRIORITY = _SQL_SHIPPING_PRIORITY.format(
+    orderdate_us="epoch_us(o_orderdate)"
+)
+
+
 EXT2_QUERIES = {
+    "sql_shipping_priority": q_sql_shipping_priority,
     "session_window_users": q_session_window_users,
     "stream_session_stateful": q_stream_session_stateful,
     "window_sliding_counts": q_window_sliding_counts,
@@ -372,6 +416,7 @@ EXT2_QUERIES = {
 }
 
 EXT2_ORACLES = {
+    "sql_shipping_priority": SQL_SQL_SHIPPING_PRIORITY,
     "session_window_users": SQL_SESSION_GAPS_AND_ISLANDS,
     "stream_session_stateful": SQL_SESSION_GAPS_AND_ISLANDS,
     "window_sliding_counts": SQL_WINDOW_SLIDING_COUNTS,

@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): engine invariants that golden
+tests can't sweep — codec round-trips and portable-hash models over
+arbitrary inputs.
+
+Spark jobs per example are expensive, so each property batches all
+hypothesis examples into ONE DataFrame and runs ONE job.
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from event_streaming_toy_example_spark.functions.text import (
+    fingerprint_rolling,
+    normalize_text,
+)
+from event_streaming_toy_example_spark.sources.kinesis import (
+    decode_kinesis_records,
+    wrap_kinesis_envelope,
+)
+
+# printable-but-adversarial text: unicode letters, punctuation,
+# whitespace runs, empty-ish strings
+TEXTS = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), exclude_characters="\x00"
+    ),
+    max_size=120,
+)
+
+
+def _collect_texts(data):
+    # hypothesis gives us a list of strings; drop NUL (JSON/Parquet-safe)
+    return [t.replace("\x00", "") for t in data]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXTS, min_size=40, max_size=40))
+def test_kinesis_codec_roundtrip_property(spark, texts):
+    """encode(decode(x)) == x for arbitrary event field content: the
+    envelope JSON + base64 codec must be lossless on any string that
+    can live in a column (incl. quotes, newlines, unicode)."""
+    rows = [
+        (float(i), t if t else None, i)
+        for i, t in enumerate(_collect_texts(texts))
+    ]
+    ev = spark.createDataFrame(
+        rows, "created_at double, event_name string, event_uuid string"
+    ).select(
+        "created_at",
+        "event_name",
+        F.struct(F.col("event_name").alias("language_id")).alias(
+            "event_specifics"
+        ),
+        F.col("event_uuid").cast("string").alias("event_uuid"),
+    )
+    back = decode_kinesis_records(wrap_kinesis_envelope(ev))
+    orig = [
+        (r["created_at"], r["event_name"], r["event_uuid"])
+        for r in ev.select("created_at", "event_name", "event_uuid").collect()
+    ]
+    rt = [
+        (r["created_at"], r["event_name"], r["event_uuid"])
+        for r in back.select("created_at", "event_name", "event_uuid").collect()
+    ]
+    assert sorted(rt, key=str) == sorted(orig, key=str)
+
+
+def _model_normalize(t: str) -> str:
+    import re
+
+    # Java regex \s is ASCII-only ([ \t\n\x0b\f\r]); Python's is
+    # Unicode-aware — model the engine's (Java's) semantics explicitly.
+    ws = " \t\n\x0b\f\r"
+    t = re.sub(rf"[^a-z0-9{ws}]", "", t.lower())
+    t = re.sub(rf"[{ws}]+", " ", t)
+    return t.strip(ws)
+
+
+def _model_rolling(t: str, base: int = 31, mod: int = (1 << 31) - 1) -> int:
+    h = 0
+    for ch in _model_normalize(t):
+        h = (h * base + ord(ch)) % mod
+    return h
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=string.ascii_letters + string.digits + " .,!?-\t\n", max_size=80),
+        min_size=40,
+        max_size=40,
+    )
+)
+def test_rolling_fingerprint_matches_model(spark, texts):
+    """The Catalyst `aggregate`-expression rolling hash equals the
+    classic Python Rabin-Karp loop on arbitrary ASCII text."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", fingerprint_rolling(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _model_rolling(t), (t, got[i], _model_rolling(t))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXTS, min_size=30, max_size=30))
+def test_normalize_matches_model(spark, texts):
+    """normalize_text == the documented lowercase/strip/collapse model
+    for arbitrary unicode input (ASCII-range semantics)."""
+    rows = [(i, t) for i, t in enumerate(_collect_texts(texts))]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_text(F.col("text")).alias("n")).collect()
+    }
+    for i, t in rows:
+        # Python str.lower() and Spark lower() agree on the BMP subset
+        # used here; the regex model is byte-identical.
+        assert got[i] == _model_normalize(t), repr((t, got[i], _model_normalize(t)))
