@@ -35,6 +35,7 @@ from event_streaming_toy_example_spark.functions.multimodal import (
 from event_streaming_toy_example_spark.functions.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from event_streaming_toy_example_spark.functions.text import (
@@ -420,6 +421,15 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(embs, embs.where(F.col("vec_id") < 5), dim=dim, k=5, bits=6)
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF top-k (approximation — rows-only check; recall
+    vs the exact baseline is asserted in tests/test_queries_extra.py)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        embs, embs.where(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=6
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal
 # --------------------------------------------------------------------------
@@ -582,6 +592,7 @@ EXT_QUERIES = {
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_embedding_near_dup": q_sim_embedding_near_dup,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ivf_topk": q_sim_ivf_topk,
     "mm_media_features": q_mm_media_features,
     "mm_frame_sample": q_mm_frame_sample,
     "stream_dedup": q_stream_dedup,

@@ -11,6 +11,34 @@ from event_streaming_toy_example_spark.schemas import load_table
 from tests.conftest import SF_DIR_ORACLE
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe=6/16 cells must recover most of the exact
+    top-5 neighbor sets (recall@5 >= 0.6 on the sf0.01 embeddings)."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    embs = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    queries = embs.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(embs, queries, k=5).collect()
+    approx = ivf_topk(embs, queries, k=5, n_cells=16, n_probe=6).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict[int, set] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.6, f"recall@5 = {recall:.2f}"
+
+
 def test_approx_distinct_within_rsd(spark):
     approx = {
         r["event_type"]: r["approx_users"]

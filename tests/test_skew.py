@@ -1,0 +1,84 @@
+"""Salted join / aggregation must be result-identical to the plain
+formulations on a deliberately skewed dataset (one key owns 90%)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_streaming_toy_example_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+)
+
+
+def _skewed(spark, n=20000):
+    # key 0 owns ~90% of rows; keys 1..99 share the rest
+    return spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(99)) + 1)
+        .alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+        F.col("id"),
+    )
+
+
+def test_salted_agg_equals_plain(spark):
+    df = _skewed(spark)
+    plain = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "s": ("sum", "v"),
+                "c": ("count", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+            },
+            buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    probe = _skewed(spark, 5000)
+    build = spark.range(100).select(
+        F.col("id").alias("bk"), (F.col("id") * 10).alias("bv")
+    )
+    plain = sorted(
+        (r["k"], r["id"], r["bv"])
+        for r in probe.join(build, probe.k == build.bk).collect()
+    )
+    salted = sorted(
+        (r["k"], r["id"], r["bv"])
+        for r in salted_join(probe, build, "k", "bk", buckets=4).collect()
+    )
+    assert plain == salted
+
+
+def test_salted_join_left_outer(spark):
+    probe = _skewed(spark, 2000)
+    build = spark.range(5).select(  # most probe keys unmatched
+        F.col("id").alias("bk"), (F.col("id") * 10).alias("bv")
+    )
+    plain = sorted(
+        (r["k"], r["id"], r["bv"])
+        for r in probe.join(build, probe.k == build.bk, "left").collect()
+    )
+    salted = sorted(
+        (r["k"], r["id"], r["bv"])
+        for r in salted_join(probe, build, "k", "bk", buckets=4, how="left").collect()
+    )
+    assert plain == salted
