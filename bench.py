@@ -27,6 +27,9 @@ HEADLINE = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "window_top_orders",
+    "session_window_users",
+    "pivot_type_by_day",
+    "sql_shipping_priority",
     "asof_last_event_before_order",
     "pipe_dedup_batch",
     "pipe_dup_count",
@@ -34,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
     "text_quality",
     "text_langid",
     "mm_media_features",

@@ -362,6 +362,123 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Outer joins
+# --------------------------------------------------------------------------
+
+
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (null
+    handling via coalesce on the aggregated side)."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+SQL_LEFT_JOIN_ORDER_COUNTS = """
+SELECT c_custkey, c_mktsegment,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders,
+       round(coalesce(total, 0.0), 2) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS total
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def q_full_outer_type_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two daily profiles (purchase days vs error
+    days) — both null sides must survive."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    a = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("purchases"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(day.alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("errors"))
+    )
+    return (
+        a.join(b, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("purchases", F.lit(0)).cast("long").alias("purchases"),
+            F.coalesce("errors", F.lit(0)).cast("long").alias("errors"),
+        )
+    )
+
+
+SQL_FULL_OUTER_TYPE_DAYS = """
+SELECT coalesce(a.day, b.day) AS day,
+       CAST(coalesce(purchases, 0) AS BIGINT) AS purchases,
+       CAST(coalesce(errors, 0) AS BIGINT) AS errors
+FROM (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+) a
+FULL OUTER JOIN (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+) b ON a.day = b.day
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot
+# --------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "view", "purchase", "error"]
+
+
+def q_pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type (explicit value list, so the
+    plan is a single aggregation — no distinct-scan of pivot values)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _PIVOT_TYPES
+            ],
+        )
+    )
+
+
+SQL_PIVOT_TYPE_BY_DAY = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # SQL-string API (spark.sql over registered views)
 # --------------------------------------------------------------------------
 
@@ -404,6 +521,9 @@ SQL_SQL_SHIPPING_PRIORITY = _SQL_SHIPPING_PRIORITY.format(
 
 EXT2_QUERIES = {
     "sql_shipping_priority": q_sql_shipping_priority,
+    "left_join_order_counts": q_left_join_order_counts,
+    "full_outer_type_days": q_full_outer_type_days,
+    "pivot_type_by_day": q_pivot_type_by_day,
     "session_window_users": q_session_window_users,
     "stream_session_stateful": q_stream_session_stateful,
     "window_sliding_counts": q_window_sliding_counts,
@@ -417,6 +537,9 @@ EXT2_QUERIES = {
 
 EXT2_ORACLES = {
     "sql_shipping_priority": SQL_SQL_SHIPPING_PRIORITY,
+    "left_join_order_counts": SQL_LEFT_JOIN_ORDER_COUNTS,
+    "full_outer_type_days": SQL_FULL_OUTER_TYPE_DAYS,
+    "pivot_type_by_day": SQL_PIVOT_TYPE_BY_DAY,
     "session_window_users": SQL_SESSION_GAPS_AND_ISLANDS,
     "stream_session_stateful": SQL_SESSION_GAPS_AND_ISLANDS,
     "window_sliding_counts": SQL_WINDOW_SLIDING_COUNTS,
