@@ -259,19 +259,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-Jaccard verification of candidates via the inverted-index
     # form: candidates are few, so broadcast them into the shingle scan
     # (zero-overlap candidates cannot pass the threshold, so counting
-    # only co-occurring shingles is exact).
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # only co-occurring shingles is exact). The candidate x left-shingle
+    # product and the per-doc size table are both tiny relative to the
+    # corpus shingle table — broadcast them so the only large-side scan
+    # (b) never shuffles.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).persist()
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
-        F.broadcast(cand)
-        .join(a, "id_a")
+        F.broadcast(F.broadcast(cand).join(a, "id_a"))
         .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    sz_a = F.broadcast(
+        sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    )
+    sz_b = F.broadcast(
+        sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    )
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
