@@ -43,6 +43,69 @@ def test_stream_ingest_dedups_and_stages(spark, tmp_path):
     assert "event_uuid" in obj
 
 
+def test_stream_late_data_dropped_by_watermark(spark, tmp_path):
+    """Late-data handling: rows older than the watermark horizon are
+    dropped by the stateful operator. Batch 1 (fresh events) advances
+    the watermark; batch 2 replays events 2 days older — with a 1-hour
+    watermark every one of them is late and must not reach staging."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.sources import (
+        generate_events,
+        wrap_kinesis_envelope,
+    )
+
+    src = tmp_path / "incoming"
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    events = generate_events(spark, 200, seed=55)
+    on_time = events.where(F.col("created_at") >= F.lit(0))  # all
+    late = events.select(
+        (F.col("created_at") - 2 * 24 * 3600).alias("created_at"),
+        "event_name",
+        "event_specifics",
+        F.concat(F.lit("late-"), F.col("event_uuid")).alias("event_uuid"),
+    )
+
+    # batch 1: on-time events establish the watermark
+    wrap_kinesis_envelope(on_time).coalesce(1).write.mode("overwrite").text(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema("record string")
+        .option("maxFilesPerTrigger", "1")
+        .text(str(src / "b*" / "*.txt"))
+        .withColumnRenamed("value", "record")
+    )
+    q = start_ingest_stream(stream, staging, ckpt, watermark="1 hour",
+                            available_now=True)
+    q.awaitTermination(120)
+    n1 = spark.read.json(staging).count()
+    assert n1 == 200
+
+    # batch 2: replay 2-days-older events into the SAME checkpoint
+    wrap_kinesis_envelope(late).coalesce(1).write.mode("overwrite").text(
+        str(src / "b2")
+    )
+    stream2 = (
+        spark.readStream.schema("record string")
+        .option("maxFilesPerTrigger", "1")
+        .text(str(src / "b*" / "*.txt"))
+        .withColumnRenamed("value", "record")
+    )
+    q2 = start_ingest_stream(stream2, staging, ckpt, watermark="1 hour",
+                             available_now=True)
+    q2.awaitTermination(120)
+    time.sleep(1)
+    staged = spark.read.json(staging)
+    assert staged.count() == 200, "late rows must be dropped"
+    assert staged.where(staged.event_uuid.startswith("late-")).count() == 0
+
+
 def test_stream_metrics_listener(spark, tmp_path):
     from event_streaming_toy_example_spark.streaming.metrics_listener import (
         PipelineMetricsListener,
