@@ -460,9 +460,22 @@ FROM documents
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing (rows-only: byte-chunk explode shape)."""
+    """Frame-sampling plumbing: byte-chunk explode, one row per sampled
+    frame (deterministic fake decode, so fully oracle-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames_stub(attach_binary_payload(docs))
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         least(CAST(ceil(octet_length(encode(text)) / 64.0) AS INT), 8) AS n
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       substring(text, CAST(i AS INT) * 64 + 1, 64) AS frame_bytes
+FROM f, unnest(generate_series(0, greatest(n - 1, 0))) AS t(i)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -617,9 +630,10 @@ EXT_ORACLES = {
     "sim_topk_bruteforce": SQL_SIM_TOPK_BRUTEFORCE,
     "sim_embedding_near_dup": SQL_SIM_EMBEDDING_NEAR_DUP,
     "mm_media_features": SQL_MM_MEDIA_FEATURES,
+    "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_hourly_counts": SQL_STREAM_HOURLY_COUNTS,
-    # dedup_simhash, sim_lsh_topk, mm_frame_sample, gen_events_profile:
+    # dedup_simhash, sim_lsh_topk, sim_ivf_topk, gen_events_profile:
     # intentionally no oracle (engine-specific hash / approximation /
-    # byte-chunk shape / seeded PRNG) -> driver rows-only check.
+    # seeded PRNG) -> driver rows-only check (+ accuracy unit tests).
 }
