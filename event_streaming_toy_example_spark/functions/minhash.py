@@ -312,20 +312,69 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bits: int = 48,
+) -> DataFrame:
+    """Portable SimHash signatures (md5-derived bits, so the DuckDB
+    oracle computes identical values): per-shingle hash = first
+    ``bits/4`` hex chars of md5 as an integer; bit_j(sig) = 1 iff the
+    sum over shingles of (+1 if bit_j(h) else -1) is positive.
+
+    Scale shape: explode + ONE hash aggregation with ``bits`` sum
+    columns — partial-aggregatable map-side, unlike the column-
+    expression ``simhash64`` (64 interpreted array-aggregates per row).
+    Returns ``id, sig``."""
+    import functools
+    import operator
+
+    sh = shingle_rows(df, id_col, text_col, k, distinct=True)
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, bits // 4), 16, 10).cast(
+        "long"
+    )
+    votes = sh.select("id", h.alias("h")).groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    # disjoint powers of two -> plain sum assembles the signature
+    sig = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(bits)
+        ],
+    )
+    return votes.select("id", sig.alias("sig"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
     num_blocks: int = 4,
+    bits: int = 48,
 ) -> DataFrame:
     """SimHash near-dup candidates via the classic block-permutation
-    trick: split the 64-bit signature into ``num_blocks`` 16-bit blocks;
-    any pair within Hamming distance < num_blocks shares at least one
-    exact block (pigeonhole) -> self-equi-join per block, then exact
-    Hamming verification. No cross join."""
-    width = 64 // num_blocks
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    trick: split the signature into ``num_blocks`` blocks; any pair
+    within Hamming distance < num_blocks shares at least one exact
+    block (pigeonhole) -> self-equi-join per block, then exact Hamming
+    verification. No cross join. Uses the portable md5 signatures so
+    results are oracle-checkable."""
+    width = bits // num_blocks
+    sig = simhash_signatures(df, id_col, text_col, bits=bits).select("id", "sig")
     blocks = sig.select(
         "id",
         "sig",
@@ -343,6 +392,9 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("id", "sig", "b.block_idx", "b.block_val")
+    # both self-join sides share this lineage — persist or the whole
+    # signature pipeline runs twice
+    blocks = blocks.persist()
     l, r = blocks.alias("l"), blocks.alias("r")
     return (
         l.join(

@@ -364,11 +364,61 @@ WHERE round(len(list_intersect(l.sh, r.sh)) /
 """
 
 
+_SH_BITS = 48
+_SH_BLOCKS = 4
+_SH_MAXHAM = 12
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based — engine-specific, so no
-    SQL oracle: rows-only check)."""
+    """SimHash near-dup pairs (portable md5-bit construction — the
+    oracle computes bit-identical signatures, blocks, and Hamming
+    distances)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=12)
+    return simhash_near_dup_pairs(
+        docs, max_hamming=_SH_MAXHAM, num_blocks=_SH_BLOCKS, bits=_SH_BITS
+    )
+
+
+def _sql_dedup_simhash() -> str:
+    bits, nblocks, width = _SH_BITS, _SH_BLOCKS, _SH_BITS // _SH_BLOCKS
+    toks = _sql_tokens("text")
+    shingles = _sql_shingles("toks", _MH_K)
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    mask = (1 << width) - 1
+    block_selects = "\n  UNION ALL ".join(
+        f"SELECT id, sig, {i} AS block_idx, (sig >> {i * width}) & {mask} AS block_val FROM sig"
+        for i in range(nblocks)
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id AS id, {toks} AS toks FROM documents
+), sh AS (
+  SELECT id, unnest({shingles}) AS shingle FROM t
+), h AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, {bits // 4}))::BIGINT AS h FROM sh
+), v AS (
+  SELECT id,
+         {votes}
+  FROM h GROUP BY id
+), sig AS (
+  SELECT id, {sig_sum} AS sig FROM v
+), blocks AS (
+  {block_selects}
+), pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sig AS sig_a, r.sig AS sig_b
+  FROM blocks l JOIN blocks r
+    ON l.block_idx = r.block_idx AND l.block_val = r.block_val AND l.id < r.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {_SH_MAXHAM}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -627,13 +677,14 @@ EXT_ORACLES = {
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
     "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_simhash": _sql_dedup_simhash(),
     "sim_topk_bruteforce": SQL_SIM_TOPK_BRUTEFORCE,
     "sim_embedding_near_dup": SQL_SIM_EMBEDDING_NEAR_DUP,
     "mm_media_features": SQL_MM_MEDIA_FEATURES,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_hourly_counts": SQL_STREAM_HOURLY_COUNTS,
-    # dedup_simhash, sim_lsh_topk, sim_ivf_topk, gen_events_profile:
-    # intentionally no oracle (engine-specific hash / approximation /
-    # seeded PRNG) -> driver rows-only check (+ accuracy unit tests).
+    # sim_lsh_topk, sim_ivf_topk, gen_events_profile: intentionally no
+    # oracle (approximation / seeded PRNG is engine-specific) ->
+    # driver rows-only check (+ accuracy unit tests).
 }

@@ -503,8 +503,11 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (modulo the epoch-µs function name) runs on both engines, proving
     the SQL surface — views registered per-sf_dir, plan identical to
     the equivalent DataFrame program (same Catalyst)."""
-    for t in ("customer", "orders", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    from event_streaming_toy_example_spark.schemas import (
+        register_testdata_views,
+    )
+
+    register_testdata_views(spark, sf_dir, ("customer", "orders", "lineitem"))
     # parquet timestamps surface as TIMESTAMP_NTZ; the session runs in
     # UTC so the cast is an identity relabel, not a shift.
     return spark.sql(

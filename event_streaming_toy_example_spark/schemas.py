@@ -180,6 +180,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def register_testdata_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register every testdata table as a temp view so arbitrary
+    ``spark.sql`` text runs against them — the one-call setup for a
+    user moving SQL workloads onto this engine."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def infer_event_schema(spark: SparkSession, sample_path: str) -> T.StructType:
     """Compatibility shim for the reference's sample-based inference
     (reference ``toy_glue.py:36``). Not used in production paths."""
