@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "text_quality",

@@ -25,19 +25,26 @@ def write_processed_parquet(
     mode: str = "overwrite",
     repartition_keys: list[str] | None = None,
     num_files_per_partition: int | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """R1+R2+K3: event-time partition columns -> optional keyed
     repartition (only if the caller insists — AQE normally does better)
     -> Hive-partitioned Parquet.
+
+    ``dynamic_overwrite=True`` switches overwrite to partition-scoped:
+    only partitions present in ``df`` are replaced, everything else on
+    disk survives. This is the 100 TB incremental-compaction mode — an
+    hourly job rewrites the hours it touched, idempotently (re-running
+    the same batch replaces the same partitions with identical
+    content), instead of truncating a petabyte store.
     """
     out = with_time_partitions(df)
     if num_files_per_partition and repartition_keys:
         out = out.repartition(num_files_per_partition, *repartition_keys)
-    (
-        out.write.mode(mode)
-        .partitionBy(*PROCESSED_PARTITION_COLS)
-        .parquet(path)
-    )
+    writer = out.write.mode(mode)
+    if dynamic_overwrite and mode == "overwrite":
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy(*PROCESSED_PARTITION_COLS).parquet(path)
 
 
 def read_processed_parquet(spark: SparkSession, path: str,

@@ -152,9 +152,16 @@ def compact_staging(
     processed_path: str,
     where: str | None = None,
     metrics: PipelineMetrics | None = None,
+    incremental: bool = False,
 ) -> BatchResult:
     """The "glue" job: staged NDJSON -> dedup -> partitioned Parquet,
     with the duplicate metric observed on the same single pass.
+
+    ``incremental=True`` + a ``where`` partition filter is the hourly
+    production shape: read ONLY the selected staging partitions
+    (pruned at the scan) and dynamically overwrite ONLY the processed
+    partitions this batch touches — idempotent per batch, and the rest
+    of the store is never read or rewritten.
     """
     staged = read_staged_events(spark, staging_path, where=where)
     # partition cols come back from partition discovery; drop them so the
@@ -172,7 +179,7 @@ def compact_staging(
     obs_out = Observation("compact_out")
     final = deduped.observe(obs_out, F.count(F.lit(1)).alias("rows"))
 
-    write_processed_parquet(final, processed_path)
+    write_processed_parquet(final, processed_path, dynamic_overwrite=incremental)
 
     input_rows = int(obs_in.get["rows"])
     output_rows = int(obs_out.get["rows"])
