@@ -37,6 +37,8 @@ HEADLINE = [
     "asof_last_event_before_order",
     "pipe_dedup_batch",
     "pipe_dup_count",
+    "latest_event_per_user",
+    "curate_documents",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

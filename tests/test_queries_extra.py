@@ -55,3 +55,56 @@ def test_approx_distinct_within_rsd(spark):
     for et, ex in exact.items():
         # 0.02 rsd -> allow a generous 3-sigma band plus small-n slack
         assert abs(approx[et] - ex) <= max(3, 0.06 * ex), (et, approx[et], ex)
+
+
+def test_hll_sketch_estimate_accuracy(spark):
+    """sketch_hll_users (Datasketches HLL, lgK=12) must estimate the
+    exact per-type distinct-user count within 5%, and the '__all__'
+    union-sketch row must match the global distinct count — merging
+    sketches must not lose accuracy."""
+    from event_streaming_toy_example_spark.plans.queries_ext3 import (
+        q_sketch_hll_users,
+    )
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_sketch_hll_users(spark, SF_DIR_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_DIR_ORACLE, "events")
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(2, 0.05 * ex), (et, approx[et], ex)
+
+
+def test_python_udtf_ngrams(spark):
+    """API-surface coverage for Python UDTFs (Spark 4): a table
+    function exploding character n-grams. UDTFs are the slow path
+    (row-at-a-time Python) — the engine's production n-gram operators
+    use column expressions (functions/minhash.py) — but the
+    registration surface must work for user extensions."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class CharNgrams:
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            for i in range(max(len(text) - n + 1, 0)):
+                yield text[i : i + n], i
+
+    spark.udtf.register("char_ngrams", CharNgrams)
+    rows = spark.sql(
+        "SELECT * FROM char_ngrams('spark', 3) ORDER BY pos"
+    ).collect()
+    assert [(r["ngram"], r["pos"]) for r in rows] == [
+        ("spa", 0), ("par", 1), ("ark", 2),
+    ]
+    out = CharNgrams(lit("abcd"), lit(2))
+    assert out is not None
