@@ -277,7 +277,68 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# CDC upsert — apply a changes batch onto a snapshot (MERGE semantics)
+# --------------------------------------------------------------------------
+
+_CDC_CUTOFF = "2024-01-20"
+
+
+def q_upsert_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental table maintenance: the pre-cutoff per-user snapshot
+    merged with the post-cutoff CDC batch via operators/upsert.py —
+    newest row per user wins, changes beat base on ties. One key-
+    partitioned shuffle; WindowGroupLimit pre-limits map-side."""
+    from event_streaming_toy_example_spark.operators.upsert import (
+        upsert_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.where(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    changes = ev.where(F.col("ts") >= cutoff)
+    snap = upsert_snapshot(base, changes, ["user_id"], ["ts", "event_id"])
+    return snap.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+SQL_UPSERT_EVENTS_CDC = f"""
+WITH base AS (
+  SELECT event_id, ts, user_id, event_type, value, 0 AS src
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_CDC_CUTOFF}')
+  WHERE rn = 1
+), changes AS (
+  SELECT event_id, ts, user_id, event_type, value, 1 AS src
+  FROM events WHERE ts >= TIMESTAMP '{_CDC_CUTOFF}'
+), merged AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC, src DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type,
+       round(value, 4) AS value
+FROM merged WHERE rn = 1
+"""
+
+
 EXT3_QUERIES = {
+    "upsert_events_cdc": q_upsert_events_cdc,
     "latest_event_per_user": q_latest_event_per_user,
     "text_term_topk": q_text_term_topk,
     "curate_documents": q_curate_documents,
@@ -286,6 +347,7 @@ EXT3_QUERIES = {
 }
 
 EXT3_ORACLES = {
+    "upsert_events_cdc": SQL_UPSERT_EVENTS_CDC,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "text_term_topk": SQL_TEXT_TERM_TOPK,
     "curate_documents": _sql_curate_documents(),
