@@ -51,8 +51,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from event_streaming_toy_example_spark.plans.queries_ext import EXT_QUERIES
     from event_streaming_toy_example_spark.plans.queries_ext2 import EXT2_QUERIES
     from event_streaming_toy_example_spark.plans.queries_ext3 import EXT3_QUERIES
+    from event_streaming_toy_example_spark.plans.queries_ext4 import EXT4_QUERIES
 
-    return {**CORE_QUERIES, **EXT_QUERIES, **EXT2_QUERIES, **EXT3_QUERIES}
+    return {
+        **CORE_QUERIES,
+        **EXT_QUERIES,
+        **EXT2_QUERIES,
+        **EXT3_QUERIES,
+        **EXT4_QUERIES,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -60,5 +67,12 @@ def oracle_sql() -> dict[str, str]:
     from event_streaming_toy_example_spark.plans.queries_ext import EXT_ORACLES
     from event_streaming_toy_example_spark.plans.queries_ext2 import EXT2_ORACLES
     from event_streaming_toy_example_spark.plans.queries_ext3 import EXT3_ORACLES
+    from event_streaming_toy_example_spark.plans.queries_ext4 import EXT4_ORACLES
 
-    return {**CORE_ORACLES, **EXT_ORACLES, **EXT2_ORACLES, **EXT3_ORACLES}
+    return {
+        **CORE_ORACLES,
+        **EXT_ORACLES,
+        **EXT2_ORACLES,
+        **EXT3_ORACLES,
+        **EXT4_ORACLES,
+    }

@@ -30,6 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
+    "join_local_supplier_volume",
     "window_top_orders",
     "session_window_users",
     "pivot_type_by_day",

@@ -219,6 +219,10 @@ def ivf_topk(
     probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
         F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
     )
+    # (query_id, neighbor_id) is already unique here: ivf_assign ranks
+    # over distinct cells, each corpus vector lives in exactly one cell,
+    # and each query probes n_probe DISTINCT cells — so no dedup pass
+    # (and its full pair shuffle) is needed before the top-k window.
     scored = (
         indexed.join(F.broadcast(probes), ["cell"])
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -229,7 +233,6 @@ def ivf_topk(
                 cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
             ).alias("cosine"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
