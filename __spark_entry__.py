@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from event_streaming_toy_example_spark.plans.queries_ext2 import EXT2_QUERIES
     from event_streaming_toy_example_spark.plans.queries_ext3 import EXT3_QUERIES
     from event_streaming_toy_example_spark.plans.queries_ext4 import EXT4_QUERIES
+    from event_streaming_toy_example_spark.plans.queries_ext5 import EXT5_QUERIES
 
     return {
         **CORE_QUERIES,
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT2_QUERIES,
         **EXT3_QUERIES,
         **EXT4_QUERIES,
+        **EXT5_QUERIES,
     }
 
 
@@ -68,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
     from event_streaming_toy_example_spark.plans.queries_ext2 import EXT2_ORACLES
     from event_streaming_toy_example_spark.plans.queries_ext3 import EXT3_ORACLES
     from event_streaming_toy_example_spark.plans.queries_ext4 import EXT4_ORACLES
+    from event_streaming_toy_example_spark.plans.queries_ext5 import EXT5_ORACLES
 
     return {
         **CORE_ORACLES,
@@ -75,4 +78,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT2_ORACLES,
         **EXT3_ORACLES,
         **EXT4_ORACLES,
+        **EXT5_ORACLES,
     }
