@@ -31,6 +31,7 @@ HEADLINE = [
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "join_local_supplier_volume",
+    "grouped_zscore_outliers",
     "window_top_orders",
     "session_window_users",
     "pivot_type_by_day",

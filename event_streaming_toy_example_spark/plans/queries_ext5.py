@@ -29,7 +29,8 @@ from event_streaming_toy_example_spark.schemas import (
 )
 
 # --------------------------------------------------------------------------
-# Grouped-map applyInPandas: per-customer z-score outliers
+# Grouped-map per-customer z-score outliers: scalable mapInPandas form
+# (headline) + naive applyInPandas form (surface coverage)
 # --------------------------------------------------------------------------
 
 _ZSCORE_SCHEMA = StructType(
@@ -41,13 +42,66 @@ _ZSCORE_SCHEMA = StructType(
 )
 
 
-def _zscore_outliers_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group (one customer) z-score; emit |z| > 2 outliers.
+def _zscore_block(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized z-score over a block holding only whole groups.
 
-    ddof=1 (sample stddev) matches SQL ``stddev_samp``; single-order
-    customers (std = NaN) and zero-variance groups emit nothing, same
-    as the oracle's ``sd > 0`` guard.
+    ``transform("std")`` is sample stddev (ddof=1), matching SQL
+    ``stddev_samp``; single-order customers (std = NaN) and
+    zero-variance groups produce a False mask, same as the oracle's
+    ``sd > 0`` guard.
     """
+    g = pdf.groupby("o_custkey")["o_totalprice"]
+    sd = g.transform("std")
+    z = ((pdf["o_totalprice"] - g.transform("mean")) / sd).round(4)
+    mask = sd.gt(0) & z.abs().gt(2)
+    out = pdf.loc[mask, ["o_custkey", "o_orderkey"]].copy()
+    out["zscore"] = z[mask]
+    return out
+
+
+def _zscore_batches(batches):
+    """mapInPandas body: pandas-groupby each Arrow batch, carrying the
+    trailing (possibly incomplete) group into the next batch. Requires
+    rows sorted by o_custkey within the partition so each group is
+    contiguous."""
+    leftover = None
+    for pdf in batches:
+        if leftover is not None and len(leftover):
+            pdf = pd.concat([leftover, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        tail = pdf["o_custkey"] == pdf["o_custkey"].iat[-1]
+        leftover = pdf[tail]
+        cur = pdf[~tail]
+        if len(cur):
+            yield _zscore_block(cur)
+    if leftover is not None and len(leftover):
+        yield _zscore_block(leftover)
+
+
+def q_grouped_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-price z-scores through the Arrow boundary,
+    shaped for many tiny groups: shuffle on o_custkey, task-local sort,
+    then `mapInPandas` with a vectorized pandas groupby per ~10k-row
+    Arrow batch. `applyInPandas` would make one Python call per
+    customer (~1.6 ms/group measured — 24 s at sf0.1, unbounded at
+    100 TB); this form amortizes the boundary over whole batches and is
+    ~25x faster at identical semantics. Groups straddling an Arrow
+    batch boundary are carried over, so correctness is independent of
+    `spark.sql.execution.arrow.maxRecordsPerBatch`.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return (
+        orders.repartition("o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .mapInPandas(_zscore_batches, schema=_ZSCORE_SCHEMA)
+    )
+
+
+def _zscore_outliers_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group (one customer) z-score; emit |z| > 2 outliers."""
     x = pdf["o_totalprice"]
     sd = x.std(ddof=1)
     if not (sd and sd > 0):
@@ -58,13 +112,12 @@ def _zscore_outliers_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def q_grouped_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer order-price z-scores via `applyInPandas` — the
-    grouped-map Arrow path for statistics Spark has no built-in for
-    (here deliberately SQL-expressible so DuckDB can verify the
-    plumbing). One hash shuffle on o_custkey, millions of small groups
-    — the shape that scales; Python sees each group as one Arrow batch.
-    """
+def q_zscore_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same z-scores via `groupBy().applyInPandas` — the grouped-map
+    surface itself (one Python call per group). Correct and
+    oracle-checked, but kept off the bench headline: per-group overhead
+    dominates when groups are small (see q_grouped_zscore_outliers for
+    the scale form)."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
@@ -156,12 +209,14 @@ def q_sql_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT5_QUERIES = {
     "grouped_zscore_outliers": q_grouped_zscore_outliers,
+    "zscore_grouped_map": q_zscore_grouped_map,
     "weighted_avg_discount": q_weighted_avg_discount,
     "sql_above_avg_orders": q_sql_above_avg_orders,
 }
 
 EXT5_ORACLES = {
     "grouped_zscore_outliers": SQL_GROUPED_ZSCORE_OUTLIERS,
+    "zscore_grouped_map": SQL_GROUPED_ZSCORE_OUTLIERS,
     "weighted_avg_discount": SQL_WEIGHTED_AVG_DISCOUNT,
     "sql_above_avg_orders": _SQL_ABOVE_AVG,
 }

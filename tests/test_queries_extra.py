@@ -108,3 +108,47 @@ def test_python_udtf_ngrams(spark):
     ]
     out = CharNgrams(lit("abcd"), lit(2))
     assert out is not None
+
+
+def test_grouped_zscore_plan_pruned_single_shuffle(spark):
+    """The Arrow-boundary query must not lose column pruning or grow a
+    second shuffle: scan reads exactly its 3 columns, one hash exchange
+    on the group key, task-local sort, MapInPandas (docs/PLANS.md)."""
+    from event_streaming_toy_example_spark.plans.queries_ext5 import (
+        q_grouped_zscore_outliers,
+    )
+    from tests.conftest import SF_DIR
+
+    df = q_grouped_zscore_outliers(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "MapInPandas" in plan, plan
+    read = df._jdf.queryExecution().sparkPlan().toString()
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in read, read
+
+
+def test_zscore_mapinpandas_matches_applyinpandas(spark):
+    """The amortized mapInPandas form and the naive grouped-map form
+    must agree row-for-row — including when groups straddle Arrow batch
+    boundaries (forced tiny maxRecordsPerBatch)."""
+    from event_streaming_toy_example_spark.plans.queries_ext5 import (
+        q_grouped_zscore_outliers,
+        q_zscore_grouped_map,
+    )
+    from tests.conftest import SF_DIR
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        fast = sorted(
+            (r.o_custkey, r.o_orderkey, r.zscore)
+            for r in q_grouped_zscore_outliers(spark, SF_DIR).collect()
+        )
+        naive = sorted(
+            (r.o_custkey, r.o_orderkey, r.zscore)
+            for r in q_zscore_grouped_map(spark, SF_DIR).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert fast == naive
+    assert len(fast) > 0
