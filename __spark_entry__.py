@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from event_streaming_toy_example_spark.plans.queries_ext3 import EXT3_QUERIES
     from event_streaming_toy_example_spark.plans.queries_ext4 import EXT4_QUERIES
     from event_streaming_toy_example_spark.plans.queries_ext5 import EXT5_QUERIES
+    from event_streaming_toy_example_spark.plans.queries_ext6 import EXT6_QUERIES
 
     return {
         **CORE_QUERIES,
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXT3_QUERIES,
         **EXT4_QUERIES,
         **EXT5_QUERIES,
+        **EXT6_QUERIES,
     }
 
 
@@ -71,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
     from event_streaming_toy_example_spark.plans.queries_ext3 import EXT3_ORACLES
     from event_streaming_toy_example_spark.plans.queries_ext4 import EXT4_ORACLES
     from event_streaming_toy_example_spark.plans.queries_ext5 import EXT5_ORACLES
+    from event_streaming_toy_example_spark.plans.queries_ext6 import EXT6_ORACLES
 
     return {
         **CORE_ORACLES,
@@ -79,4 +82,5 @@ def oracle_sql() -> dict[str, str]:
         **EXT3_ORACLES,
         **EXT4_ORACLES,
         **EXT5_ORACLES,
+        **EXT6_ORACLES,
     }

@@ -55,6 +55,47 @@ HEADLINE = [
 ]
 
 
+def _ingest_throughput(spark, n: int = 100_000) -> dict:
+    """End-to-end ingest rate, comparable to the reference's 278 ev/s
+    single-node design rate (`BASELINE.md`): Kinesis-enveloped records
+    on disk -> decode (unbase64+from_json) -> exact dedup -> enrich ->
+    NDJSON staging write. One batch, one output dir — the same shape as
+    the reference's per-minute batch (`toy_lambda_function.py:64-69`),
+    so events/sec measures the processing path, not toy-scale
+    many-tiny-files filesystem overhead.
+    """
+    import shutil
+    import tempfile
+
+    from event_streaming_toy_example_spark.operators.dedup import dedup_exact
+    from event_streaming_toy_example_spark.operators.enrich import enrich_events
+    from event_streaming_toy_example_spark.sources.generator import generate_events
+    from event_streaming_toy_example_spark.sources.kinesis import (
+        decode_kinesis_records,
+        wrap_kinesis_envelope,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        feed = f"{base}/feed"
+        wrap_kinesis_envelope(generate_events(spark, n, seed=11)).select(
+            "record"
+        ).write.mode("overwrite").text(feed)
+        t0 = time.perf_counter()
+        records = spark.read.text(feed).withColumnRenamed("value", "record")
+        staged = enrich_events(dedup_exact(decode_kinesis_records(records)))
+        staged.write.mode("overwrite").json(f"{base}/staging")
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return {
+        "events": n,
+        "sec": round(dt, 3),
+        "events_per_sec": round(n / dt),
+        "reference_events_per_sec": 278,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -79,6 +120,7 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
+    ingest = _ingest_throughput(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -88,6 +130,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "ingest": ingest,
             }
         )
     )

@@ -1,0 +1,136 @@
+"""Oracle-checked query catalog — remaining SQL-surface families:
+higher-order array functions (`transform`/`filter`/`aggregate` — the
+JVM-side way to process `array<float>` embedding columns without a
+UDF), relational unpivot/melt, and a rolling window frame.
+
+Same conventions as ``queries.py``: identical aliases both sides,
+rounded floats, deterministic output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from event_streaming_toy_example_spark.schemas import load_table
+
+# --------------------------------------------------------------------------
+# Higher-order array functions over the embedding column
+# --------------------------------------------------------------------------
+
+
+def q_array_surface_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector statistics computed entirely with higher-order array
+    expressions (`size`/`filter`/`array_max`/`aggregate`) — no Python
+    boundary, no explode: each row folds its own array inside codegen,
+    so the op is embarrassingly parallel and shuffle-free at any scale.
+    Elements are promoted to double before the fold so the left-to-right
+    accumulation is bit-identical to the oracle's ``list_transform`` +
+    ``list_sum``.
+    """
+    x = F.col("embedding")
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(x).alias("dim"),
+        F.size(F.filter(x, lambda v: v > 0)).alias("n_pos"),
+        F.array_max(x).alias("max_val"),
+        F.round(
+            F.aggregate(x, F.lit(0.0), lambda acc, v: acc + F.abs(v.cast("double"))),
+            4,
+        ).alias("l1_norm"),
+    )
+
+
+SQL_ARRAY_SURFACE_EMBEDDINGS = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       list_max(embedding) AS max_val,
+       round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4)
+           AS l1_norm
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt
+# --------------------------------------------------------------------------
+
+
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long relational unpivot: aggregate two metrics per order
+    priority, then melt them into (metric, value) rows with
+    `DataFrame.unpivot`. The unpivot itself is a narrow per-row
+    expansion (no shuffle beyond the aggregation's own exchange)."""
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+    )
+    return agg.unpivot(
+        ["o_orderpriority"], ["sum_price", "n_orders"], "metric", "value"
+    )
+
+
+SQL_UNPIVOT_ORDER_METRICS = """
+SELECT o_orderpriority, 'sum_price' AS metric,
+       round(sum(o_totalprice), 2) AS value
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, 'n_orders' AS metric,
+       CAST(count(*) AS DOUBLE) AS value
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Rolling window frame (7-day moving average)
+# --------------------------------------------------------------------------
+
+
+def q_rolling_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling average of daily revenue via a ROWS window frame.
+    The global `orderBy` window runs on the *post-aggregation* relation
+    — one row per day — so its single-partition sort is bounded by the
+    calendar, not the fact table (~2.4k rows regardless of SF); the
+    heavy reduction happens in the shuffled hash aggregate before it.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_revenue",
+        F.round(F.avg("day_revenue").over(w), 2).alias("avg_7d"),
+    )
+
+
+SQL_ROLLING_AVG_DAILY_REVENUE = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         round(sum(o_totalprice), 2) AS day_revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, day_revenue,
+       round(avg(day_revenue) OVER (
+           ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS avg_7d
+FROM daily
+"""
+
+
+EXT6_QUERIES = {
+    "array_surface_embeddings": q_array_surface_embeddings,
+    "unpivot_order_metrics": q_unpivot_order_metrics,
+    "rolling_avg_daily_revenue": q_rolling_avg_daily_revenue,
+}
+
+EXT6_ORACLES = {
+    "array_surface_embeddings": SQL_ARRAY_SURFACE_EMBEDDINGS,
+    "unpivot_order_metrics": SQL_UNPIVOT_ORDER_METRICS,
+    "rolling_avg_daily_revenue": SQL_ROLLING_AVG_DAILY_REVENUE,
+}
