@@ -98,6 +98,53 @@ def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("stride", T.IntegerType(), True),
+        T.StructField("payload_resized", T.BinaryType(), True),
+        T.StructField("resized_n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_media_stub(df: DataFrame, target_bytes: int = 128,
+                      fake: bool = True) -> DataFrame:
+    """Resize / downsample plumbing, Arrow-batched like the decode path.
+
+    Real implementation would be ``PIL.Image.resize`` / ffmpeg ``scale``
+    per payload inside the batch loop; the deterministic fake keeps
+    every ``stride``-th byte with ``stride = ceil(n/target_bytes)`` — a
+    1-D nearest-neighbor downsample, so output size, stride, and bytes
+    are all reproducible and the numeric columns are SQL-checkable."""
+    if not fake:
+        raise NotImplementedError(
+            "media resize requires codec libraries (Pillow/ffmpeg) not "
+            "present in this environment; pass fake=True for the "
+            "deterministic plumbing-test resize"
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                stride = max(1, -(-n // target_bytes))
+                rb = b[::stride]
+                rows.append((doc_id, n, stride, rb, len(rb)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "stride",
+                    "payload_resized", "resized_n_bytes",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, RESIZE_SCHEMA)
+
+
 def sample_frames_stub(df: DataFrame, every_n_bytes: int = 64,
                        max_frames: int = 8) -> DataFrame:
     """Frame-sampling plumbing: split each payload into fixed-size

@@ -528,6 +528,34 @@ FROM f, unnest(generate_series(0, greatest(n - 1, 0))) AS t(i)
 """
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing: Arrow-batched stride resize (keep
+    every ceil(n/128)-th byte — 1-D nearest-neighbor stand-in for a
+    codec resize). The SQL-expressible columns (sizes, stride) are
+    oracle-checked; the resized bytes themselves are unit-tested."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        resize_media_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media_stub(attach_binary_payload(docs), fake=True).select(
+        "doc_id", "n_bytes", "stride", "resized_n_bytes"
+    )
+
+
+SQL_MM_RESIZE = """
+WITH t AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         greatest(1, (octet_length(encode(text)) + 127) // 128) AS s
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, CAST(s AS INT) AS stride,
+       CAST((n + s - 1) // s AS BIGINT) AS resized_n_bytes
+FROM t
+"""
+
+
 # --------------------------------------------------------------------------
 # Streaming (real Structured Streaming runs, oracle checks the result)
 # --------------------------------------------------------------------------
@@ -664,6 +692,7 @@ EXT_QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "mm_media_features": q_mm_media_features,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_resize": q_mm_resize,
     "stream_dedup": q_stream_dedup,
     "stream_hourly_counts": q_stream_hourly_counts,
     "gen_events_profile": q_gen_events_profile,
@@ -682,6 +711,7 @@ EXT_ORACLES = {
     "sim_embedding_near_dup": SQL_SIM_EMBEDDING_NEAR_DUP,
     "mm_media_features": SQL_MM_MEDIA_FEATURES,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
+    "mm_resize": SQL_MM_RESIZE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_hourly_counts": SQL_STREAM_HOURLY_COUNTS,
     # sim_lsh_topk, sim_ivf_topk, gen_events_profile: intentionally no

@@ -223,3 +223,23 @@ def test_multimodal_plumbing(spark, docs):
     frames = sample_frames_stub(mm)
     f = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] >= 1 for r in f)
+
+
+def test_resize_stub_bytes_and_gate(spark, docs):
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        resize_media_stub,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_media_stub(attach_binary_payload(docs), fake=False)
+
+    mm = attach_binary_payload(docs.limit(10))
+    originals = {r["doc_id"]: bytes(r["payload"]) for r in mm.collect()}
+    out = resize_media_stub(mm, target_bytes=128, fake=True).collect()
+    assert len(out) == 10
+    for r in out:
+        b = originals[r["doc_id"]]
+        stride = max(1, -(-len(b) // 128))
+        assert r["stride"] == stride
+        assert bytes(r["payload_resized"]) == b[::stride]
+        assert r["resized_n_bytes"] == len(b[::stride]) <= 128
