@@ -123,14 +123,66 @@ FROM daily
 """
 
 
+# --------------------------------------------------------------------------
+# Dead-letter routing for undecodable records
+# --------------------------------------------------------------------------
+
+
+def q_pipe_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record routing: corrupt a deterministic 2% of the
+    Kinesis feed (event_id % 50 == 0), decode with the dead-letter
+    split, and report both branch counts. The valid branch must decode
+    everything uncorrupted; the dead branch must catch exactly the
+    corrupted records — PERMISSIVE `from_json` never throws, so one
+    bad producer cannot fail a 100 TB ingest job."""
+    from event_streaming_toy_example_spark.sources.kinesis import (
+        decode_with_dead_letter,
+        wrap_kinesis_envelope,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("double").alias("created_at"),
+        F.col("event_type").alias("event_name"),
+        F.struct(F.col("props").alias("language_id")).alias("event_specifics"),
+        F.col("event_id").cast("string").alias("event_uuid"),
+    )
+    feed = wrap_kinesis_envelope(ev, keep=["event_uuid"]).select(
+        F.when(
+            F.col("event_uuid").cast("long") % 50 == 0,
+            F.concat(F.lit("CORRUPT"), F.col("record")),
+        )
+        .otherwise(F.col("record"))
+        .alias("record")
+    )
+    valid, dead = decode_with_dead_letter(feed)
+    return valid.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("valid").alias("branch"), "n"
+    ).unionAll(
+        dead.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit("dead").alias("branch"), "n"
+        )
+    )
+
+
+SQL_PIPE_DEADLETTER_SPLIT = """
+SELECT 'valid' AS branch, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_id % 50 <> 0
+UNION ALL
+SELECT 'dead' AS branch, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_id % 50 = 0
+"""
+
+
 EXT6_QUERIES = {
     "array_surface_embeddings": q_array_surface_embeddings,
     "unpivot_order_metrics": q_unpivot_order_metrics,
     "rolling_avg_daily_revenue": q_rolling_avg_daily_revenue,
+    "pipe_deadletter_split": q_pipe_deadletter_split,
 }
 
 EXT6_ORACLES = {
     "array_surface_embeddings": SQL_ARRAY_SURFACE_EMBEDDINGS,
     "unpivot_order_metrics": SQL_UNPIVOT_ORDER_METRICS,
     "rolling_avg_daily_revenue": SQL_ROLLING_AVG_DAILY_REVENUE,
+    "pipe_deadletter_split": SQL_PIPE_DEADLETTER_SPLIT,
 }

@@ -31,10 +31,12 @@ _ENVELOPE = {
 }
 
 
-def wrap_kinesis_envelope(events: DataFrame) -> DataFrame:
+def wrap_kinesis_envelope(events: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """S3: events (EVENT_SCHEMA columns) -> one JSON-string ``record``
     per row, shaped like an AWS Kinesis Lambda record. A micro-batch
     ``{"Records": [...]}`` is just ``collect_list(record)`` over a batch.
+    ``keep`` carries extra columns through alongside ``record`` (e.g.
+    an id for test-side fault injection).
     """
     payload = F.to_json(
         F.struct("created_at", "event_name", "event_specifics", "event_uuid")
@@ -58,7 +60,7 @@ def wrap_kinesis_envelope(events: DataFrame) -> DataFrame:
             F.lit(_ENVELOPE["eventSourceARN"]).alias("eventSourceARN"),
         )
     )
-    return events.select(record.alias("record"))
+    return events.select(record.alias("record"), *(keep or []))
 
 
 def decode_kinesis_data(record: Column) -> Column:
@@ -80,3 +82,28 @@ def decode_kinesis_records(records: DataFrame, column: str = "record") -> DataFr
         ev["event_specifics"].alias("event_specifics"),
         ev["event_uuid"].alias("event_uuid"),
     )
+
+
+def decode_with_dead_letter(
+    records: DataFrame, column: str = "record"
+) -> tuple[DataFrame, DataFrame]:
+    """S7 with the error path the reference lacks (its TODO at
+    ``toy_lambda_function.py:37`` admits no validation): PERMISSIVE
+    decode, then route rows whose payload failed to parse (null
+    ``event_uuid``) to a dead-letter DataFrame that keeps the raw
+    record for replay/repair. Returns ``(valid, dead)``.
+
+    Both branches are narrow filters over the same decoded projection —
+    no shuffle, no Python; at scale each branch feeds its own sink
+    (processed staging vs a DLQ directory) off one pass over the feed.
+    """
+    ev = decode_kinesis_data(F.col(column))
+    with_ev = records.withColumn("_ev", ev)
+    valid = with_ev.where(F.col("_ev.event_uuid").isNotNull()).select(
+        F.col("_ev.created_at").alias("created_at"),
+        F.col("_ev.event_name").alias("event_name"),
+        F.col("_ev.event_specifics").alias("event_specifics"),
+        F.col("_ev.event_uuid").alias("event_uuid"),
+    )
+    dead = with_ev.where(F.col("_ev.event_uuid").isNull()).select(column)
+    return valid, dead

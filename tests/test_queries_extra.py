@@ -127,6 +127,28 @@ def test_grouped_zscore_plan_pruned_single_shuffle(spark):
     assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in read, read
 
 
+def test_dead_letter_split_partitions_feed(spark):
+    """decode_with_dead_letter must partition the feed exactly: valid
+    rows decode losslessly, dead rows keep the raw record for replay."""
+    from event_streaming_toy_example_spark.sources.generator import generate_events
+    from event_streaming_toy_example_spark.sources.kinesis import (
+        decode_with_dead_letter,
+        wrap_kinesis_envelope,
+    )
+    from pyspark.sql import functions as F
+
+    ev = generate_events(spark, 40, seed=3)
+    good = wrap_kinesis_envelope(ev)
+    bad = spark.createDataFrame(
+        [("not json at all",), ("{\"kinesis\": 12}",)], ["record"]
+    )
+    valid, dead = decode_with_dead_letter(good.unionAll(bad))
+    assert valid.count() == 40
+    assert valid.where(F.col("event_uuid").isNull()).count() == 0
+    dead_rows = sorted(r["record"] for r in dead.collect())
+    assert dead_rows == ["not json at all", '{"kinesis": 12}']
+
+
 def test_zscore_mapinpandas_matches_applyinpandas(spark):
     """The amortized mapInPandas form and the naive grouped-map form
     must agree row-for-row — including when groups straddle Arrow batch
