@@ -173,11 +173,85 @@ FROM events WHERE event_id % 50 = 0
 """
 
 
+# --------------------------------------------------------------------------
+# Skew tooling as catalog queries (result must equal the plain forms)
+# --------------------------------------------------------------------------
+
+
+def q_skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through `salted_join` (probe =
+    lineitem salted, build = orders exploded 8x): the skew-resistant
+    join must produce exactly the plain equi-join's answer — the salt
+    only routes rows. The oracle is the unsalted SQL join."""
+    from event_streaming_toy_example_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+SQL_SKEW_SALTED_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_skew_salted_agg_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the hot-keyed event_type
+    column (a handful of values owning all rows — the worst-case key
+    distribution). Result must equal the plain groupBy exactly; the
+    oracle is the unsalted SQL aggregate."""
+    from event_streaming_toy_example_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "event_id"),
+            "sum_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        buckets=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+SQL_SKEW_SALTED_AGG_TYPE_STATS = """
+SELECT event_type,
+       CAST(count(event_id) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 EXT6_QUERIES = {
     "array_surface_embeddings": q_array_surface_embeddings,
     "unpivot_order_metrics": q_unpivot_order_metrics,
     "rolling_avg_daily_revenue": q_rolling_avg_daily_revenue,
     "pipe_deadletter_split": q_pipe_deadletter_split,
+    "skew_salted_join_revenue": q_skew_salted_join_revenue,
+    "skew_salted_agg_type_stats": q_skew_salted_agg_type_stats,
 }
 
 EXT6_ORACLES = {
@@ -185,4 +259,6 @@ EXT6_ORACLES = {
     "unpivot_order_metrics": SQL_UNPIVOT_ORDER_METRICS,
     "rolling_avg_daily_revenue": SQL_ROLLING_AVG_DAILY_REVENUE,
     "pipe_deadletter_split": SQL_PIPE_DEADLETTER_SPLIT,
+    "skew_salted_join_revenue": SQL_SKEW_SALTED_JOIN_REVENUE,
+    "skew_salted_agg_type_stats": SQL_SKEW_SALTED_AGG_TYPE_STATS,
 }
