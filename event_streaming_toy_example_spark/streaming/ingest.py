@@ -104,6 +104,59 @@ def start_ingest_stream(
     return writer.start()
 
 
+def start_ingest_stream_with_dlq(
+    records: DataFrame,
+    staging_path: str,
+    dlq_path: str,
+    checkpoint_path: str,
+    trigger_seconds: int | None = 60,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Ingest with an error path: each micro-batch is decoded once and
+    split (``decode_with_dead_letter``) inside ``foreachBatch`` —
+    undecodable records append raw to the dead-letter dir for
+    replay/repair; valid records are batch-deduped, enriched, and
+    staged exactly like ``start_ingest_stream``.
+
+    ``foreachBatch`` because one streaming query cannot fan out to two
+    file sinks; the micro-batch is cached so both branches share one
+    pass over the source. Cross-batch stateful dedup is traded for
+    batch-local dedup plus the compaction tier's exact dedup — the
+    two-tier design the reference README itself argues for
+    (``README.md:269-289``); use ``start_ingest_stream`` when
+    watermarked global dedup is wanted and inputs are trusted.
+    """
+    from event_streaming_toy_example_spark.operators.dedup import dedup_exact
+    from event_streaming_toy_example_spark.sources.kinesis import (
+        decode_with_dead_letter,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            valid, dead = decode_with_dead_letter(batch_df)
+            dead.write.mode("append").text(dlq_path)
+            staged = enrich_stream(
+                dedup_exact(valid, ["event_uuid"]).withColumn(
+                    "created_ts", F.timestamp_seconds(F.col("created_at"))
+                )
+            ).drop("created_ts")
+            staged.write.mode("append").partitionBy(*PARTITION_COLS_HOUR).json(
+                staging_path
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = records.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def rate_event_source(spark: SparkSession, rows_per_second: int = 278,
                       seed: int = 42) -> DataFrame:
     """C1: a streaming synthetic source at the reference's 278 ev/s —

@@ -43,6 +43,57 @@ def test_stream_ingest_dedups_and_stages(spark, tmp_path):
     assert "event_uuid" in obj
 
 
+def test_stream_ingest_with_dlq_routes_bad_records(spark, tmp_path):
+    """foreachBatch ingest: corrupt records land raw in the DLQ dir,
+    valid records are deduped and staged with enrichment columns."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.streaming.ingest import (
+        start_ingest_stream_with_dlq,
+    )
+
+    src = str(tmp_path / "incoming")
+    staging = str(tmp_path / "staging")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = generate_events(spark, 200, seed=5)
+    feed = wrap_kinesis_envelope(
+        inject_duplicates(events, rate=0.1, seed=5), keep=["event_uuid"]
+    ).select(
+        F.when(
+            F.crc32("event_uuid") % 10 == 0,
+            F.concat(F.lit("BROKEN"), F.col("record")),
+        )
+        .otherwise(F.col("record"))
+        .alias("record")
+    )
+    n_bad = feed.where(F.col("record").startswith("BROKEN")).count()
+    n_valid_distinct = (
+        wrap_kinesis_envelope(events, keep=["event_uuid"])
+        .where(F.crc32("event_uuid") % 10 != 0)
+        .select("event_uuid")
+        .distinct()
+        .count()
+    )
+    feed.write.mode("overwrite").text(src)
+
+    stream = spark.readStream.schema("record string").text(src).withColumnRenamed(
+        "value", "record"
+    )
+    q = start_ingest_stream_with_dlq(stream, staging, dlq, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    staged = spark.read.json(staging)
+    assert staged.count() == n_valid_distinct
+    assert staged.where(F.col("event_uuid").isNull()).count() == 0
+    assert {"event_type", "event_subtype", "created_datetime"} <= set(staged.columns)
+
+    dead = spark.read.text(dlq)
+    assert dead.count() == n_bad
+    assert dead.where(~F.col("value").startswith("BROKEN")).count() == 0
+
+
 def test_stream_late_data_dropped_by_watermark(spark, tmp_path):
     """Late-data handling: rows older than the watermark horizon are
     dropped by the stateful operator. Batch 1 (fresh events) advances
