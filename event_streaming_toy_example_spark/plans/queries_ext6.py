@@ -245,6 +245,85 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Duplicate-cluster formation: near-dup pairs -> connected components
+# --------------------------------------------------------------------------
+
+
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs are not clusters: dedup needs transitively-connected docs
+    grouped so one canonical survivor per cluster can be kept. Inject
+    near-exact copies under shifted ids (doc_id%10 -> +1M, doc_id%20 ->
+    additionally +2M, forming 3-cliques), emit n-gram-Jaccard pairs,
+    then run iterative min-label connected components
+    (`operators/components.py`). cluster_id = min doc_id of the
+    component; the oracle is a recursive CTE over identical pairs."""
+    from event_streaming_toy_example_spark.functions.minhash import (
+        ngram_jaccard_pairs,
+    )
+    from event_streaming_toy_example_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    corpus = docs.unionAll(
+        docs.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    ).unionAll(
+        docs.where(F.col("doc_id") % 20 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 2000000
+        )
+    )
+    pairs = ngram_jaccard_pairs(
+        corpus, block_cols=["lang", "source"], k=3, threshold=0.2
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs, corpus.select(F.col("doc_id").alias("id")))
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
+    )
+
+
+def _sql_dedup_cluster_components() -> str:
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        _sql_shingles,
+        _sql_tokens,
+    )
+
+    return rf"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, source, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, lang, source, text FROM documents WHERE doc_id % 20 = 0
+), t AS (
+  SELECT doc_id AS id, lang, source, {_sql_tokens('text')} AS toks FROM corpus
+), s AS (
+  SELECT id, lang, source, {_sql_shingles('toks', 3)} AS sh FROM t
+), pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM s l JOIN s r
+    ON l.lang = r.lang AND l.source = r.source AND l.id < r.id
+  WHERE round(len(list_intersect(l.sh, r.sh)) /
+        (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM corpus
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
 EXT6_QUERIES = {
     "array_surface_embeddings": q_array_surface_embeddings,
     "unpivot_order_metrics": q_unpivot_order_metrics,
@@ -252,6 +331,7 @@ EXT6_QUERIES = {
     "pipe_deadletter_split": q_pipe_deadletter_split,
     "skew_salted_join_revenue": q_skew_salted_join_revenue,
     "skew_salted_agg_type_stats": q_skew_salted_agg_type_stats,
+    "dedup_cluster_components": q_dedup_cluster_components,
 }
 
 EXT6_ORACLES = {
@@ -261,4 +341,5 @@ EXT6_ORACLES = {
     "pipe_deadletter_split": SQL_PIPE_DEADLETTER_SPLIT,
     "skew_salted_join_revenue": SQL_SKEW_SALTED_JOIN_REVENUE,
     "skew_salted_agg_type_stats": SQL_SKEW_SALTED_AGG_TYPE_STATS,
+    "dedup_cluster_components": _sql_dedup_cluster_components(),
 }

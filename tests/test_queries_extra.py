@@ -127,6 +127,21 @@ def test_grouped_zscore_plan_pruned_single_shuffle(spark):
     assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in read, read
 
 
+def test_connected_components_chain_and_isolates(spark):
+    """Min-label propagation must converge on a chain (needs multiple
+    iterations, unlike cliques) and keep isolated nodes as singletons."""
+    from event_streaming_toy_example_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["id"])
+    got = {r["id"]: r["label"] for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 8, 9: 8, 10: 10}
+
+
 def test_dead_letter_split_partitions_feed(spark):
     """decode_with_dead_letter must partition the feed exactly: valid
     rows decode losslessly, dead rows keep the raw record for replay."""
