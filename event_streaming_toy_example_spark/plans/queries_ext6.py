@@ -250,14 +250,11 @@ GROUP BY event_type
 # --------------------------------------------------------------------------
 
 
-def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs are not clusters: dedup needs transitively-connected docs
-    grouped so one canonical survivor per cluster can be kept. Inject
-    near-exact copies under shifted ids (doc_id%10 -> +1M, doc_id%20 ->
-    additionally +2M, forming 3-cliques), emit n-gram-Jaccard pairs,
-    then run iterative min-label connected components
-    (`operators/components.py`). cluster_id = min doc_id of the
-    component; the oracle is a recursive CTE over identical pairs."""
+def _cluster_corpus_and_labels(spark: SparkSession, sf_dir: str):
+    """Shared construction: documents plus near-exact copies under
+    shifted ids (doc_id%10 -> +1M, doc_id%20 -> additionally +2M,
+    forming 3-cliques), n-gram-Jaccard pairs, connected-component
+    labels. Returns (corpus, labels[id, label])."""
     from event_streaming_toy_example_spark.functions.minhash import (
         ngram_jaccard_pairs,
     )
@@ -281,8 +278,45 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, block_cols=["lang", "source"], k=3, threshold=0.2
     ).select("id_a", "id_b")
     labels = connected_components(pairs, corpus.select(F.col("doc_id").alias("id")))
+    return corpus, labels
+
+
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs are not clusters: dedup needs transitively-connected docs
+    grouped so one canonical survivor per cluster can be kept. Inject
+    near-exact copies under shifted ids, emit n-gram-Jaccard pairs,
+    then run iterative min-label connected components
+    (`operators/components.py`). cluster_id = min doc_id of the
+    component; the oracle is a recursive CTE over identical pairs."""
+    _, labels = _cluster_corpus_and_labels(spark, sf_dir)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final dedup step: one canonical survivor per duplicate
+    cluster — keep-the-longest (a standard informativeness heuristic),
+    doc_id as the deterministic tie-break. One ranking window per
+    cluster on the already-labeled relation; the cluster-size count
+    rides the same partition (no extra shuffle)."""
+    corpus, labels = _cluster_corpus_and_labels(spark, sf_dir)
+    lens = corpus.select(
+        F.col("doc_id").alias("id"), F.length("text").cast("long").alias("n_chars")
+    )
+    j = labels.join(lens, "id")
+    wp = Window.partitionBy("label")
+    w = wp.orderBy(F.desc("n_chars"), F.asc("id"))
+    return (
+        j.select(
+            F.col("label").cast("long").alias("cluster_id"),
+            F.col("id").alias("survivor_doc_id"),
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).cast("long").alias("cluster_size"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
 
 
@@ -324,6 +358,31 @@ FROM reach GROUP BY node
 """
 
 
+def _sql_dedup_survivors() -> str:
+    base = _sql_dedup_cluster_components()
+    return rf"""
+WITH labeled AS (
+{base}
+), ranked AS (
+  SELECT l.cluster_id, l.doc_id AS survivor_doc_id,
+         CAST(length(c.text) AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY length(c.text) DESC, l.doc_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS cluster_size
+  FROM labeled l
+  JOIN (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+  ) c ON c.doc_id = l.doc_id
+)
+SELECT cluster_id, survivor_doc_id, n_chars, cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 EXT6_QUERIES = {
     "array_surface_embeddings": q_array_surface_embeddings,
     "unpivot_order_metrics": q_unpivot_order_metrics,
@@ -332,6 +391,7 @@ EXT6_QUERIES = {
     "skew_salted_join_revenue": q_skew_salted_join_revenue,
     "skew_salted_agg_type_stats": q_skew_salted_agg_type_stats,
     "dedup_cluster_components": q_dedup_cluster_components,
+    "dedup_survivors": q_dedup_survivors,
 }
 
 EXT6_ORACLES = {
@@ -342,4 +402,5 @@ EXT6_ORACLES = {
     "skew_salted_join_revenue": SQL_SKEW_SALTED_JOIN_REVENUE,
     "skew_salted_agg_type_stats": SQL_SKEW_SALTED_AGG_TYPE_STATS,
     "dedup_cluster_components": _sql_dedup_cluster_components(),
+    "dedup_survivors": _sql_dedup_survivors(),
 }
