@@ -1,0 +1,85 @@
+"""Physical-plan regression net for docs/PLANS.md claims.
+
+Each entry pins the scale-critical plan properties of a headline query:
+shuffle-exchange count (data movement), broadcast-exchange count (dims
+must broadcast, not shuffle), and for selected queries the scan's
+ReadSchema (pruning) or a required physical operator. If an edit makes
+Catalyst plan a second shuffle or lose pushdown, these fail before the
+benchmark notices.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+
+def _counts(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bcast = plan.count("BroadcastExchange")
+    shuffles = plan.count("Exchange ") - bcast
+    return plan, shuffles, bcast
+
+
+#: name -> (max shuffle exchanges, expected broadcast exchanges)
+EXPECT = {
+    "agg_pricing_summary": (1, 0),
+    "join_revenue_by_nation": (1, 4),
+    "join_supplier_revenue": (1, 2),
+    "join_local_supplier_volume": (1, 5),
+    "window_top_orders": (1, 0),
+    "latest_event_per_user": (1, 0),
+    "curate_documents": (1, 1),
+    "asof_last_event_before_order": (1, 1),
+    "grouped_zscore_outliers": (1, 0),
+    "array_surface_embeddings": (0, 0),
+    "mm_resize": (0, 0),
+    "text_quality": (0, 0),
+    "unpivot_order_metrics": (1, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECT))
+def test_shuffle_and_broadcast_counts(spark, name):
+    qs = entry_mod.queries()
+    plan, shuffles, bcast = _counts(qs[name](spark, SF_DIR))
+    max_shuffles, want_bcast = EXPECT[name]
+    assert shuffles <= max_shuffles, f"{name}: {shuffles} shuffles\n{plan}"
+    assert bcast == want_bcast, f"{name}: {bcast} broadcasts\n{plan}"
+
+
+def test_topk_uses_take_ordered(spark):
+    """sort_topk_orders must compile to TakeOrderedAndProject (partition
+    heaps + driver merge), never a global sort."""
+    qs = entry_mod.queries()
+    plan, shuffles, _ = _counts(qs["sort_topk_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert shuffles == 0, plan
+
+
+def test_snapshot_prelimits_before_shuffle(spark):
+    """latest_event_per_user must keep WindowGroupLimit below its single
+    exchange so map tasks forward only their local top-1 per key."""
+    qs = entry_mod.queries()
+    plan, _, _ = _counts(qs["latest_event_per_user"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_agg_pricing_scan_is_pruned_and_pushed(spark):
+    """The wide aggregate must read only its 6 columns with the date
+    predicate pushed into the parquet scan."""
+    qs = entry_mod.queries()
+    df = qs["agg_pricing_summary"](spark, SF_DIR)
+    fmt = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<(.*?)>", fmt)
+    assert schemas and len(schemas[0].split(",")) == 6, schemas
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", fmt)
+    assert pushed and "l_shipdate" in pushed[0], pushed
