@@ -383,6 +383,28 @@ FROM ranked WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Quantile sketch (approximate percentiles — the HLL twin for quantiles)
+# --------------------------------------------------------------------------
+
+
+def q_sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 order price per priority via
+    `approx_percentile` (KLL-style mergeable sketch: map-side partials,
+    one shuffle of fixed-size sketches — the scale path where exact
+    percentiles would sort the fact table). Approximation -> rows-only
+    driver check; accuracy vs the exact percentiles is unit-tested."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+        )
+    )
+
+
 EXT6_QUERIES = {
     "array_surface_embeddings": q_array_surface_embeddings,
     "unpivot_order_metrics": q_unpivot_order_metrics,
@@ -392,6 +414,7 @@ EXT6_QUERIES = {
     "skew_salted_agg_type_stats": q_skew_salted_agg_type_stats,
     "dedup_cluster_components": q_dedup_cluster_components,
     "dedup_survivors": q_dedup_survivors,
+    "sketch_quantiles_price": q_sketch_quantiles_price,
 }
 
 EXT6_ORACLES = {

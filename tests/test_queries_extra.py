@@ -189,3 +189,36 @@ def test_zscore_mapinpandas_matches_applyinpandas(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert fast == naive
     assert len(fast) > 0
+
+
+def test_sketch_quantiles_close_to_exact(spark):
+    """approx_percentile must land within 1% (relative) of the exact
+    percentiles at sf0.01 with accuracy=10000."""
+    from event_streaming_toy_example_spark.plans.queries_ext6 import (
+        q_sketch_quantiles_price,
+    )
+    from event_streaming_toy_example_spark.schemas import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR_ORACLE
+
+    approx = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in q_sketch_quantiles_price(spark, SF_DIR_ORACLE).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["e50"], r["e90"], r["e99"])
+        for r in (
+            load_table(spark, SF_DIR_ORACLE, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.percentile("o_totalprice", F.lit(0.5)).alias("e50"),
+                F.percentile("o_totalprice", F.lit(0.9)).alias("e90"),
+                F.percentile("o_totalprice", F.lit(0.99)).alias("e99"),
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for prio, (a50, a90, a99) in approx.items():
+        for a, e in zip((a50, a90, a99), exact[prio]):
+            assert abs(a - e) / e < 0.01, (prio, a, e)
