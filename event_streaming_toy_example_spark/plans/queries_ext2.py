@@ -303,7 +303,10 @@ def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             "o_custkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            # exact integer cents, never back to double: round(double, 2)
+            # is bit-different between Spark (BigDecimal HALF_UP) and
+            # DuckDB (binary rounding) on some values
+            F.col("cents").alias("price_cc"),
             # integer division — half-cent averages round differently
             # between engines as doubles, so stay in exact integer units
             F.expr("sum_cents * 100 DIV n").alias("cust_avg_cc"),
@@ -321,7 +324,7 @@ WITH c AS (
   FROM orders
 )
 SELECT o_orderkey, o_custkey,
-       round(o_totalprice, 2) AS o_totalprice,
+       cents AS price_cc,
        (sum_cents * 100) // n AS cust_avg_cc
 FROM c WHERE cents * n > sum_cents
 """

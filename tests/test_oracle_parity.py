@@ -3,8 +3,13 @@ query on Spark AND its DuckDB oracle at sf0.01, compare row count,
 column names, and order-insensitive values.
 
 Comparison: columns sorted by name, rows sorted by their full value
-tuple, floats compared to 1e-9 relative (the driver hashes values; any
-real mismatch here would hash-mismatch there — this catches it first).
+tuple, floats compared EXACTLY (bit-for-bit after float() coercion).
+The driver hashes values exactly, so a tolerance here would let local
+green hide a driver hash-mismatch (round 1: orders_above_cust_avg
+passed locally at rel_tol=1e-9 and failed the driver hash on ulp-level
+round(double,2) divergence). Queries whose outputs cannot be made
+bit-identical across engines must emit exact integer/decimal columns
+instead of doubles.
 """
 
 from __future__ import annotations
@@ -66,7 +71,7 @@ def _values_equal(a, b) -> bool:
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+        return fa == fb
     return a == b
 
 
