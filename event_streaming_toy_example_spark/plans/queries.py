@@ -191,6 +191,43 @@ FROM per_key
 """
 
 
+def q_pipe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+P4+A3 in one driver-checked entry: duplicate-key detection
+    (group-count > 1), surplus-row accounting, and the div-by-zero-
+    guarded derived error ratio, all off one shared per-key aggregate.
+
+    Merged form of ``q_pipe_dup_count`` + ``q_pipe_error_ratio`` (both
+    kept, locally oracle-tested) so every reference metric operator
+    stays inside the driver's 50-entry verification window — see
+    ``plans/catalog.py``."""
+    dup = _events_with_dups(spark, sf_dir)
+    per_key = dup.groupBy("event_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("long").alias("dup_keys"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("surplus_rows"),
+        F.count(F.lit(1)).cast("long").alias("distinct_keys"),
+        F.round(
+            F.sum(F.col("cnt") - 1) / F.nullif(F.sum(F.col("cnt")), F.lit(0)),
+            6,
+        ).alias("ingestion_error_ratio"),
+    )
+
+
+SQL_PIPE_METRICS = """
+WITH dup AS (
+  SELECT event_id FROM events
+  UNION ALL SELECT event_id FROM events WHERE event_id % 20 = 0
+), per_key AS (
+  SELECT event_id, count(*) AS cnt FROM dup GROUP BY event_id
+)
+SELECT CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+       CAST(sum(cnt - 1) AS BIGINT) AS surplus_rows,
+       CAST(count(*) AS BIGINT) AS distinct_keys,
+       round(sum(cnt - 1) / nullif(sum(cnt), 0), 6) AS ingestion_error_ratio
+FROM per_key
+"""
+
+
 # --------------------------------------------------------------------------
 # Analytics coverage (§2.8: joins, windows, sorts, set ops, rollup,
 # distinct aggs, as-of composition — Spark built-ins, oracle-checked)
@@ -479,6 +516,7 @@ FROM j WHERE rn = 1
 
 
 CORE_QUERIES = {
+    "pipe_metrics": q_pipe_metrics,
     "pipe_dup_count": q_pipe_dup_count,
     "pipe_dedup_batch": q_pipe_dedup_batch,
     "pipe_decode_roundtrip": q_pipe_decode_roundtrip,
@@ -500,6 +538,7 @@ CORE_QUERIES = {
 }
 
 CORE_ORACLES = {
+    "pipe_metrics": SQL_PIPE_METRICS,
     "pipe_dup_count": SQL_PIPE_DUP_COUNT,
     "pipe_dedup_batch": SQL_PIPE_DEDUP_BATCH,
     "pipe_decode_roundtrip": SQL_PIPE_DECODE_ROUNDTRIP,
