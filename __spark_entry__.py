@@ -47,40 +47,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from event_streaming_toy_example_spark.plans.queries import CORE_QUERIES
-    from event_streaming_toy_example_spark.plans.queries_ext import EXT_QUERIES
-    from event_streaming_toy_example_spark.plans.queries_ext2 import EXT2_QUERIES
-    from event_streaming_toy_example_spark.plans.queries_ext3 import EXT3_QUERIES
-    from event_streaming_toy_example_spark.plans.queries_ext4 import EXT4_QUERIES
-    from event_streaming_toy_example_spark.plans.queries_ext5 import EXT5_QUERIES
-    from event_streaming_toy_example_spark.plans.queries_ext6 import EXT6_QUERIES
+    """PRIMARY catalog: exactly the ≤50 driver-verified entries, one
+    per distinct capability.  The trimmed EXTENDED surface variants
+    stay implemented and locally oracle-replayed — see
+    ``plans/catalog.py`` for the split and ``docs/CATALOG.md`` for
+    the per-entry rationale."""
+    from event_streaming_toy_example_spark.plans.catalog import PRIMARY_QUERIES
 
-    return {
-        **CORE_QUERIES,
-        **EXT_QUERIES,
-        **EXT2_QUERIES,
-        **EXT3_QUERIES,
-        **EXT4_QUERIES,
-        **EXT5_QUERIES,
-        **EXT6_QUERIES,
-    }
+    return dict(PRIMARY_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from event_streaming_toy_example_spark.plans.queries import CORE_ORACLES
-    from event_streaming_toy_example_spark.plans.queries_ext import EXT_ORACLES
-    from event_streaming_toy_example_spark.plans.queries_ext2 import EXT2_ORACLES
-    from event_streaming_toy_example_spark.plans.queries_ext3 import EXT3_ORACLES
-    from event_streaming_toy_example_spark.plans.queries_ext4 import EXT4_ORACLES
-    from event_streaming_toy_example_spark.plans.queries_ext5 import EXT5_ORACLES
-    from event_streaming_toy_example_spark.plans.queries_ext6 import EXT6_ORACLES
+    from event_streaming_toy_example_spark.plans.catalog import PRIMARY_ORACLES
 
-    return {
-        **CORE_ORACLES,
-        **EXT_ORACLES,
-        **EXT2_ORACLES,
-        **EXT3_ORACLES,
-        **EXT4_ORACLES,
-        **EXT5_ORACLES,
-        **EXT6_ORACLES,
-    }
+    return dict(PRIMARY_ORACLES)

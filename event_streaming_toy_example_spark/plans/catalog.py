@@ -149,6 +149,12 @@ EXTENDED_ORACLES: dict[str, str] = {
     k: v for k, v in _ALL_ORACLES.items() if k in FAMILY_REP
 }
 
+#: Full catalog (PRIMARY ∪ EXTENDED) — what local tests replay and
+#: ``bench.py`` resolves headline names against.  The driver sees only
+#: PRIMARY via ``__spark_entry__``.
+ALL_QUERIES: dict[str, QueryFn] = _ALL_QUERIES
+ALL_ORACLES: dict[str, str] = _ALL_ORACLES
+
 # Invariants the driver contract depends on — fail at import, not in CI.
 assert len(PRIMARY_QUERIES) <= 50, len(PRIMARY_QUERIES)
 assert set(FAMILY_REP) <= set(_ALL_QUERIES), sorted(

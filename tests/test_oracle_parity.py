@@ -20,6 +20,11 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from event_streaming_toy_example_spark.plans.catalog import (
+    ALL_ORACLES,
+    ALL_QUERIES,
+    PRIMARY_QUERIES,
+)
 from tests.conftest import SF_DIR_ORACLE
 
 TABLES = (
@@ -75,14 +80,25 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-ORACLE_NAMES = sorted(entry_mod.oracle_sql())
-ALL_NAMES = sorted(entry_mod.queries())
+# Local replay covers the FULL catalog (PRIMARY ∪ EXTENDED), not just
+# the ≤50 driver-facing PRIMARY entries — see plans/catalog.py.
+ORACLE_NAMES = sorted(ALL_ORACLES)
+ALL_NAMES = sorted(ALL_QUERIES)
+
+
+def test_driver_contract_is_primary_catalog():
+    """__spark_entry__ must expose exactly the PRIMARY catalog (≤50
+    entries so every one gets a driver CORRECTNESS row)."""
+    qs = entry_mod.queries()
+    assert qs.keys() == PRIMARY_QUERIES.keys()
+    assert len(qs) <= 50
+    assert set(entry_mod.oracle_sql()) <= set(qs)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck, name):
-    q = entry_mod.queries()[name]
-    sql = entry_mod.oracle_sql()[name]
+    q = ALL_QUERIES[name]
+    sql = ALL_ORACLES[name]
 
     sdf = q(spark, SF_DIR_ORACLE)
     s_cols = sdf.columns
@@ -114,7 +130,7 @@ def test_query_matches_oracle(spark, duck, name):
 @pytest.mark.parametrize("name", sorted(set(ALL_NAMES) - set(ORACLE_NAMES)))
 def test_rows_only_queries_run(spark, name):
     """Queries without an oracle still must run and return rows."""
-    df = entry_mod.queries()[name](spark, SF_DIR_ORACLE)
+    df = ALL_QUERIES[name](spark, SF_DIR_ORACLE)
     assert df.count() > 0
 
 
