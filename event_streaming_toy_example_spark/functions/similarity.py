@@ -78,29 +78,105 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, bits: int = 8, seed: int = 42) -> Column:
-    """b-bit random-hyperplane LSH signature. Plane coefficients are
-    pseudo-random in {-1,+1} derived from ``xxhash64(seed, bit, dim_idx)``
-    — deterministic, no stored model, identical on every executor."""
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        coeffs = F.array(
-            *[
-                F.when(
-                    F.xxhash64(F.lit(f"plane:{seed}:{b}"), F.lit(j)) % 2 == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
-                for j in range(dim)
-            ]
+def _plane_matrix(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 plane coefficients, materialized ONCE driver-side.
+
+    SHA-256 of ``plane:{seed}:{bit}:{dim_idx}`` — stable across runs,
+    machines, and Python hash randomization, so signatures are
+    reproducible without a stored model."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.sha256(f"plane:{seed}:{b}:{j}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def _signature_from_planes(vec: Column, planes: Column) -> Column:
+    """Sign-bit signature of ``vec`` against an ``array<array<double>>``
+    planes column. Constant-size expression tree: one ``transform`` over
+    the planes array with a nested ``aggregate`` dot product — the same
+    three Catalyst nodes whether dim is 8 or 3072."""
+    bitvals = F.transform(
+        planes,
+        lambda plane: F.when(
+            F.aggregate(
+                F.zip_with(vec, plane, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    # MSB-first fold: sig = sum(bit_i << (bits-1-i)) without shiftleft
+    # (whose shift amount must be a Python int, not a lambda variable)
+    return F.aggregate(
+        bitvals,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2).cast("long") + x,
+    )
+
+
+def with_hyperplane_signature(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Add a b-bit random-hyperplane LSH signature column.
+
+    The plane matrix is materialized driver-side and shipped as ONE
+    broadcast row (a single-row broadcast nested-loop join Catalyst
+    collapses into the stage), not as per-coefficient expressions: the
+    previous form built ``bits x dim`` ``xxhash64`` expressions per
+    plan — ~25k Catalyst nodes at production dims (768-3072 x 8-16
+    bits), an analysis/codegen hazard before a single row is read.
+    Plan size is now independent of ``dim`` and ``bits``
+    (tests/test_functions.py asserts analysis at dim=1024, bits=16)."""
+    spark = df.sparkSession
+    planes_df = spark.createDataFrame(
+        [(_plane_matrix(dim, bits, seed),)], "__planes array<array<double>>"
+    )
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .withColumn(out_col, _signature_from_planes(F.col(vec_col), F.col("__planes")))
+        .drop("__planes")
+    )
+
+
+def with_lsh_tables(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Explode each row into its ``(table_id, bucket)`` memberships
+    across ``n_tables`` independent hash tables (each table = its own
+    plane matrix, seed-offset). Output has n_tables rows per input row
+    — the standard multi-table LSH index layout, joinable on the
+    composite equi-key ``[table_id, bucket]``."""
+    sig_cols = []
+    for t in range(n_tables):
+        df = with_hyperplane_signature(
+            df, vec_col, dim, bits, seed + 7919 * t, out_col=f"__sig_{t}"
         )
-        proj = F.aggregate(
-            F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(
-            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        )
-    return sig
+        sig_cols.append(f"__sig_{t}")
+    return (
+        df.withColumn("__sigs", F.array(*[F.col(c) for c in sig_cols]))
+        .drop(*sig_cols)
+        .select("*", F.posexplode("__sigs").alias("table_id", "bucket"))
+        .drop("__sigs")
+    )
 
 
 def lsh_bucketed_topk(
@@ -112,30 +188,44 @@ def lsh_bucketed_topk(
     k: int = 5,
     bits: int = 8,
     seed: int = 42,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket (or
-    differ by exactly one bit — single-probe multi-probe). The join is
-    an equi-join on bucket id, so cost ~ corpus/2^bits per query bucket
-    instead of the whole corpus."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_signature(F.col(vec_col), dim, bits, seed).alias("bucket"),
+    """Approximate top-k via multi-table LSH: a candidate shares the
+    query's bucket (or differs by one bit — 1-bit multi-probe) in ANY
+    of ``n_tables`` independent hash tables. Each table is an equi-join
+    on ``[table_id, bucket]``, so per-table cost ~ corpus/2^bits per
+    query bucket instead of the whole corpus, and the miss probability
+    multiplies across tables — the standard (b, L) LSH trade: raise
+    ``bits`` for cheaper buckets, raise ``n_tables`` for recall."""
+    c = with_lsh_tables(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+        dim,
+        bits,
+        n_tables,
+        seed,
     )
-    q_base = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_signature(F.col(vec_col), dim, bits, seed).alias("bucket"),
+    q_base = with_lsh_tables(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+        dim,
+        bits,
+        n_tables,
+        seed,
     )
-    # multi-probe: original bucket + each 1-bit flip
+    # multi-probe within each table: home bucket + each 1-bit flip
     probes = F.array(
         F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
     )
     q = q_base.select(
-        "query_id", "q_vec", F.explode(probes).alias("bucket")
+        "query_id", "q_vec", "table_id", F.explode(probes).alias("bucket")
     )
     scored = (
-        c.join(F.broadcast(q), ["bucket"])
+        c.join(F.broadcast(q), ["table_id", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -183,6 +273,40 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_rows: int = 100_000,
+) -> DataFrame:
+    """Train IVF centroids with MLlib KMeans on a bounded corpus sample.
+
+    Sample (bounded at ``sample_rows`` so the training pass is constant
+    cost regardless of corpus size) -> ``pyspark.ml`` KMeans -> the
+    learned cluster centers as a tiny ``(cell, cent)`` DataFrame ready
+    to broadcast. 100 TB story: the sample read is the only corpus
+    scan, training happens on <=1e5 rows driver+executor side, and the
+    result is n_cells vectors — the standard IVF build."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    sample = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("arr"))
+        # deterministic sample: hash-order top-N (TakeOrdered — per-
+        # partition top-N then merge, no full sort) of the one scan
+        .orderBy(F.xxhash64(F.col("arr"), F.lit(seed)))
+        .limit(sample_rows)
+        .select(array_to_vector(F.col("arr")).alias("features"))
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(sample)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(centers, "cell long, cent array<double>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -192,25 +316,32 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: partition
-    the corpus into ``n_cells`` Voronoi cells around sampled centroids,
-    then search only the ``n_probe`` cells nearest each query —
-    cost ~ corpus * n_probe / n_cells per query instead of the whole
-    corpus.
+    the corpus into ``n_cells`` Voronoi cells around centroids, then
+    search only the ``n_probe`` cells nearest each query — cost ~
+    corpus * n_probe / n_cells per query instead of the whole corpus.
 
-    Centroids here are a deterministic pseudo-random sample of corpus
-    vectors (seeded hash order). At 100 TB you would train them with
-    k-means (sample -> MLlib KMeans -> store); the index build, probe
-    routing, and search plan — broadcast centroids, map-side
+    ``train=True`` (default): centroids are KMeans-trained on a bounded
+    corpus sample (``train_ivf_centroids``) — balanced cells, so recall
+    at a given n_probe matches or beats the sampled variant
+    (tests/test_queries_extra.py asserts this at sf0.01).
+    ``train=False``: a deterministic pseudo-random sample of corpus
+    vectors (seeded hash order) — no training pass, useful when the
+    corpus churns faster than retraining is worth. The index build,
+    probe routing, and search plan — broadcast centroids, map-side
     assignment, equi-join on cell id, per-query top-k — are identical
-    either way, and that plan is what this implements.
+    either way.
     """
-    centroids = F.broadcast(
-        corpus.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent"))
-        .orderBy(F.xxhash64(F.col("cell"), F.lit(seed)))
-        .limit(n_cells)
-    )
+    if train:
+        centroids = F.broadcast(train_ivf_centroids(corpus, vec_col, n_cells, seed))
+    else:
+        centroids = F.broadcast(
+            corpus.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent"))
+            .orderBy(F.xxhash64(F.col("cell"), F.lit(seed)))
+            .limit(n_cells)
+        )
     # index: each corpus vector lives in exactly one cell
     indexed = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
         F.col("vid").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
@@ -248,27 +379,86 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str | None = "label",
+    block_col: str | None = None,
     threshold: float = 0.95,
+    dim: int | None = None,
+    bits: int = 12,
+    seed: int = 42,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within blocking groups
-    (exact within block; use LSH buckets as blocks when no natural
-    block key exists)."""
-    sel = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    """Embedding-cosine near-duplicate pairs.
+
+    DEFAULT (``block_col=None``): multi-table LSH-bucket blocking — a
+    pair is a candidate iff, in ANY of ``n_tables`` independent hash
+    tables, the two signatures differ in at most one bit (one side
+    explodes its 1-bit probe neighborhood, the other keeps its home
+    bucket, joined on the ``[table_id, bucket]`` equi-key). Never
+    all-pairs: per-table cost ~ corpus/2^bits per bucket, and the miss
+    probability multiplies across tables — P(bit agree) = 1 - θ/π, so
+    at cosine 0.95 a single table already catches nearly everything
+    and extra tables buy recall at moderate thresholds (recall across
+    probe buckets asserted in tests/test_functions.py). Requires
+    ``dim``.
+
+    ``block_col="label"`` (or any column): exact all-pairs WITHIN the
+    named blocking group — only safe when the block key bounds group
+    size (a hot block is O(n^2)); kept as the oracle-exact override the
+    ``sim_embedding_near_dup`` catalog entry uses."""
     if block_col:
-        sel.append(F.col(block_col).alias("block"))
-    v = df.select(*sel)
-    l, r = v.alias("l"), v.alias("r")
-    cond = F.col("l.id") < F.col("r.id")
-    if block_col:
-        cond = cond & (F.col("l.block") == F.col("r.block"))
+        v = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.col(block_col).alias("block"),
+        )
+        l, r = v.alias("l"), v.alias("r")
+        return (
+            l.join(
+                r,
+                (F.col("l.id") < F.col("r.id"))
+                & (F.col("l.block") == F.col("r.block")),
+            )
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.block").alias(block_col),
+                F.round(
+                    cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    if dim is None:
+        raise ValueError("dim is required for LSH-bucket blocking (block_col=None)")
+    v = with_lsh_tables(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        "vec",
+        dim,
+        bits,
+        n_tables,
+        seed,
+    )
+    # left side probes its Hamming-1 neighborhood per table (home
+    # bucket + each 1-bit flip), right side stays home: within one
+    # table a qualifying pair meets exactly once, but it can meet in
+    # several tables, hence the per-pair dedup (cheap — it runs on the
+    # already-threshold-filtered pair set, not the candidate set).
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+    )
+    l = v.select(
+        "id", "vec", "table_id", F.explode(probes).alias("bucket")
+    ).alias("l")
+    r = v.alias("r")
     return (
-        l.join(r, cond)
+        l.join(r, ["table_id", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            *( [F.col("l.block").alias(block_col)] if block_col else [] ),
-            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+            F.round(
+                cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )

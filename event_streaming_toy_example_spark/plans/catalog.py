@@ -113,6 +113,8 @@ FAMILY_REP: dict[str, str] = {
     "dedup_cluster_components": "dedup_survivors",
     # quantile family: exact percentiles entry is the hash-checked rep
     "sketch_quantiles_price": "percentiles_by_priority",
+    # LSH-blocked scale path of the label-blocked exact near-dup rep
+    "sim_embedding_near_dup_lsh": "sim_embedding_near_dup",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

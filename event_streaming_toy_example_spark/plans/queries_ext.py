@@ -469,12 +469,25 @@ WHERE {_SIM_COSINE_SQL} >= 0.5
 """
 
 
+def q_sim_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default (scale-path) form of embedding near-dup: LSH-bucket
+    blocking with a Hamming-1 probe join — never all-pairs
+    (approximation — rows-only check; recall across probe buckets is
+    asserted in tests/test_functions.py, and the label-blocked exact
+    twin above is the hash-checked entry)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    dim = len(embs.select("embedding").first()["embedding"])
+    return embedding_near_dup_pairs(embs, threshold=0.5, dim=dim, bits=6, n_tables=8)
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH-bucketed top-k (approximation — rows-only check;
     the exact twin above is the hash-checked baseline)."""
     embs = load_table(spark, sf_dir, "embeddings")
     dim = len(embs.select("embedding").first()["embedding"])
-    return lsh_bucketed_topk(embs, embs.where(F.col("vec_id") < 5), dim=dim, k=5, bits=6)
+    return lsh_bucketed_topk(
+        embs, embs.where(F.col("vec_id") < 5), dim=dim, k=5, bits=6, n_tables=8
+    )
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,6 +701,7 @@ EXT_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_embedding_near_dup": q_sim_embedding_near_dup,
+    "sim_embedding_near_dup_lsh": q_sim_embedding_near_dup_lsh,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "mm_media_features": q_mm_media_features,

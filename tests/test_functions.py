@@ -185,22 +185,109 @@ def test_lsh_topk_mostly_agrees_with_exact(spark, embs):
     dim = len(embs.select("embedding").first()["embedding"])
     queries = embs.limit(5)
     exact = brute_force_topk(embs, queries, k=3).collect()
-    approx = lsh_bucketed_topk(embs, queries, dim=dim, k=3, bits=6).collect()
+    approx = lsh_bucketed_topk(
+        embs, queries, dim=dim, k=3, bits=6, n_tables=8
+    ).collect()
     exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
     approx_by_q = {}
     for r in approx:
         approx_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    # recall of exact top-1 within approx candidates: at least 2 of 5
+    # multi-table LSH (8 tables of 6 bits): exact top-1 must be in the
+    # candidate set for most queries even on a random toy corpus
     hits = sum(
         1 for q, n in exact_top1.items() if n in approx_by_q.get(q, set())
     )
-    assert hits >= 2
+    assert hits >= 4
 
 
 def test_embedding_near_dup_blocked(spark, embs):
-    out = embedding_near_dup_pairs(embs, threshold=0.5)
+    out = embedding_near_dup_pairs(embs, block_col="label", threshold=0.5)
     for r in out.take(5):
         assert r["id_a"] < r["id_b"] and r["cosine"] >= 0.5
+
+
+def test_embedding_near_dup_lsh_default_requires_dim(spark, embs):
+    with pytest.raises(ValueError, match="dim"):
+        embedding_near_dup_pairs(embs, threshold=0.5)
+
+
+def test_embedding_near_dup_lsh_recall_across_probe_buckets(spark):
+    """Planted near-dup pairs (tiny perturbations of a base vector)
+    must all surface through LSH-bucket blocking — including pairs
+    whose signatures differ by one bit, which only the probe
+    (Hamming-1) join finds."""
+    import random
+
+    from event_streaming_toy_example_spark.functions.similarity import (
+        _plane_matrix,
+    )
+
+    rng = random.Random(7)
+    dim, bits, n_base = 16, 10, 40
+    rows = []
+    for i in range(n_base):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, [x + rng.uniform(-1e-3, 1e-3) for x in base]))
+    # engineer one pair that straddles plane 0: project the base almost
+    # onto the hyperplane, then reflect it just across — signatures
+    # differ in exactly that bit, so only the probe join can pair them
+    plane = _plane_matrix(dim, bits, seed=42)[0]
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    proj = sum(x * c for x, c in zip(base, plane))
+    onplane = [x - (proj / dim) * c * (1 - 1e-9) for x, c in zip(base, plane)]
+    tiny = sum(x * c for x, c in zip(onplane, plane))
+    flipped = [x - (2.5 * tiny / dim) * c for x, c in zip(onplane, plane)]
+    rows.append((2 * n_base, onplane))
+    rows.append((2 * n_base + 1, flipped))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    n_base += 1
+    # single table so the Hamming-1 probe is the ONLY way the
+    # engineered pair can meet (extra tables would catch it at
+    # distance 0 in some other plane basis)
+    out = embedding_near_dup_pairs(
+        df, id_col="id", vec_col="vec", threshold=0.999, dim=dim, bits=10,
+        n_tables=1,
+    )
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(n_base)}
+    assert planted <= found, f"missed {sorted(planted - found)[:5]}"
+
+    # the probe join is load-bearing: some planted pair must sit at
+    # Hamming distance exactly 1 (home-bucket-only would miss it)
+    from event_streaming_toy_example_spark.functions.similarity import (
+        with_hyperplane_signature,
+    )
+
+    sigs = {
+        r["id"]: r["bucket"]
+        for r in with_hyperplane_signature(df, "vec", dim, bits=10).collect()
+    }
+    dists = [bin(sigs[a] ^ sigs[b]).count("1") for a, b in planted]
+    assert any(d == 1 for d in dists), dists
+    assert all(d <= 1 for d in dists), dists
+
+
+def test_hyperplane_signature_plan_constant_at_production_dims(spark):
+    """Plan must build at dim=1024, bits=16 without Catalyst blow-up:
+    the plane matrix ships as one broadcast row, so analysis cost is
+    independent of dim x bits (the old form built 16k expressions)."""
+    import time
+
+    from event_streaming_toy_example_spark.functions.similarity import (
+        with_hyperplane_signature,
+    )
+
+    df = spark.range(1).select(
+        F.transform(F.sequence(F.lit(1), F.lit(1024)), lambda i: i.cast("double")).alias("vec")
+    )
+    t0 = time.perf_counter()
+    out = with_hyperplane_signature(df, "vec", dim=1024, bits=16)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 10, f"analysis took {elapsed:.1f}s"
+    assert len(plan) < 100_000, len(plan)
+    assert out.count() == 1
 
 
 # ---------------------------------------------------------- multimodal

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pytest
 
-import __spark_entry__ as entry_mod
+from event_streaming_toy_example_spark.plans.catalog import ALL_QUERIES
 from tests.conftest import SF_DIR
 
 
@@ -43,7 +43,7 @@ EXPECT = {
 
 @pytest.mark.parametrize("name", sorted(EXPECT))
 def test_shuffle_and_broadcast_counts(spark, name):
-    qs = entry_mod.queries()
+    qs = ALL_QUERIES
     plan, shuffles, bcast = _counts(qs[name](spark, SF_DIR))
     max_shuffles, want_bcast = EXPECT[name]
     assert shuffles <= max_shuffles, f"{name}: {shuffles} shuffles\n{plan}"
@@ -53,7 +53,7 @@ def test_shuffle_and_broadcast_counts(spark, name):
 def test_topk_uses_take_ordered(spark):
     """sort_topk_orders must compile to TakeOrderedAndProject (partition
     heaps + driver merge), never a global sort."""
-    qs = entry_mod.queries()
+    qs = ALL_QUERIES
     plan, shuffles, _ = _counts(qs["sort_topk_orders"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert shuffles == 0, plan
@@ -62,7 +62,7 @@ def test_topk_uses_take_ordered(spark):
 def test_snapshot_prelimits_before_shuffle(spark):
     """latest_event_per_user must keep WindowGroupLimit below its single
     exchange so map tasks forward only their local top-1 per key."""
-    qs = entry_mod.queries()
+    qs = ALL_QUERIES
     plan, _, _ = _counts(qs["latest_event_per_user"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan, plan
 
@@ -70,7 +70,7 @@ def test_snapshot_prelimits_before_shuffle(spark):
 def test_agg_pricing_scan_is_pruned_and_pushed(spark):
     """The wide aggregate must read only its 6 columns with the date
     predicate pushed into the parquet scan."""
-    qs = entry_mod.queries()
+    qs = ALL_QUERIES
     df = qs["agg_pricing_summary"](spark, SF_DIR)
     fmt = df._jdf.queryExecution().explainString(
         df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
