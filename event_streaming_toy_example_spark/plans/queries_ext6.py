@@ -250,7 +250,9 @@ GROUP BY event_type
 # --------------------------------------------------------------------------
 
 
-def _cluster_corpus_and_labels(spark: SparkSession, sf_dir: str):
+def _cluster_corpus_and_labels(
+    spark: SparkSession, sf_dir: str, algorithm: str = "propagation"
+):
     """Shared construction: documents plus near-exact copies under
     shifted ids (doc_id%10 -> +1M, doc_id%20 -> additionally +2M,
     forming 3-cliques), n-gram-Jaccard pairs, connected-component
@@ -260,8 +262,10 @@ def _cluster_corpus_and_labels(spark: SparkSession, sf_dir: str):
     )
     from event_streaming_toy_example_spark.operators.components import (
         connected_components,
+        connected_components_star,
     )
 
+    cc = connected_components_star if algorithm == "star" else connected_components
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
@@ -277,7 +281,7 @@ def _cluster_corpus_and_labels(spark: SparkSession, sf_dir: str):
     pairs = ngram_jaccard_pairs(
         corpus, block_cols=["lang", "source"], k=3, threshold=0.2
     ).select("id_a", "id_b")
-    labels = connected_components(pairs, corpus.select(F.col("doc_id").alias("id")))
+    labels = cc(pairs, corpus.select(F.col("doc_id").alias("id")))
     return corpus, labels
 
 

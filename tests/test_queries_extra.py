@@ -150,6 +150,73 @@ def test_connected_components_chain_and_isolates(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 8, 9: 8, 10: 10}
 
 
+def test_propagation_raises_on_long_chain(spark):
+    """Non-converged labels are silently wrong clusters — the budget
+    exhaustion must fail loudly, pointing at the star variant."""
+    import pytest
+
+    from event_streaming_toy_example_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["id"])
+    with pytest.raises(RuntimeError, match="connected_components_star"):
+        connected_components(pairs, nodes, max_iter=3)
+
+
+def test_star_components_long_chain_few_rounds(spark):
+    """large-star/small-star must label a 64-node chain (diameter 63)
+    within an O(log^2 n) phase budget where propagation would need 63
+    rounds — and agree with propagation on a mixed small graph."""
+    from event_streaming_toy_example_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 2)], ["id"])
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components_star(pairs, nodes, max_iter=12).collect()
+    }
+    assert got == {**{i: 1 for i in range(1, n + 1)}, n + 1: n + 1}
+
+    # agreement with propagation on cliques + chain + isolates
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9), (9, 10), (8, 10), (12, 13)],
+        ["id_a", "id_b"],
+    )
+    mnodes = spark.createDataFrame([(i,) for i in range(1, 15)], ["id"])
+    prop = {r["id"]: r["label"] for r in connected_components(mixed, mnodes).collect()}
+    star = {
+        r["id"]: r["label"]
+        for r in connected_components_star(mixed, mnodes).collect()
+    }
+    assert prop == star
+
+
+def test_cluster_catalog_identical_under_both_cc_variants(spark):
+    """The dedup_cluster_components catalog entry must produce
+    identical labels under propagation and large-star/small-star —
+    i.e. its oracle stays green whichever variant runs."""
+    from event_streaming_toy_example_spark.plans.queries_ext6 import (
+        _cluster_corpus_and_labels,
+    )
+
+    _, prop = _cluster_corpus_and_labels(spark, SF_DIR_ORACLE)
+    _, star = _cluster_corpus_and_labels(spark, SF_DIR_ORACLE, algorithm="star")
+    p = {(r["id"], r["label"]) for r in prop.collect()}
+    s = {(r["id"], r["label"]) for r in star.collect()}
+    assert p == s
+
+
 def test_dead_letter_split_partitions_feed(spark):
     """decode_with_dead_letter must partition the feed exactly: valid
     rows decode losslessly, dead rows keep the raw record for replay."""
