@@ -6,12 +6,15 @@ typed metadata struct; run decode / feature-extraction / resize /
 frame-sampling as Arrow-batched ``mapInPandas`` operators so each task
 processes a columnar batch, not a row.
 
-The decode step itself needs codec libraries (Pillow/ffmpeg/...) that
-are NOT in this environment — it is STUBBED: ``decode_image_stub``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake "decode" (byte-length + md5 digest + fake
-dimensions) exercises the full Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — end to end.
+Decode is REAL for PNG payloads: ``functions/png_codec.py`` is a
+dependency-free 8-bit PNG codec (stdlib zlib + numpy), so
+``fake=False`` genuinely parses IHDR/IDAT, unfilters scanlines, and
+reports true width/height — and resize genuinely re-encodes a
+nearest-neighbor-downsampled PNG. Pillow, when importable, handles
+non-PNG formats; with neither (this environment has no Pillow), a
+non-PNG payload raises ``NotImplementedError`` naming the gap. The
+deterministic ``fake=True`` decode (byte-length + md5 + fake
+dimensions) remains for oracle-checkable catalog entries.
 """
 
 from __future__ import annotations
@@ -61,24 +64,90 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
     )
 
 
+PNG_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (decodable) PNG payload per row: an RGB gradient
+    whose dimensions derive arithmetically from the id —
+    ``w = 16 + id % 48``, ``h = 8 + id % 24``, pixel (y, x, c) =
+    ``(x + y + id + c) % 256``. Because the true decoded dimensions are
+    a pure function of the id, a SQL oracle can hash-check the output
+    of the real decode path without being able to parse PNG itself."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import png_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 16 + d % 48, 8 + d % 24
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                arr = ((x + y + d + c) % 256).astype(np.uint8)
+                rows.append((d, png_codec.encode_png(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        op, PNG_PAYLOAD_SCHEMA
+    )
+
+
 def decode_image_stub(payload: bytes, fake: bool) -> dict:
-    """The stubbed codec boundary. Real implementation would be e.g.
-    ``PIL.Image.open(io.BytesIO(payload))``; codecs are not available
-    in this environment."""
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires codec libraries (Pillow/ffmpeg) not "
-            "present in this environment; pass fake=True for the "
-            "deterministic plumbing-test decode"
-        )
+    """The codec boundary: one payload in, feature dict out.
+
+    ``fake=False``: REAL decode — PNG via the in-repo codec
+    (``png_codec.decode_png``: true IHDR dims, unfiltered pixel data),
+    other formats via Pillow when importable, else
+    ``NotImplementedError`` naming the missing codec.
+    ``fake=True``: deterministic digest-derived pseudo-decode kept for
+    oracle-checkable catalog entries (DuckDB can reproduce md5, not a
+    pixel pipeline)."""
+    payload = bytes(payload)
     digest = hashlib.md5(payload).hexdigest()
-    return {
-        "n_bytes": len(payload),
-        "digest": digest,
-        # deterministic fake dimensions derived from the digest
-        "width": int(digest[:4], 16) % 1920,
-        "height": int(digest[4:8], 16) % 1080,
-    }
+    if fake:
+        return {
+            "n_bytes": len(payload),
+            "digest": digest,
+            # deterministic fake dimensions derived from the digest
+            "width": int(digest[:4], 16) % 1920,
+            "height": int(digest[4:8], 16) % 1080,
+        }
+    from event_streaming_toy_example_spark.functions import png_codec
+
+    if png_codec.is_png(payload):
+        arr = png_codec.decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "digest": digest,
+            "width": int(arr.shape[1]),
+            "height": int(arr.shape[0]),
+        }
+    try:
+        from PIL import Image  # optional; absent in this environment
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real decode implemented for PNG (in-repo codec); other "
+            "formats need Pillow, which is not installed"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return {
+            "n_bytes": len(payload),
+            "digest": digest,
+            "width": int(img.width),
+            "height": int(img.height),
+        }
 
 
 def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -109,21 +178,65 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload_resized", T.BinaryType(), True),
+        T.StructField("resized_n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """REAL image resize, Arrow-batched: decode each PNG payload
+    (in-repo codec), nearest-neighbor downsample so the longer side is
+    at most ``max_side`` (aspect preserved, never upscaled), re-encode
+    as PNG. Output dims are the resized dims; the payload round-trips
+    through ``png_codec.decode_png``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from event_streaming_toy_example_spark.functions import png_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png_codec.decode_png(bytes(payload))
+                h, w = arr.shape[:2]
+                scale = max(h, w) / max_side
+                if scale > 1:
+                    out_w = max(1, int(w / scale))
+                    out_h = max(1, int(h / scale))
+                    arr = png_codec.resize_nearest(arr, out_w, out_h)
+                else:
+                    out_w, out_h = w, h
+                rb = png_codec.encode_png(arr)
+                rows.append((doc_id, out_w, out_h, rb, len(rb)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "payload_resized", "resized_n_bytes",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, RESIZED_IMAGE_SCHEMA)
+
+
 def resize_media_stub(df: DataFrame, target_bytes: int = 128,
                       fake: bool = True) -> DataFrame:
     """Resize / downsample plumbing, Arrow-batched like the decode path.
 
-    Real implementation would be ``PIL.Image.resize`` / ffmpeg ``scale``
-    per payload inside the batch loop; the deterministic fake keeps
-    every ``stride``-th byte with ``stride = ceil(n/target_bytes)`` — a
-    1-D nearest-neighbor downsample, so output size, stride, and bytes
-    are all reproducible and the numeric columns are SQL-checkable."""
+    ``fake=False`` routes to ``resize_images`` — the REAL PNG
+    decode -> nearest-neighbor -> re-encode path (note its schema has
+    true width/height instead of a byte stride). The deterministic
+    fake keeps every ``stride``-th byte with
+    ``stride = ceil(n/target_bytes)`` — a 1-D nearest-neighbor
+    downsample, so output size, stride, and bytes are all reproducible
+    and the numeric columns are SQL-checkable."""
     if not fake:
-        raise NotImplementedError(
-            "media resize requires codec libraries (Pillow/ffmpeg) not "
-            "present in this environment; pass fake=True for the "
-            "deterministic plumbing-test resize"
-        )
+        return resize_images(df)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

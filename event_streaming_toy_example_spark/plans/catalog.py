@@ -115,6 +115,10 @@ FAMILY_REP: dict[str, str] = {
     "sketch_quantiles_price": "percentiles_by_priority",
     # LSH-blocked scale path of the label-blocked exact near-dup rep
     "sim_embedding_near_dup_lsh": "sim_embedding_near_dup",
+    # decode-features family: the REAL PNG decode (in-repo codec,
+    # arithmetically-oracle-checked dims) is the rep; the fake-decode
+    # plumbing twin moves to EXTENDED
+    "mm_media_features": "mm_png_decode",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

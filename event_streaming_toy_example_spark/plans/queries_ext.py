@@ -522,6 +522,30 @@ FROM documents
 """
 
 
+def q_mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end: generate a true PNG payload per
+    document (RGB gradient, dims an arithmetic function of doc_id),
+    then decode it with the in-repo PNG codec (zlib inflate + scanline
+    unfilter) inside Arrow batches. The oracle recomputes the expected
+    dimensions arithmetically — so a decoder that misreads IHDR or
+    mis-unfilters fails the hash check."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_png_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_png_payload(docs), fake=False)
+    return feats.select("doc_id", "width", "height")
+
+
+SQL_MM_PNG_DECODE = """
+SELECT doc_id,
+       CAST(16 + doc_id % 48 AS INT) AS width,
+       CAST(8 + doc_id % 24 AS INT) AS height
+FROM documents
+"""
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: byte-chunk explode, one row per sampled
     frame (deterministic fake decode, so fully oracle-checked)."""
@@ -705,6 +729,7 @@ EXT_QUERIES = {
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_ivf_topk": q_sim_ivf_topk,
     "mm_media_features": q_mm_media_features,
+    "mm_png_decode": q_mm_png_decode,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
     "stream_dedup": q_stream_dedup,
@@ -724,6 +749,7 @@ EXT_ORACLES = {
     "sim_topk_bruteforce": SQL_SIM_TOPK_BRUTEFORCE,
     "sim_embedding_near_dup": SQL_SIM_EMBEDDING_NEAR_DUP,
     "mm_media_features": SQL_MM_MEDIA_FEATURES,
+    "mm_png_decode": SQL_MM_PNG_DECODE,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "mm_resize": SQL_MM_RESIZE,
     "stream_dedup": SQL_STREAM_DEDUP,

@@ -1,0 +1,162 @@
+"""The in-repo PNG codec must be REAL: spec-correct filters, true
+dimensions, round-trip fidelity — plus the Spark-side real decode and
+resize paths over Arrow batches."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from event_streaming_toy_example_spark.functions.png_codec import (
+    _PNG_SIG,
+    _chunk,
+    decode_png,
+    encode_png,
+    is_png,
+    resize_nearest,
+)
+
+
+def _gradient(h, w, ch):
+    y = np.arange(h)[:, None, None]
+    x = np.arange(w)[None, :, None]
+    c = np.arange(ch)[None, None, :]
+    return ((3 * x + 5 * y + 7 * c) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w,ch", [(23, 37, 3), (8, 8, 1), (11, 5, 4)])
+def test_roundtrip(h, w, ch):
+    arr = _gradient(h, w, ch)
+    data = encode_png(arr)
+    assert is_png(data)
+    out = decode_png(data)
+    assert out.shape == (h, w, ch)
+    assert np.array_equal(out, arr.reshape(h, w, ch))
+
+
+def test_grayscale_2d_input_roundtrips():
+    arr = _gradient(6, 9, 1)[:, :, 0]
+    out = decode_png(encode_png(arr))
+    assert out.shape == (6, 9, 1)
+    assert np.array_equal(out[:, :, 0], arr)
+
+
+def _png_with_filters(arr: np.ndarray, filter_types: list[int]) -> bytes:
+    """Assemble a PNG whose scanlines use the GIVEN filter types,
+    computing each filtered line per the PNG spec — so decoding it
+    proves the decoder's unfilter logic, not just a filter-0 echo."""
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int16)
+    raw = bytearray()
+    for y, ft in enumerate(filter_types):
+        line = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        left = np.concatenate([np.zeros(ch, dtype=np.int16), line[:-ch]])
+        ul = np.concatenate([np.zeros(ch, dtype=np.int16), prev[:-ch]])
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prev
+        elif ft == 3:
+            filt = line - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = line - pred
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_each_filter_type_unfilters_correctly(ft):
+    arr = _gradient(7, 11, 3)
+    data = _png_with_filters(arr, [ft] * 7)
+    assert np.array_equal(decode_png(data), arr)
+
+
+def test_mixed_filters_unfilter_correctly():
+    arr = _gradient(10, 6, 3)
+    data = _png_with_filters(arr, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    assert np.array_equal(decode_png(data), arr)
+
+
+def test_rejects_non_png_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"definitely not a png")
+    arr = _gradient(4, 4, 3)
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = _PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad)
+
+
+def test_resize_nearest_dims_and_identity():
+    arr = _gradient(20, 30, 3)
+    small = resize_nearest(arr, 15, 10)
+    assert small.shape == (10, 15, 3)
+    assert np.array_equal(resize_nearest(arr, 30, 20), arr)
+
+
+# ------------------------------------------------- Spark-side real paths
+
+
+def test_extract_media_features_real_png(spark):
+    """fake=False on real generated PNGs: width/height must be the
+    TRUE decoded dims (arithmetic function of doc_id), n_bytes the
+    true payload size."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_png_payload,
+        extract_media_features,
+    )
+
+    ids = spark.range(1, 41).withColumnRenamed("id", "doc_id")
+    mm = attach_png_payload(ids)
+    payload_sizes = {
+        r["doc_id"]: len(r["payload"]) for r in mm.collect()
+    }
+    out = extract_media_features(mm, fake=False).collect()
+    assert len(out) == 40
+    for r in out:
+        d = r["doc_id"]
+        assert r["width"] == 16 + d % 48
+        assert r["height"] == 8 + d % 24
+        assert r["n_bytes"] == payload_sizes[d]
+
+
+def test_resize_images_real(spark):
+    """Real resize: decode -> nearest-neighbor -> re-encode; resized
+    payload must itself decode to the reported (capped) dims."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_png_payload,
+        resize_images,
+    )
+    from event_streaming_toy_example_spark.functions import png_codec
+
+    ids = spark.range(1, 21).withColumnRenamed("id", "doc_id")
+    out = resize_images(attach_png_payload(ids), max_side=16).collect()
+    assert len(out) == 20
+    for r in out:
+        d = r["doc_id"]
+        w0, h0 = 16 + d % 48, 8 + d % 24
+        assert max(r["width"], r["height"]) <= 16
+        if max(w0, h0) <= 16:
+            assert (r["width"], r["height"]) == (w0, h0)
+        arr = png_codec.decode_png(bytes(r["payload_resized"]))
+        assert arr.shape == (r["height"], r["width"], 3)
+        assert r["resized_n_bytes"] == len(r["payload_resized"])
