@@ -38,6 +38,47 @@ from event_streaming_toy_example_spark.sources.kinesis import decode_kinesis_dat
 from event_streaming_toy_example_spark.sources.ndjson import PARTITION_COLS_HOUR
 
 
+#: The ingest-source contract: ONE string column named ``record``
+#: holding the Kinesis-envelope JSON. Any streaming DataFrame reduced
+#: to this shape — file, rate, socket, Kafka — feeds the same
+#: decode -> dedup -> enrich chain unchanged.
+INGEST_RECORD_COLUMN = "record"
+
+
+def from_kafka_records(df: DataFrame) -> DataFrame:
+    """Adapt a Kafka-schema DataFrame to the ingest-source contract.
+
+    Kafka sources (``spark.readStream.format("kafka")``) emit the fixed
+    schema ``key binary, value binary, topic, partition, offset,
+    timestamp, timestampType``; the envelope JSON rides in ``value``.
+    This is the ONLY Kafka-specific step — everything downstream
+    (decode, watermark dedup, enrichment, staging sink) is shared with
+    the file and rate sources, so the integration test exercises the
+    identical chain through a file source carrying the Kafka schema."""
+    return df.select(F.col("value").cast("string").alias(INGEST_RECORD_COLUMN))
+
+
+def kafka_event_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kinesis-envelope records from a Kafka topic, ready for
+    ``start_ingest_stream``. Requires the spark-sql-kafka package on
+    the classpath (not bundled here — this wires the contract):
+    partitions map 1:1 to Kafka partitions, so ingest parallelism is
+    the topic's partition count until the dedup shuffle."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return from_kafka_records(raw)
+
+
 def decode_stream(records: DataFrame, column: str = "record") -> DataFrame:
     """Kinesis-record JSON strings -> flattened event columns."""
     ev = decode_kinesis_data(F.col(column))
@@ -125,6 +166,14 @@ def start_ingest_stream_with_dlq(
     two-tier design the reference README itself argues for
     (``README.md:269-289``); use ``start_ingest_stream`` when
     watermarked global dedup is wanted and inputs are trusted.
+
+    Replay idempotence: ``foreachBatch`` re-runs a batch after a crash
+    (two sinks = no atomic commit), so BOTH branches write
+    mode-overwrite into ``ingest_batch=<batch_id>``-scoped partitions —
+    a replayed batch replaces its own output instead of appending a
+    duplicate copy, even after a partial failure between the two
+    writes. Readers see ``ingest_batch`` as one more discovered
+    partition column.
     """
     from event_streaming_toy_example_spark.operators.dedup import dedup_exact
     from event_streaming_toy_example_spark.sources.kinesis import (
@@ -135,14 +184,16 @@ def start_ingest_stream_with_dlq(
         batch_df.persist()
         try:
             valid, dead = decode_with_dead_letter(batch_df)
-            dead.write.mode("append").text(dlq_path)
+            dead.write.mode("overwrite").text(
+                f"{dlq_path}/ingest_batch={batch_id}"
+            )
             staged = enrich_stream(
                 dedup_exact(valid, ["event_uuid"]).withColumn(
                     "created_ts", F.timestamp_seconds(F.col("created_at"))
                 )
             ).drop("created_ts")
-            staged.write.mode("append").partitionBy(*PARTITION_COLS_HOUR).json(
-                staging_path
+            staged.write.mode("overwrite").partitionBy(*PARTITION_COLS_HOUR).json(
+                f"{staging_path}/ingest_batch={batch_id}"
             )
         finally:
             batch_df.unpersist()

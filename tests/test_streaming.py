@@ -188,3 +188,90 @@ def test_stream_metrics_listener(spark, tmp_path):
         assert listener.metrics.lambda_invocations >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_kafka_shaped_source_contract(spark, tmp_path):
+    """The same decode -> dedup -> enrich chain must run unchanged on a
+    source carrying Kafka's exact schema (key/value binary + topic/
+    partition/offset/timestamp), adapted by from_kafka_records — the
+    only Kafka-specific step."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.streaming.ingest import (
+        from_kafka_records,
+        start_ingest_stream,
+    )
+
+    src = str(tmp_path / "kafka_shaped")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = generate_events(spark, 150, seed=11)
+    feed = wrap_kinesis_envelope(
+        inject_duplicates(events, rate=0.1, seed=11), keep=["event_uuid"]
+    )
+    kafka_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int"
+    )
+    kafka_shaped = feed.select(
+        F.encode(F.col("event_uuid"), "UTF-8").alias("key"),
+        F.encode(F.col("record"), "UTF-8").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.crc32("event_uuid") % 8).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+    kafka_shaped.write.mode("overwrite").parquet(src)
+
+    stream = from_kafka_records(spark.readStream.schema(kafka_schema).parquet(src))
+    q = start_ingest_stream(
+        stream, staging, ckpt, watermark="365 days", available_now=True
+    )
+    q.awaitTermination(120)
+
+    staged = spark.read.json(staging)
+    assert staged.count() == events.count()  # dups removed
+    assert {"event_type", "event_subtype", "created_datetime"} <= set(staged.columns)
+
+
+def test_dlq_ingest_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (fresh checkpoint, same input) must
+    REPLACE its previous output, not append a duplicate copy — both
+    sinks write mode-overwrite into ingest_batch-scoped partitions."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.streaming.ingest import (
+        start_ingest_stream_with_dlq,
+    )
+
+    src = str(tmp_path / "incoming")
+    staging = str(tmp_path / "staging")
+    dlq = str(tmp_path / "dlq")
+
+    events = generate_events(spark, 120, seed=13)
+    feed = wrap_kinesis_envelope(events, keep=["event_uuid"]).select(
+        F.when(
+            F.crc32("event_uuid") % 10 == 0,
+            F.concat(F.lit("BROKEN"), F.col("record")),
+        )
+        .otherwise(F.col("record"))
+        .alias("record")
+    )
+    feed.write.mode("overwrite").text(src)
+
+    for attempt in (1, 2):  # second run = replay with a fresh checkpoint
+        stream = spark.readStream.schema("record string").text(src)
+        q = start_ingest_stream_with_dlq(
+            stream, staging, dlq, str(tmp_path / f"ckpt{attempt}"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    n_bad = feed.where(F.col("record").startswith("BROKEN")).count()
+    assert spark.read.text(dlq).count() == n_bad
+    assert (
+        spark.read.json(staging).count()
+        == events.count() - events.where(F.crc32("event_uuid") % 10 == 0).count()
+    )
