@@ -164,20 +164,36 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver testdata table (column-pruning/pushdown friendly).
 
-    The ``events`` table is written with nanosecond Parquet timestamps,
-    which Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL); we read
-    nanos as long via the legacy conf and convert to a microsecond
-    TimestampType (floor division — identical to DuckDB's ns->us
-    truncation, so oracle comparisons agree)."""
+    Timestamp normalization: generated testdata has shipped both as
+    nanosecond Parquet timestamps (Spark 4 refuses by default,
+    PARQUET_TYPE_ILLEGAL — read nanos as long via the legacy conf and
+    floor-divide to micros, identical to DuckDB's ns->us truncation)
+    and as timezone-naive ``timestamp[us]`` (Spark reads TIMESTAMP_NTZ;
+    DuckDB reads plain naive TIMESTAMP). Every engine-side query and
+    oracle assumes a session-timezone TimestampType, so NTZ columns are
+    cast to ``timestamp`` — the session runs in UTC (``session.py``),
+    making the cast a wall-clock identity that matches DuckDB's naive
+    interpretation."""
     from pyspark.sql import functions as F
 
+    # prefer fixing the type at the scan (keeps ts predicate pushdown
+    # intact); the cast loop below only fires if this conf is unavailable
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def register_testdata_views(
