@@ -114,6 +114,8 @@ def main() -> None:
             except Exception:
                 pass
         spark.catalog.clearCache()
+    from event_streaming_toy_example_spark.caching import release_caches
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -121,6 +123,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         dt = round(time.perf_counter() - t0, 3)
+        release_caches()  # drop per-query persisted intermediates
         timings[name] = dt
         total += dt
     ingest = _ingest_throughput(spark)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from event_streaming_toy_example_spark.caching import track
 from event_streaming_toy_example_spark.functions.text import normalize_text, tokens
 
 
@@ -202,7 +203,7 @@ def minhash_lsh_candidates(
     # the whole shingle->md5->aggregate pipeline executes twice (2x the
     # query's cost at any scale). MEMORY_AND_DISK spills gracefully when
     # the signature table outgrows executor memory.
-    banded = banded.persist()
+    banded = track(banded.persist())
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -249,7 +250,7 @@ def ngram_jaccard_pairs(
     Requires ``threshold > 0`` (zero-overlap pairs are never emitted).
     """
     block_cols = block_cols or []
-    sh = shingle_rows(df, id_col, text_col, k, extra_cols=block_cols).cache()
+    sh = track(shingle_rows(df, id_col, text_col, k, extra_cols=block_cols).cache())
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
     cond = (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id"))
@@ -394,7 +395,7 @@ def simhash_near_dup_pairs(
     ).select("id", "sig", "b.block_idx", "b.block_val")
     # both self-join sides share this lineage — persist or the whole
     # signature pipeline runs twice
-    blocks = blocks.persist()
+    blocks = track(blocks.persist())
     l, r = blocks.alias("l"), blocks.alias("r")
     return (
         l.join(

@@ -58,7 +58,20 @@ def salted_join(
     smallest ``buckets`` that caps the hot key (rows_of_hottest_key /
     buckets ≈ target task size). For build sides under the broadcast
     threshold, use ``F.broadcast`` instead — no salt needed.
+
+    Only probe-preserving join types are supported: with ``right`` or
+    ``full`` outer joins an unmatched build row (exploded
+    ``buckets``-fold) would surface once per bucket instead of once.
     """
+    supported = {"inner", "left", "left_outer", "leftouter", "cross",
+                 "left_semi", "leftsemi", "semi",
+                 "left_anti", "leftanti", "anti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in supported}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded build side "
+            "would emit unmatched build rows once per bucket; use inner/left/"
+            "semi/anti, or an unsalted join for right/full outer."
+        )
     salted_probe = with_salt(probe, buckets)
     exploded_build = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -16,11 +16,13 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from event_streaming_toy_example_spark.caching import track
 from event_streaming_toy_example_spark.functions.minhash import (
     jaccard_similarity,
     minhash_lsh_candidates,
@@ -252,7 +254,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingle explode feeds BOTH the signature pipeline and the
     # exact-Jaccard verification (distinct is idempotent on the already-
     # distinct rows, so sharing the distinct table is safe for both).
-    sh = shingle_rows(docs, "doc_id", "text", _MH_K, distinct=True).persist()
+    sh = track(shingle_rows(docs, "doc_id", "text", _MH_K, distinct=True).persist())
     cand = minhash_lsh_candidates(
         docs, k=_MH_K, num_hashes=_MH_HASHES, num_bands=_MH_BANDS, shingles=sh
     )
@@ -263,7 +265,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product and the per-doc size table are both tiny relative to the
     # corpus shingle table — broadcast them so the only large-side scan
     # (b) never shuffles.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).persist()
+    sizes = track(sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz")).persist())
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -598,18 +600,40 @@ FROM t
 # --------------------------------------------------------------------------
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the testdata dir (names+sizes+mtimes), so
+    a staged copy is invalidated when the data at the same path changes."""
+    parts = []
+    for root, _dirs, files in os.walk(sf_dir):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+
+
 def stage_stream_input(df: DataFrame, key: str, sf_dir: str) -> str:
-    """Materialize a streaming-source input dir once per (key, sf_dir)
-    per machine: streaming demos need a file source, but re-writing the
-    same input on every invocation would bill the benchmark for sink IO
-    that is not part of the measured query. Content is deterministic in
-    (key, sf_dir), so an existing ``_SUCCESS`` marker means reuse."""
+    """Materialize a streaming-source input dir once per
+    (key, sf_dir, source-content) per machine: streaming demos need a
+    file source, but re-writing the same input on every invocation
+    would bill the benchmark for sink IO that is not part of the
+    measured query. Content is deterministic in (key, sf_dir), so a
+    completed staging dir means reuse; writes go to a unique temp dir
+    and are published with an atomic rename, so concurrent stagers
+    cannot interleave partial output (the rename loser discards its
+    identical copy)."""
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fp = _source_fingerprint(sf_dir)
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stage", f"{key}_{h}"
+        tempfile.gettempdir(), "spark_graft_stage", f"{key}_{h}_{fp}"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        df.write.mode("overwrite").parquet(path)
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the publish race — the winner's content is identical
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

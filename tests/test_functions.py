@@ -314,11 +314,15 @@ def test_multimodal_plumbing(spark, docs):
 
 def test_resize_stub_bytes_and_gate(spark, docs):
     from event_streaming_toy_example_spark.functions.multimodal import (
+        RESIZED_IMAGE_SCHEMA,
         resize_media_stub,
     )
 
-    with pytest.raises(NotImplementedError):
-        resize_media_stub(attach_binary_payload(docs), fake=False)
+    # fake=False routes to the REAL PNG resize path (different schema:
+    # true width/height, not a byte stride); non-PNG payloads hit the
+    # codec gate at execution time (test_decode_stub_gates_real_path).
+    real = resize_media_stub(attach_binary_payload(docs), fake=False)
+    assert real.schema == RESIZED_IMAGE_SCHEMA
 
     mm = attach_binary_payload(docs.limit(10))
     originals = {r["doc_id"]: bytes(r["payload"]) for r in mm.collect()}

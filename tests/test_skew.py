@@ -3,6 +3,7 @@ formulations on a deliberately skewed dataset (one key owns 90%)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from event_streaming_toy_example_spark.operators.skew import (
@@ -82,3 +83,12 @@ def test_salted_join_left_outer(spark):
         for r in salted_join(probe, build, "k", "bk", buckets=4, how="left").collect()
     )
     assert plain == salted
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    # right/full outer would emit unmatched build rows once per bucket
+    probe = _skewed(spark, 100)
+    build = spark.range(5).select(F.col("id").alias("bk"))
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(probe, build, "k", "bk", buckets=4, how=how)
