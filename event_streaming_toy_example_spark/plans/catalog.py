@@ -62,6 +62,10 @@ from event_streaming_toy_example_spark.plans.queries_ext6 import (
     EXT6_ORACLES,
     EXT6_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext7 import (
+    EXT7_ORACLES,
+    EXT7_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -119,6 +123,14 @@ FAMILY_REP: dict[str, str] = {
     # arithmetically-oracle-checked dims) is the rep; the fake-decode
     # plumbing twin moves to EXTENDED
     "mm_media_features": "mm_png_decode",
+    # round-2 demotions freeing driver slots for the curation family:
+    # per-vector array-expression stats are the shuffle-free surface twin
+    # of the brute-force cosine fold over the same embedding column
+    "array_surface_embeddings": "sim_topk_bruteforce",
+    # unpivot is the inverse reshaping surface of the pivot rep
+    "unpivot_order_metrics": "pivot_type_by_day",
+    # rolling rows-frame is a window-function surface; rank-window rep
+    "rolling_avg_daily_revenue": "window_top_orders",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -129,6 +141,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT4_QUERIES,
     **EXT5_QUERIES,
     **EXT6_QUERIES,
+    **EXT7_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -139,6 +152,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT4_ORACLES,
     **EXT5_ORACLES,
     **EXT6_ORACLES,
+    **EXT7_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

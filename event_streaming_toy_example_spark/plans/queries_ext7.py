@@ -1,0 +1,200 @@
+"""Oracle-checked query catalog — training-data curation family
+(:mod:`event_streaming_toy_example_spark.functions.curation`).
+
+Three driver-checked entries covering the four curation operators:
+
+- ``curate_sample_scrub`` — deterministic hash-gated sampling composed
+  with PII scrubbing (the sample -> scrub head of a curation pipeline).
+- ``curate_decontaminate`` — benchmark-contamination report via shingle
+  overlap against a broadcast benchmark set.
+- ``curate_mixture_weights`` — temperature-scaled source mixture
+  weights, quantized to exact integers so the cross-engine value hash
+  is bit-stable (see the float-rounding lesson in
+  ``queries_ext2.q_orders_above_cust_avg``).
+
+Same conventions as ``queries.py``: identical aliases both sides,
+deterministic output, no floats that re-enter IEEE rounding after an
+engine-specific summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.functions.curation import (
+    decontaminate,
+    hash_gate,
+    scrub_pii,
+    sql_hash_gate,
+    sql_scrub_pii,
+)
+from event_streaming_toy_example_spark.plans.queries_ext import (
+    _sql_shingles,
+    _sql_tokens,
+)
+from event_streaming_toy_example_spark.schemas import load_table
+
+# --------------------------------------------------------------------------
+# Deterministic sample + PII scrub
+# --------------------------------------------------------------------------
+
+def q_curate_sample_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated 40% sample of documents, then PII-scrubbed.
+
+    The sample gate is ``md5(salt:key)``-prefix comparison — a pure
+    filter that pushes to the scan, drawing the SAME rows on any
+    engine, any partitioning, any rerun (unlike ``df.sample``, whose
+    per-partition RNG is not stable under repartitioning/retries).
+    Scrubbing is codegen'd ``regexp_replace``; the injected suffix
+    guarantees each kept doc carries one email + one SSN + one phone,
+    so ``n_redactions`` actually exercises every pattern.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ssn 123-45-6789 tel +1 555-123-4567"),
+    )
+    sampled = docs.where(hash_gate(F.col("doc_id"), 0.4)).withColumn(
+        "pii_text", pii_text
+    )
+    clean, n_red = scrub_pii(F.col("pii_text"))
+    return sampled.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_red.alias("n_redactions"),
+    ).orderBy("doc_id")
+
+
+def _sql_curate_sample_scrub() -> str:
+    pii_expr = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com ssn 123-45-6789 tel +1 555-123-4567'"
+    )
+    clean, n_red = sql_scrub_pii(pii_expr)
+    return f"""
+SELECT doc_id,
+       {clean} AS clean_text,
+       {n_red} AS n_redactions
+FROM documents
+WHERE {sql_hash_gate('doc_id', 0.4)}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+_BENCH_RATE = 0.05
+_BENCH_SALT = "bench"
+_DECON_K = 3
+
+
+def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: corpus docs sharing >=1 k-token shingle
+    with a (hash-gated 5%) benchmark split, with the shared count.
+
+    Plan shape for 100 TB: the benchmark shingle set is tiny and
+    broadcast; corpus rows never shuffle — the only exchange is the
+    per-doc count aggregate. The benchmark/corpus split is the same
+    deterministic hash gate as ``curate_sample_scrub``, so the query is
+    self-contained on the shared documents table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gate = hash_gate(F.col("doc_id"), _BENCH_RATE, _BENCH_SALT)
+    benchmark = docs.where(gate)
+    corpus = docs.where(~gate)
+    return (
+        decontaminate(corpus, benchmark, "doc_id", "text", _DECON_K)
+        .orderBy("doc_id")
+    )
+
+
+def _sql_curate_decontaminate() -> str:
+    gate = sql_hash_gate("doc_id", _BENCH_RATE, _BENCH_SALT)
+    toks = _sql_tokens("text")
+    shingles = _sql_shingles("toks", _DECON_K)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks, {gate} AS is_bench FROM documents
+),
+sh AS (
+  SELECT doc_id, is_bench, unnest({shingles}) AS shingle
+  FROM (SELECT doc_id, is_bench, toks FROM t)
+),
+bench_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE is_bench
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM sh s JOIN bench_sh b USING (shingle)
+WHERE NOT s.is_bench
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Mixture weights (exact-integer quantization)
+# --------------------------------------------------------------------------
+
+
+def q_curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) language mixture weights in exact
+    parts-per-billion.
+
+    Exactness across engines: ``sqrt`` is IEEE-correctly-rounded in
+    both Spark and DuckDB, and quantizing each group's powered count to
+    an integer BEFORE the global sum makes the normalizer an exact
+    integer sum (order-independent), so ``weight_ppb`` is integer
+    arithmetic end to end — no summation-order ulp drift can flip the
+    driver's value hash (the failure mode of round-1's
+    ``orders_above_cust_avg``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    powered = counts.withColumn(
+        "n_pow_u", F.floor(F.sqrt(F.col("n_docs")) * F.lit(1000000.0)).cast("long")
+    )
+    total = powered.agg(F.sum("n_pow_u").alias("z"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("n_pow_u * 1000000000L div z").alias("weight_ppb"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CURATE_MIXTURE_WEIGHTS = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+p AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(n_docs) * 1000000.0) AS BIGINT) AS n_pow_u
+  FROM c
+)
+SELECT lang, n_docs,
+       CAST((n_pow_u * 1000000000) // (SELECT sum(n_pow_u) FROM p) AS BIGINT)
+           AS weight_ppb
+FROM p
+ORDER BY lang
+"""
+
+
+EXT7_QUERIES = {
+    "curate_sample_scrub": q_curate_sample_scrub,
+    "curate_decontaminate": q_curate_decontaminate,
+    "curate_mixture_weights": q_curate_mixture_weights,
+}
+
+EXT7_ORACLES = {
+    "curate_sample_scrub": _sql_curate_sample_scrub(),
+    "curate_decontaminate": _sql_curate_decontaminate(),
+    "curate_mixture_weights": SQL_CURATE_MIXTURE_WEIGHTS,
+}
