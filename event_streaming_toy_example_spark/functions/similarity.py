@@ -278,16 +278,21 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
-    sample_rows: int = 100_000,
+    sample_rows: int = 25_000,
+    max_iter: int = 10,
 ) -> DataFrame:
     """Train IVF centroids with MLlib KMeans on a bounded corpus sample.
 
     Sample (bounded at ``sample_rows`` so the training pass is constant
-    cost regardless of corpus size) -> ``pyspark.ml`` KMeans -> the
-    learned cluster centers as a tiny ``(cell, cent)`` DataFrame ready
-    to broadcast. 100 TB story: the sample read is the only corpus
-    scan, training happens on <=1e5 rows driver+executor side, and the
-    result is n_cells vectors — the standard IVF build."""
+    cost regardless of corpus size; ~1.5k points per centroid is ample
+    for the Voronoi partition to stabilize) -> ``pyspark.ml`` KMeans ->
+    the learned cluster centers as a tiny ``(cell, cent)`` DataFrame
+    ready to broadcast. 100 TB story: the sample read is the only
+    corpus scan, training happens on a bounded sample, and the result
+    is n_cells vectors — the standard IVF build. Like any IVF index,
+    this is a BUILD-time cost paid once per corpus version, not per
+    query — callers serving repeated queries should persist the
+    centroid table and pass it to ``ivf_topk(centroids=...)``."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -300,7 +305,7 @@ def train_ivf_centroids(
         .limit(sample_rows)
         .select(array_to_vector(F.col("arr")).alias("features"))
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(sample)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(sample)
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
@@ -317,12 +322,16 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     train: bool = True,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: partition
     the corpus into ``n_cells`` Voronoi cells around centroids, then
     search only the ``n_probe`` cells nearest each query — cost ~
     corpus * n_probe / n_cells per query instead of the whole corpus.
 
+    ``centroids`` (a ``(cell, cent)`` table): use a prebuilt index —
+    the production serving shape, where the KMeans build ran once per
+    corpus version and queries only pay assign+probe+search.
     ``train=True`` (default): centroids are KMeans-trained on a bounded
     corpus sample (``train_ivf_centroids``) — balanced cells, so recall
     at a given n_probe matches or beats the sampled variant
@@ -334,7 +343,13 @@ def ivf_topk(
     assignment, equi-join on cell id, per-query top-k — are identical
     either way.
     """
-    if train:
+    if centroids is not None:
+        centroids = F.broadcast(
+            centroids.select(
+                "cell", F.col("cent").cast("array<double>").alias("cent")
+            )
+        )
+    elif train:
         centroids = F.broadcast(train_ivf_centroids(corpus, vec_col, n_cells, seed))
     else:
         centroids = F.broadcast(

@@ -50,6 +50,38 @@ def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(keys or ["event_uuid"])
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    prior_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Snapshot-over-snapshot dedup: from a new snapshot (already
+    carrying a ``fp_col`` content fingerprint), keep one deterministic
+    survivor per fingerprint (min ``id_col``), then drop every doc
+    whose fingerprint already exists in the prior corpus.
+
+    The backbone of an incremental training-data pipeline: each crawl
+    snapshot dedupes against everything already ingested WITHOUT
+    rescanning or rewriting the old corpus — the prior side is just its
+    fingerprint column.
+
+    Plan shape at 100 TB: intra-snapshot survivor selection is one
+    hash aggregation on ``fp_col``; the cross-snapshot subtraction is a
+    ``left_anti`` join, also keyed on ``fp_col``. With both sides
+    bucketed on the fingerprint at write time (``operators/bucketing``)
+    the anti-join runs shuffle-free; otherwise it is the one
+    unavoidable exchange, and AQE handles per-fingerprint skew (a
+    viral duplicate is exactly a hot key).
+    """
+    survivors = (
+        new_df.groupBy(fp_col)
+        .agg(F.min(id_col).alias(id_col))
+        .join(prior_fingerprints.select(fp_col).distinct(), [fp_col], "left_anti")
+    )
+    return survivors.select(id_col, fp_col)
+
+
 def dedup_keep_first(df: DataFrame, key: str, order_col: str) -> DataFrame:
     """Deterministic exact dedup: keep the row with the smallest
     ``order_col`` per ``key``.

@@ -131,6 +131,9 @@ FAMILY_REP: dict[str, str] = {
     "unpivot_order_metrics": "pivot_type_by_day",
     # rolling rows-frame is a window-function surface; rank-window rep
     "rolling_avg_daily_revenue": "window_top_orders",
+    # incremental dedup subsumes the content-hash survivor grouping and
+    # adds the cross-snapshot anti-join
+    "dedup_exact_docs": "dedup_incremental",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

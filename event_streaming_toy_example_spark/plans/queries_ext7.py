@@ -187,14 +187,57 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental (snapshot-over-snapshot) dedup
+# --------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-snapshot docs that survive (a) intra-snapshot exact dedup
+    (min doc_id per content fingerprint — subsuming the
+    ``dedup_exact_docs`` grouping) and (b) subtraction of every
+    fingerprint already in the prior corpus (here: the even-doc_id
+    half), via a left_anti join keyed on the fingerprint. The prior
+    corpus is never rescanned beyond its fingerprint column — the
+    incremental-crawl dedup shape."""
+    from event_streaming_toy_example_spark.functions.text import fingerprint_md5
+    from event_streaming_toy_example_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
+    prior = snapshot.where(F.col("doc_id") % 2 == 0).select("fingerprint")
+    return incremental_dedup(snapshot, prior).orderBy("doc_id")
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+survivors AS (
+  SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint
+),
+prior AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0
+)
+SELECT s.doc_id, s.fingerprint
+FROM survivors s ANTI JOIN prior p USING (fingerprint)
+ORDER BY s.doc_id
+"""
+
+
 EXT7_QUERIES = {
     "curate_sample_scrub": q_curate_sample_scrub,
     "curate_decontaminate": q_curate_decontaminate,
     "curate_mixture_weights": q_curate_mixture_weights,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 EXT7_ORACLES = {
     "curate_sample_scrub": _sql_curate_sample_scrub(),
     "curate_decontaminate": _sql_curate_decontaminate(),
     "curate_mixture_weights": SQL_CURATE_MIXTURE_WEIGHTS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
 }
