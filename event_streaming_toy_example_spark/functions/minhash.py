@@ -409,6 +409,9 @@ def simhash_near_dup_pairs(
             F.col("r.id").alias("id_b"),
             hamming64(F.col("l.sig"), F.col("r.sig")).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the dedup shuffle: a pair matching in m blocks
+        # appears m times, so the distinct's exchange should only carry
+        # pairs that already passed the Hamming gate
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
