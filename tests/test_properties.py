@@ -126,3 +126,83 @@ def test_normalize_matches_model(spark, texts):
         # Python str.lower() and Spark lower() agree on the BMP subset
         # used here; the regex model is byte-identical.
         assert got[i] == _model_normalize(t), repr((t, got[i], _model_normalize(t)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**61), min_size=30, max_size=30),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_hash_gate_model_property(spark, keys, rate):
+    """hash_gate == the pure-Python md5-prefix model for arbitrary keys
+    and rates — the property that makes the sample deterministic across
+    engines, partitionings, and reruns."""
+    import hashlib as _hl
+
+    from event_streaming_toy_example_spark.functions.curation import (
+        _GATE_DIGITS,
+        hash_gate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+    got = {
+        r.k
+        for r in df.where(hash_gate(F.col("k"), rate)).collect()
+    }
+    thr = format(int(rate * 16**_GATE_DIGITS), f"0{_GATE_DIGITS}x")
+    want = {
+        k
+        for k in set(keys)
+        if _hl.md5(f"smp:{k}".encode()).hexdigest()[:_GATE_DIGITS] < thr
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXTS, min_size=20, max_size=20))
+def test_scrub_pii_idempotent_property(spark, texts):
+    """Scrubbing is idempotent (scrub(scrub(x)) == scrub(x)) and the
+    redaction count is non-negative — for arbitrary text, including
+    strings that merely resemble PII."""
+    from event_streaming_toy_example_spark.functions.curation import scrub_pii
+
+    rows = [(t,) for t in _collect_texts(texts)]
+    df = spark.createDataFrame(rows, "text string")
+    once, n1 = scrub_pii(F.col("text"))
+    out = df.select(once.alias("once"), n1.alias("n1"))
+    twice, n2 = scrub_pii(F.col("once"))
+    final = out.select("once", "n1", twice.alias("twice"), n2.alias("n2")).collect()
+    for r in final:
+        assert r.once == r.twice
+        assert r.n1 >= 0 and r.n2 == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 50)),
+        min_size=10,
+        max_size=40,
+    )
+)
+def test_incremental_dedup_invariants_property(spark, pairs):
+    """For any snapshot (id, fingerprint-bucket) multiset and any prior
+    subset: survivors carry distinct fingerprints, none appearing in
+    the prior corpus, each with the minimal id of its fingerprint."""
+    from event_streaming_toy_example_spark.operators.dedup import incremental_dedup
+
+    rows = [(i, f"fp{b}") for i, b in pairs]
+    snap = spark.createDataFrame(rows, "doc_id long, fingerprint string")
+    prior = snap.where(F.col("doc_id") % 3 == 0).select("fingerprint")
+    out = incremental_dedup(snap, prior).collect()
+    prior_fps = {f"fp{b}" for i, b in pairs if i % 3 == 0}
+    min_id = {}
+    for i, b in pairs:
+        fp = f"fp{b}"
+        min_id[fp] = min(min_id.get(fp, i), i)
+    fps = [r.fingerprint for r in out]
+    assert len(fps) == len(set(fps))
+    for r in out:
+        assert r.fingerprint not in prior_fps
+        assert r.doc_id == min_id[r.fingerprint]
+    assert set(fps) == {fp for fp in min_id if fp not in prior_fps}
