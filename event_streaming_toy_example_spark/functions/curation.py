@@ -89,21 +89,25 @@ def decontaminate(
     distinct shared shingles.
 
     Plan shape for 100 TB: the benchmark shingle set (tiny) is
-    broadcast; the corpus side is shingle-explode -> broadcast-hash
-    semi-ish join -> per-doc count. Corpus rows never shuffle — the
-    only wide exchange is the per-doc aggregate, keyed on ``id`` and
-    reusing the explode's window partitioning (see
-    ``minhash.shingle_rows``). Survivor selection is then an anti-join
-    of ids against this report (see ``q_curate_decontaminate``).
+    broadcast; the corpus side builds its shingles ROW-LOCALLY
+    (``minhash.shingle_array`` — arrays_zip of shifted slices, no
+    window, no repartition, no distinct exchange), explodes, and
+    broadcast-joins. Corpus rows never shuffle — the only wide
+    exchange is the final per-doc count aggregate. Survivor selection
+    is then an anti-join of ids against this report.
     """
-    from event_streaming_toy_example_spark.functions.minhash import shingle_rows
+    from event_streaming_toy_example_spark.functions.minhash import shingle_array
 
     bench_sh = (
-        shingle_rows(benchmark, id_col, text_col, k, distinct=True)
-        .select("shingle")
+        benchmark.select(
+            F.explode(shingle_array(F.col(text_col), k)).alias("shingle")
+        )
         .distinct()
     )
-    corp_sh = shingle_rows(corpus, id_col, text_col, k, distinct=True)
+    corp_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+    )
     return (
         corp_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(F.col("id").alias(id_col))

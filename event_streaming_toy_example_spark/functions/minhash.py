@@ -38,6 +38,32 @@ def token_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_array(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles as a per-row array, built with
+    ``arrays_zip`` of shifted ``slice``s — fully row-local (no window,
+    no repartition, no distinct exchange), so an ``explode`` of this
+    column keeps the corpus scan shuffle-free. Prefer this form when
+    downstream does NOT need an id-partitioned shingle table (e.g. a
+    broadcast membership join); ``shingle_rows`` keeps the windowed
+    form whose id-shuffle is deliberately reused by the per-id
+    signature aggregations (measured trade-off in its docstring).
+
+    Shingle set is identical to ``token_shingles``/``shingle_rows``:
+    positions 0..max(n-k, 0); docs shorter than k tokens contribute
+    their full token join (``concat_ws`` skips missing leads)."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    shifted = [toks] + [F.slice(toks, i + 1, F.greatest(n - i, F.lit(0))) for i in range(1, k)]
+    zipped = F.arrays_zip(*shifted)
+    grams = F.transform(
+        F.slice(zipped, 1, F.greatest(n - (k - 1), F.lit(1))),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]),
+    )
+    # a token-less doc still contributes one empty shingle, matching
+    # token_shingles / shingle_rows / the SQL twin exactly
+    return F.when(n == 0, F.array(F.lit(""))).otherwise(F.array_distinct(grams))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """Portable MinHash: element ``i`` of the signature is
     ``min(md5(i || ':' || shingle))`` over the shingle set — min over

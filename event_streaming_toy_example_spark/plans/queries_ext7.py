@@ -64,7 +64,7 @@ def q_curate_sample_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         clean.alias("clean_text"),
         n_red.alias("n_redactions"),
-    ).orderBy("doc_id")
+    )
 
 
 def _sql_curate_sample_scrub() -> str:
@@ -79,7 +79,6 @@ SELECT doc_id,
        {n_red} AS n_redactions
 FROM documents
 WHERE {sql_hash_gate('doc_id', 0.4)}
-ORDER BY doc_id
 """
 
 
@@ -108,7 +107,7 @@ def q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(~gate)
     return (
         decontaminate(corpus, benchmark, "doc_id", "text", _DECON_K)
-        .orderBy("doc_id")
+        
     )
 
 
@@ -132,7 +131,6 @@ SELECT s.doc_id,
 FROM sh s JOIN bench_sh b USING (shingle)
 WHERE NOT s.is_bench
 GROUP BY s.doc_id
-ORDER BY s.doc_id
 """
 
 
@@ -166,7 +164,6 @@ def q_curate_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("long").alias("n_docs"),
             F.expr("n_pow_u * 1000000000L div z").alias("weight_ppb"),
         )
-        .orderBy("lang")
     )
 
 
@@ -183,7 +180,6 @@ SELECT lang, n_docs,
        CAST((n_pow_u * 1000000000) // (SELECT sum(n_pow_u) FROM p) AS BIGINT)
            AS weight_ppb
 FROM p
-ORDER BY lang
 """
 
 
@@ -206,7 +202,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     snapshot = docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fingerprint"))
     prior = snapshot.where(F.col("doc_id") % 2 == 0).select("fingerprint")
-    return incremental_dedup(snapshot, prior).orderBy("doc_id")
+    return incremental_dedup(snapshot, prior)
 
 
 SQL_DEDUP_INCREMENTAL = r"""
@@ -224,7 +220,6 @@ prior AS (
 )
 SELECT s.doc_id, s.fingerprint
 FROM survivors s ANTI JOIN prior p USING (fingerprint)
-ORDER BY s.doc_id
 """
 
 

@@ -38,6 +38,15 @@ EXPECT = {
     "mm_resize": (0, 0),
     "text_quality": (0, 0),
     "unpivot_order_metrics": (1, 0),
+    # curation family: the sample+scrub is a pure filter+projection;
+    # decontamination's corpus side pays ONLY its final per-doc
+    # aggregate (benchmark membership set broadcasts; its tiny distinct
+    # is the second exchange); incremental dedup is the survivor
+    # hash-agg + the anti-join against prior fingerprints
+    "curate_sample_scrub": (0, 0),
+    "curate_decontaminate": (2, 1),
+    "dedup_incremental": (2, 1),
+    "curate_mixture_weights": (3, 1),
 }
 
 
