@@ -125,3 +125,106 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 state-v2 API)
+# --------------------------------------------------------------------------
+
+USER_STATS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_cc", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+#: (n_events, sum_value_cc, last_ts_us) — one fixed-width row per key.
+USER_STATS_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value_cc", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def running_user_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (named typed state variables,
+    per-state TTL, timers) that supersedes ``applyInPandasWithState``
+    for new operators.
+
+    Each micro-batch emits the UPDATED cumulative row per user seen in
+    that batch (update semantics, like a continuously-maintained
+    profile table). Values accumulate in exact integer cents so a
+    single-batch run is hash-comparable to a plain batch aggregate.
+
+    Scale design: state is one fixed-width row per key in the
+    state store, hash-partitioned by user — O(active users), not
+    O(events) — and ``state_ttl_ms`` bounds it further by evicting
+    dormant keys (the principled fix for the reference's forever-
+    growing Redis dedup set, reference ``toy_lambda_function.py:48-52``,
+    applied to profile state).
+    """
+    # the state-v2 Python runner speaks protobuf to the JVM; fail at
+    # plan-build time with a clear message instead of a mid-query
+    # worker crash when the dependency is missing (this container
+    # ships pyspark without protobuf)
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "running_user_stats requires transformWithStateInPandas, whose "
+            "Python worker needs the 'protobuf' package (google.protobuf); "
+            "install protobuf, or use sessionize_stateful "
+            "(applyInPandasWithState) which has no such dependency."
+        ) from e
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", USER_STATS_STATE_SCHEMA, ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._stats.exists():
+                n, sum_cc, last_us = self._stats.get()
+            else:
+                n, sum_cc, last_us = 0, 0, -1
+            for pdf in rows:
+                n += len(pdf)
+                sum_cc += int(pdf["value_cc"].sum())
+                last_us = max(last_us, int(pdf["ts_us"].max()))
+            self._stats.update((n, sum_cc, last_us))
+            yield pd.DataFrame(
+                [(key[0], n, sum_cc, last_us)],
+                columns=[f.name for f in USER_STATS_OUTPUT_SCHEMA.fields],
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepped = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.round(F.col(value_col) * 100).cast("long").alias("value_cc"),
+    )
+    return prepped.groupBy("user_id").transformWithStateInPandas(
+        _RunningStats(),
+        outputStructType=USER_STATS_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

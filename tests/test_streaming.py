@@ -275,3 +275,64 @@ def test_dlq_ingest_replay_is_idempotent(spark, tmp_path):
         spark.read.json(staging).count()
         == events.count() - events.where(F.crc32("event_uuid") % 10 == 0).count()
     )
+
+
+def test_running_user_stats_gate_or_run(spark):
+    """transformWithStateInPandas operator: in environments without
+    protobuf (this container) the plan build must fail fast with a
+    clear RuntimeError; with protobuf present it must produce the
+    batch-aggregate-equal per-user totals."""
+    import uuid
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.25),
+         (1, "2024-01-01 01:00:00", 2.50),
+         (2, "2024-01-01 02:00:00", 3.0)],
+        "user_id bigint, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            running_user_stats(ev)
+        return
+
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(d)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, value double"
+    ).parquet(d)
+    name = f"tws_{uuid.uuid4().hex[:6]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.sum_value_cc)
+        for r in spark.table(name).collect()
+    }
+    assert got == {1: (2, 375), 2: (1, 300)}
