@@ -280,3 +280,88 @@ def sample_frames_stub(df: DataFrame, every_n_bytes: int = 64,
         df.select("doc_id", F.explode(frames).alias("f"))
         .select("doc_id", "f.frame_idx", "f.frame_bytes")
     )
+
+
+# --------------------------------------------------------------------------
+# Audio (REAL in-repo WAV codec — the audio twin of the PNG path)
+# --------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_abs", T.LongType(), True),
+    ]
+)
+
+#: keep the synthetic clips small: 8 kHz, 256..1279 samples (32-160 ms)
+_WAV_RATE = 8000
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL (decodable) PCM16 WAV payload per row whose
+    samples are a pure integer function of the id —
+    ``n = 256 + id % 1024``, ``s[i] = (i * (id + 3)) % 65536 - 32768``
+    at 8 kHz mono. Because every decoded feature is integer arithmetic
+    on the id, a SQL oracle can hash-check the REAL decode path
+    (including mean absolute amplitude) without parsing RIFF itself."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import wav_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 256 + d % 1024
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * (d + 3)) % 65536 - 32768).astype(np.int16)
+                rows.append((d, wav_codec.encode_wav(s, _WAV_RATE)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        op, PNG_PAYLOAD_SCHEMA
+    )
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode over Arrow batches: RIFF header fields +
+    per-clip mean absolute amplitude (integer floor-division, so the
+    value is exact and cross-engine checkable). Non-WAV payloads raise
+    the codec's loud error — garbage audio must not silently pass a
+    feature extractor."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import wav_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                samples, rate = wav_codec.decode_wav(payload)
+                n = int(samples.shape[0])
+                mean_abs = (
+                    int(np.abs(samples.astype(np.int64)).sum()) // n if n else 0
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(payload),
+                        rate,
+                        n,
+                        n * 1000 // rate,
+                        mean_abs,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, AUDIO_FEATURE_SCHEMA)

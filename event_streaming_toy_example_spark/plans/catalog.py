@@ -123,6 +123,8 @@ FAMILY_REP: dict[str, str] = {
     # arithmetically-oracle-checked dims) is the rep; the fake-decode
     # plumbing twin moves to EXTENDED
     "mm_media_features": "mm_png_decode",
+    # audio twin of the real-decode rep (in-repo WAV codec)
+    "mm_wav_decode": "mm_png_decode",
     # round-2 demotions freeing driver slots for the curation family:
     # per-vector array-expression stats are the shuffle-free surface twin
     # of the brute-force cosine fold over the same embedding column

@@ -223,11 +223,56 @@ FROM survivors s ANTI JOIN prior p USING (fingerprint)
 """
 
 
+# --------------------------------------------------------------------------
+# Real audio decode (in-repo WAV codec)
+# --------------------------------------------------------------------------
+
+
+def q_mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end: per-doc PCM16 WAV payloads (in-repo
+    RIFF codec, samples a pure integer function of the id) -> Arrow
+    `mapInPandas` decode -> header fields + exact integer mean absolute
+    amplitude. The oracle reproduces every feature arithmetically from
+    the id — so a wrong byte anywhere in encode OR decode flips the
+    driver's value hash (the audio twin of ``mm_png_decode``)."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(attach_wav_payload(docs))
+
+
+SQL_MM_WAV_DECODE = """
+WITH base AS (
+  SELECT doc_id, 256 + doc_id % 1024 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM base
+),
+m AS (
+  SELECT doc_id,
+         CAST(sum(abs((i * (doc_id + 3)) % 65536 - 32768)) // count(*)
+              AS BIGINT) AS mean_abs
+  FROM s GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(44 + 2 * b.n AS BIGINT) AS n_bytes,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(b.n AS BIGINT) AS n_samples,
+       CAST(b.n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       m.mean_abs
+FROM base b JOIN m USING (doc_id)
+"""
+
+
 EXT7_QUERIES = {
     "curate_sample_scrub": q_curate_sample_scrub,
     "curate_decontaminate": q_curate_decontaminate,
     "curate_mixture_weights": q_curate_mixture_weights,
     "dedup_incremental": q_dedup_incremental,
+    "mm_wav_decode": q_mm_wav_decode,
 }
 
 EXT7_ORACLES = {
@@ -235,4 +280,5 @@ EXT7_ORACLES = {
     "curate_decontaminate": _sql_curate_decontaminate(),
     "curate_mixture_weights": SQL_CURATE_MIXTURE_WEIGHTS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "mm_wav_decode": SQL_MM_WAV_DECODE,
 }

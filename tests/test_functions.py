@@ -334,3 +334,52 @@ def test_resize_stub_bytes_and_gate(spark, docs):
         assert r["stride"] == stride
         assert bytes(r["payload_resized"]) == b[::stride]
         assert r["resized_n_bytes"] == len(b[::stride]) <= 128
+
+
+def test_wav_codec_roundtrip_and_gates():
+    import numpy as np
+    import pytest
+
+    from event_streaming_toy_example_spark.functions import wav_codec
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32767, 500, dtype=np.int16)
+    payload = wav_codec.encode_wav(mono, 16000)
+    assert wav_codec.is_wav(payload)
+    out, rate = wav_codec.decode_wav(payload)
+    assert rate == 16000 and np.array_equal(out, mono)
+
+    stereo = rng.integers(-32768, 32767, (300, 2), dtype=np.int16)
+    out2, rate2 = wav_codec.decode_wav(wav_codec.encode_wav(stereo, 44100))
+    assert out2.shape == (300, 2) and np.array_equal(out2, stereo)
+
+    assert not wav_codec.is_wav(b"PK\x03\x04whatever")
+    with pytest.raises(ValueError):
+        wav_codec.decode_wav(b"RIFF")
+    # 8-bit / non-PCM content must refuse loudly, not misread
+    bad = bytearray(wav_codec.encode_wav(mono, 8000))
+    bad[20] = 3  # audio_format = IEEE float
+    with pytest.raises(NotImplementedError):
+        wav_codec.decode_wav(bytes(bad))
+
+
+def test_wav_decode_features(spark, docs):
+    import numpy as np
+
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_wav_payload,
+        extract_audio_features,
+    )
+
+    some = docs.limit(8)
+    out = {r.doc_id: r for r in extract_audio_features(attach_wav_payload(some)).collect()}
+    assert len(out) == 8
+    for d, r in out.items():
+        n = 256 + d % 1024
+        assert r.n_samples == n
+        assert r.sample_rate == 8000
+        assert r.n_bytes == 44 + 2 * n
+        assert r.duration_ms == n * 1000 // 8000
+        i = np.arange(n, dtype=np.int64)
+        s = (i * (d + 3)) % 65536 - 32768
+        assert r.mean_abs == int(np.abs(s).sum()) // n
