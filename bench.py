@@ -27,7 +27,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Headline set: one per major engine surface (scan+agg, join, window,
 #: codec+dedup pipeline, LSH dedup, ANN, text, streaming, generator).
+#: Round-2 additions (curation family, incremental dedup, real WAV
+#: decode) extend the list — pre-existing names are unchanged so
+#: BENCH_r{N} stays per-query diffable across rounds.
 HEADLINE = [
+    "curate_sample_scrub",
+    "curate_decontaminate",
+    "dedup_incremental",
+    "mm_wav_decode",
     "agg_pricing_summary",
     "join_revenue_by_nation",
     "join_local_supplier_volume",

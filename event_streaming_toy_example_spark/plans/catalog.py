@@ -125,6 +125,8 @@ FAMILY_REP: dict[str, str] = {
     "mm_media_features": "mm_png_decode",
     # audio twin of the real-decode rep (in-repo WAV codec)
     "mm_wav_decode": "mm_png_decode",
+    # repetition ratio is a quality-signal surface of the text rep
+    "text_repetition": "text_quality",
     # round-2 demotions freeing driver slots for the curation family:
     # per-vector array-expression stats are the shuffle-free surface twin
     # of the brute-force cosine fold over the same embedding column

@@ -267,12 +267,77 @@ FROM base b JOIN m USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# Repetition-ratio quality signal
+# --------------------------------------------------------------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: the fraction of k-token shingle
+    positions whose shingle already occurred earlier in the document —
+    the classic duplicate-n-gram quality filter for training corpora.
+    Emitted in exact parts-per-thousand (integer arithmetic) from two
+    row-local counts: total shingle positions vs distinct shingles
+    (``shingle_array``). Zero exchanges, zero Python."""
+    from event_streaming_toy_example_spark.functions.minhash import shingle_array
+    from event_streaming_toy_example_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(normalize_text(F.col("text"))))
+    total = F.greatest(n_toks - 2, F.lit(1))
+    distinct = F.size(shingle_array(F.col("text"), 3))
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_shingles"),
+        distinct.cast("long").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        # integer floor division on both sides (Spark `div`, DuckDB
+        # `//`): a double division + cast would round differently
+        # across engines
+        F.expr("(1000 * (n_shingles - n_distinct)) div n_shingles").alias(
+            "rep_milli"
+        ),
+    )
+
+
+SQL_TEXT_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         greatest(len(toks) - 2, 1) AS n_shingles,
+         len(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS n_distinct
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST((1000 * (n_shingles - n_distinct)) // n_shingles AS BIGINT)
+           AS rep_milli
+FROM c
+"""
+
+
 EXT7_QUERIES = {
     "curate_sample_scrub": q_curate_sample_scrub,
     "curate_decontaminate": q_curate_decontaminate,
     "curate_mixture_weights": q_curate_mixture_weights,
     "dedup_incremental": q_dedup_incremental,
     "mm_wav_decode": q_mm_wav_decode,
+    "text_repetition": q_text_repetition,
 }
 
 EXT7_ORACLES = {
@@ -281,4 +346,5 @@ EXT7_ORACLES = {
     "curate_mixture_weights": SQL_CURATE_MIXTURE_WEIGHTS,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "mm_wav_decode": SQL_MM_WAV_DECODE,
+    "text_repetition": SQL_TEXT_REPETITION,
 }

@@ -55,3 +55,38 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bktest.ev_b")
         spark.sql("DROP TABLE IF EXISTS bktest.ord_b")
         spark.sql("DROP DATABASE IF EXISTS bktest")
+
+
+def test_bucketed_anti_join_no_shuffle(spark, tmp_path):
+    """The incremental-dedup scale path (docs/PLANS.md): with snapshot
+    and prior-corpus fingerprint tables bucketed on the fingerprint,
+    the left_anti subtraction runs with zero exchanges."""
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkanti LOCATION '{tmp_path / 'wh'}'"
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    snap = docs.select("doc_id", F.md5("text").alias("fingerprint"))
+    prior = snap.where(F.col("doc_id") % 2 == 0).select("fingerprint")
+    write_bucketed(snap, "bkanti.snap_b", "fingerprint", buckets=4)
+    write_bucketed(prior, "bkanti.prior_b", "fingerprint", buckets=4)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(
+            spark,
+            "bkanti.snap_b",
+            "bkanti.prior_b",
+            "fingerprint",
+            "fingerprint",
+            how="left_anti",
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        expected = snap.join(prior, "fingerprint", "left_anti").count()
+        assert j.count() == expected and expected > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkanti.snap_b")
+        spark.sql("DROP TABLE IF EXISTS bkanti.prior_b")
+        spark.sql("DROP DATABASE IF EXISTS bkanti")
