@@ -47,6 +47,10 @@ EXPECT = {
     "curate_decontaminate": (2, 1),
     "dedup_incremental": (2, 1),
     "curate_mixture_weights": (3, 1),
+    # row-local quality signal and Arrow-batched audio decode: no
+    # exchanges at any scale
+    "text_repetition": (0, 0),
+    "mm_wav_decode": (0, 0),
 }
 
 
