@@ -100,6 +100,9 @@ FAMILY_REP: dict[str, str] = {
     "window_sliding_counts": "stream_hourly_counts",
     # latest-row-per-key family: CDC upsert is the harder form
     "latest_event_per_user": "upsert_events_cdc",
+    # table-maintenance family: SCD2 validity-interval history is the
+    # versioned-dimension surface of the CDC rep
+    "scd2_event_type": "upsert_events_cdc",
     # tokenize+topk composition of two checked families
     "text_term_topk": "text_token_stats",
     # SQL-surface twin of the DataFrame decorrelated form

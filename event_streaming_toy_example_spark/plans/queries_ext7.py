@@ -331,6 +331,56 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# SCD2 dimension history
+# --------------------------------------------------------------------------
+
+
+def q_scd2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's
+    event_type: change detection (consecutive duplicates open no new
+    version) + validity intervals, via ``operators/upsert.scd2_history``
+    — one key-partitioned shuffle for both window passes."""
+    from event_streaming_toy_example_spark.operators.upsert import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_history(
+        ev, keys=["user_id"], ts_col="ts", attr_cols=["event_type"],
+        tie_col="event_id",
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+SQL_SCD2_EVENT_TYPE = """
+WITH v AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+  FROM events
+),
+keep AS (
+  SELECT user_id, event_type, ts, event_id FROM v
+  WHERE prev_et IS NULL OR event_type IS DISTINCT FROM prev_et
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(lead(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+           AS valid_to_us,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+           AS is_current
+FROM keep
+"""
+
+
 EXT7_QUERIES = {
     "curate_sample_scrub": q_curate_sample_scrub,
     "curate_decontaminate": q_curate_decontaminate,
@@ -338,6 +388,7 @@ EXT7_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "mm_wav_decode": q_mm_wav_decode,
     "text_repetition": q_text_repetition,
+    "scd2_event_type": q_scd2_event_type,
 }
 
 EXT7_ORACLES = {
@@ -347,4 +398,5 @@ EXT7_ORACLES = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "mm_wav_decode": SQL_MM_WAV_DECODE,
     "text_repetition": SQL_TEXT_REPETITION,
+    "scd2_event_type": SQL_SCD2_EVENT_TYPE,
 }

@@ -297,3 +297,36 @@ def test_sketch_quantiles_close_to_exact(spark):
     for prio, (a50, a90, a99) in approx.items():
         for a, e in zip((a50, a90, a99), exact[prio]):
             assert abs(a - e) / e < 0.01, (prio, a, e)
+
+
+def test_scd2_history_semantics(spark):
+    from event_streaming_toy_example_spark.operators.upsert import scd2_history
+
+    rows = [
+        # user 1: A A B A -> versions A[10,30) B[30,40) A[40,null)
+        (1, "A", 10, 1), (1, "A", 20, 2), (1, "B", 30, 3), (1, "A", 40, 4),
+        # user 2: single row -> one open version
+        (2, "Z", 5, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, attr string, ts long, event_id long"
+    )
+    out = scd2_history(
+        df, keys=["user_id"], ts_col="ts", attr_cols=["attr"], tie_col="event_id"
+    )
+    # inspect the compiled plan BEFORE execution (post-run, AQE's
+    # re-planned stages can show extra bookkeeping exchanges): both
+    # window passes must share one key-partitioned exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    bcast = plan.count("BroadcastExchange")
+    assert plan.count("Exchange ") - bcast <= 1, plan
+    got = sorted(
+        (r.user_id, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "A", 10, 30, False),
+        (1, "A", 40, None, True),
+        (1, "B", 30, 40, False),
+        (2, "Z", 5, None, True),
+    ]
