@@ -105,6 +105,11 @@ FAMILY_REP: dict[str, str] = {
     "scd2_event_type": "upsert_events_cdc",
     # tokenize+topk composition of two checked families
     "text_term_topk": "text_token_stats",
+    # function-REGISTRATION surfaces of the same text-stats family:
+    # SQL UDFs inline to identical expressions; the Python UDTF is the
+    # documented slow-path table-function surface
+    "sql_udf_text_stats": "text_token_stats",
+    "udtf_word_stats": "text_token_stats",
     # SQL-surface twin of the DataFrame decorrelated form
     "sql_above_avg_orders": "orders_above_cust_avg",
     # deliberately-naive applyInPandas surface twin

@@ -381,6 +381,93 @@ FROM keep
 """
 
 
+# --------------------------------------------------------------------------
+# Function-registration surface (SQL UDFs + Python UDTF)
+# --------------------------------------------------------------------------
+
+
+def q_sql_udf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text stats through REGISTERED SQL UDFs (``functions/registry``):
+    the UDF bodies inline into the plan at analysis time, so this runs
+    as pure codegen'd expressions — registration surface with zero
+    Python and zero plan cost."""
+    import uuid as _uuid
+
+    from event_streaming_toy_example_spark.functions.registry import (
+        register_sql_udfs,
+    )
+
+    register_sql_udfs(spark)
+    view = f"docs_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT doc_id,
+               eng_token_count(text) AS ws_tokens,
+               CAST(length(eng_norm(text)) AS BIGINT) AS norm_chars
+        FROM {view}
+    """)
+
+
+def _sql_sql_udf_text_stats() -> str:
+    from event_streaming_toy_example_spark.plans.queries_ext import SQL_NORM
+
+    norm = SQL_NORM.format(c="text")
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split({norm}, ' '), x -> x <> ''))
+            AS BIGINT) AS ws_tokens,
+       CAST(length({norm}) AS BIGINT) AS norm_chars
+FROM documents
+"""
+
+
+def q_udtf_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc word stats through a REGISTERED Python UDTF consumed via
+    LATERAL — the table-function registration surface. Row-at-a-time
+    Python: deliberately kept off the bench headline (the codegen'd
+    equivalent is an ``explode``; see ``registry`` module docstring),
+    exactly like the ``zscore_grouped_map`` precedent."""
+    import uuid as _uuid
+
+    from event_streaming_toy_example_spark.functions.registry import (
+        register_sql_udfs,
+        register_word_udtf,
+    )
+
+    register_sql_udfs(spark)
+    fn = register_word_udtf(spark)
+    view = f"docs_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    # a SQL UDF cannot appear inside a Generate (LATERAL) argument —
+    # project it first, then explode the projected column
+    return spark.sql(f"""
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(w.word_len) AS BIGINT) AS sum_word_len
+        FROM (SELECT doc_id, eng_norm(text) AS norm FROM {view}) d,
+             LATERAL {fn}(d.norm) w
+        GROUP BY d.doc_id
+    """)
+
+
+def _sql_udtf_word_stats() -> str:
+    from event_streaming_toy_example_spark.plans.queries_ext import SQL_NORM
+
+    norm = SQL_NORM.format(c="text")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split({norm}, ' '), x -> x <> '')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(word)) AS BIGINT) AS sum_word_len
+FROM w
+GROUP BY doc_id
+"""
+
+
 EXT7_QUERIES = {
     "curate_sample_scrub": q_curate_sample_scrub,
     "curate_decontaminate": q_curate_decontaminate,
@@ -389,6 +476,8 @@ EXT7_QUERIES = {
     "mm_wav_decode": q_mm_wav_decode,
     "text_repetition": q_text_repetition,
     "scd2_event_type": q_scd2_event_type,
+    "sql_udf_text_stats": q_sql_udf_text_stats,
+    "udtf_word_stats": q_udtf_word_stats,
 }
 
 EXT7_ORACLES = {
@@ -399,4 +488,6 @@ EXT7_ORACLES = {
     "mm_wav_decode": SQL_MM_WAV_DECODE,
     "text_repetition": SQL_TEXT_REPETITION,
     "scd2_event_type": SQL_SCD2_EVENT_TYPE,
+    "sql_udf_text_stats": _sql_sql_udf_text_stats(),
+    "udtf_word_stats": _sql_udtf_word_stats(),
 }

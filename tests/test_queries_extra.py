@@ -330,3 +330,35 @@ def test_scd2_history_semantics(spark):
         (1, "B", 30, 40, False),
         (2, "Z", 5, None, True),
     ]
+
+
+def test_sql_udf_inlines_to_codegen(spark):
+    """A registered SQL UDF must inline into the calling plan: no
+    Python worker, no BatchEvalPython — the physical plan is identical
+    expression codegen."""
+    from event_streaming_toy_example_spark.functions.registry import (
+        register_sql_udfs,
+    )
+    from event_streaming_toy_example_spark.functions.text import (
+        normalize_text,
+        token_count,
+    )
+
+    register_sql_udfs(spark)
+    df = spark.createDataFrame(
+        [("The QUICK  brown fox!!",), ("  a,b;c  ",), ("",)], ["text"]
+    )
+    df.createOrReplaceTempView("udf_probe")
+    out = spark.sql(
+        "SELECT eng_token_count(text) AS n, eng_norm(text) AS norm,"
+        " eng_cents(1.25) AS c FROM udf_probe"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    want = df.select(
+        token_count(F.col("text")).alias("n"),
+        normalize_text(F.col("text")).alias("norm"),
+    ).collect()
+    got = out.collect()
+    assert [(r.n, r.norm) for r in got] == [(w.n, w.norm) for w in want]
+    assert all(r.c == 125 for r in got)
