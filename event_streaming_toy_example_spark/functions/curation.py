@@ -35,6 +35,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 _GATE_DIGITS = 4
 
 
+
+def _gate_threshold(rate: float) -> str:
+    """Threshold string for an md5-prefix gate. ``rate >= 1`` must keep
+    everything: int(1.0 * 65536) formats to the 5-char '10000', which
+    sorts BELOW most 4-char prefixes ('1' < 'f') — use 'g', which sorts
+    above every hex digit, as the keep-all sentinel instead."""
+    n = int(rate * 16**_GATE_DIGITS)
+    if n >= 16**_GATE_DIGITS:
+        return "g"
+    return format(n, f"0{_GATE_DIGITS}x")
+
+
 def hash_gate(key: Column, rate: float, salt: str = "smp") -> Column:
     """Deterministic membership predicate: True for ~``rate`` of keys.
 
@@ -46,8 +58,7 @@ def hash_gate(key: Column, rate: float, salt: str = "smp") -> Column:
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    buckets = 16**_GATE_DIGITS
-    thr = format(int(rate * buckets), f"0{_GATE_DIGITS}x")
+    thr = _gate_threshold(rate)
     prefix = F.substring(
         F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))),
         1,
@@ -58,8 +69,7 @@ def hash_gate(key: Column, rate: float, salt: str = "smp") -> Column:
 
 def sql_hash_gate(key_expr: str, rate: float, salt: str = "smp") -> str:
     """DuckDB twin of :func:`hash_gate` (same md5-prefix comparison)."""
-    buckets = 16**_GATE_DIGITS
-    thr = format(int(rate * buckets), f"0{_GATE_DIGITS}x")
+    thr = _gate_threshold(rate)
     return (
         f"substring(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), "
         f"1, {_GATE_DIGITS}) < '{thr}'"
@@ -169,4 +179,64 @@ def mixture_weights(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.round(F.col("n_pow") / F.col("z"), 9).alias("weight"),
         )
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "smp",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the consumer of
+    :func:`mixture_weights`: each stratum (language, source) keeps its
+    own ``rates[stratum]`` fraction, selected by the same md5 gate as
+    :func:`hash_sample` so membership is stable under repartitioning,
+    retries, and corpus growth.
+
+    Still a pure FILTER: the per-row threshold is a CASE expression on
+    the stratum column compared against the key's md5 prefix — no
+    shuffle, no RNG state, no per-stratum pass over the data (contrast
+    ``df.sampleBy``, which is per-partition RNG with all three
+    problems).
+    """
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    thr = _gate_threshold
+    threshold = F.lit(thr(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(thr(rate))
+        ).otherwise(threshold)
+    prefix = F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))),
+        1,
+        _GATE_DIGITS,
+    )
+    return df.where(prefix < threshold)
+
+
+def sql_stratified_gate(
+    key_expr: str,
+    strata_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "smp",
+) -> str:
+    """DuckDB twin of :func:`stratified_hash_sample`'s predicate."""
+    thr = _gate_threshold
+    case = f"'{thr(default_rate)}'"
+    for stratum, rate in sorted(rates.items()):
+        case = (
+            f"CASE WHEN {strata_expr} = '{stratum}' THEN '{thr(rate)}' "
+            f"ELSE {case} END"
+        )
+    return (
+        f"substring(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), "
+        f"1, {_GATE_DIGITS}) < {case}"
     )

@@ -110,6 +110,9 @@ FAMILY_REP: dict[str, str] = {
     # documented slow-path table-function surface
     "sql_udf_text_stats": "text_token_stats",
     "udtf_word_stats": "text_token_stats",
+    # per-stratum rates are the mixture-consuming variant of the
+    # hash-gate sampling rep
+    "curate_stratified_sample": "curate_sample_scrub",
     # SQL-surface twin of the DataFrame decorrelated form
     "sql_above_avg_orders": "orders_above_cust_avg",
     # deliberately-naive applyInPandas surface twin

@@ -468,6 +468,40 @@ GROUP BY doc_id
 """
 
 
+def q_curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (flattened mixture: common
+    languages downsampled, rare kept) — still a pure filter, stable
+    under repartitioning and corpus growth."""
+    from event_streaming_toy_example_spark.functions.curation import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        docs, "doc_id", "lang", _STRATA_RATES, default_rate=0.1
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+
+
+_STRATA_RATES = {"en": 0.25, "de": 0.75, "es": 0.5}
+
+
+def _sql_curate_stratified_sample() -> str:
+    from event_streaming_toy_example_spark.functions.curation import (
+        sql_stratified_gate,
+    )
+
+    gate = sql_stratified_gate("doc_id", "lang", _STRATA_RATES, default_rate=0.1)
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents
+WHERE {gate}
+GROUP BY lang
+"""
+
+
 EXT7_QUERIES = {
     "curate_sample_scrub": q_curate_sample_scrub,
     "curate_decontaminate": q_curate_decontaminate,
@@ -478,6 +512,7 @@ EXT7_QUERIES = {
     "scd2_event_type": q_scd2_event_type,
     "sql_udf_text_stats": q_sql_udf_text_stats,
     "udtf_word_stats": q_udtf_word_stats,
+    "curate_stratified_sample": q_curate_stratified_sample,
 }
 
 EXT7_ORACLES = {
@@ -490,4 +525,5 @@ EXT7_ORACLES = {
     "scd2_event_type": SQL_SCD2_EVENT_TYPE,
     "sql_udf_text_stats": _sql_sql_udf_text_stats(),
     "udtf_word_stats": _sql_udtf_word_stats(),
+    "curate_stratified_sample": _sql_curate_stratified_sample(),
 }

@@ -113,3 +113,30 @@ def test_decontaminate_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_filter_and_consistent(spark):
+    from event_streaming_toy_example_spark.functions.curation import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("g"),
+    )
+    rates = {"s0": 0.1, "s1": 0.5, "s2": 1.0}
+    out = stratified_hash_sample(df, "k", "g", rates)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    per = {r.g: r.n for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["s2"] == 2000            # rate 1.0 keeps everything
+    assert abs(per["s0"] - 200) < 100   # ~10% of 2000
+    assert abs(per["s1"] - 1000) < 150  # ~50% of 2000
+    # a stratum at rate r keeps exactly the rows hash_sample(r) keeps:
+    # the flat and stratified gates are the same deterministic family
+    flat = set(r.k for r in hash_sample(df.where(F.col("g") == "s1"), "k", 0.5).collect())
+    strat = set(r.k for r in out.where(F.col("g") == "s1").collect())
+    assert flat == strat
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, "k", "g", {"s0": 1.2})

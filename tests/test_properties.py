@@ -141,6 +141,7 @@ def test_hash_gate_model_property(spark, keys, rate):
 
     from event_streaming_toy_example_spark.functions.curation import (
         _GATE_DIGITS,
+        _gate_threshold,
         hash_gate,
     )
 
@@ -149,7 +150,7 @@ def test_hash_gate_model_property(spark, keys, rate):
         r.k
         for r in df.where(hash_gate(F.col("k"), rate)).collect()
     }
-    thr = format(int(rate * 16**_GATE_DIGITS), f"0{_GATE_DIGITS}x")
+    thr = _gate_threshold(rate)
     want = {
         k
         for k in set(keys)
