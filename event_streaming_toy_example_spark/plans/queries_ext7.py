@@ -1,16 +1,20 @@
-"""Oracle-checked query catalog — training-data curation family
-(:mod:`event_streaming_toy_example_spark.functions.curation`).
+"""Oracle-checked query catalog — round-2 families.
 
-Three driver-checked entries covering the four curation operators:
+Driver-checked (PRIMARY): the curation operators
+(:mod:`..functions.curation`) — ``curate_sample_scrub`` (hash-gated
+sampling ∘ PII scrub), ``curate_decontaminate`` (broadcast-benchmark
+shingle overlap), ``curate_mixture_weights`` (temperature-scaled
+weights quantized to exact integers so the cross-engine value hash is
+bit-stable — the float-rounding lesson of
+``queries_ext2.q_orders_above_cust_avg``) — and ``dedup_incremental``
+(snapshot-over-snapshot fingerprint dedup).
 
-- ``curate_sample_scrub`` — deterministic hash-gated sampling composed
-  with PII scrubbing (the sample -> scrub head of a curation pipeline).
-- ``curate_decontaminate`` — benchmark-contamination report via shingle
-  overlap against a broadcast benchmark set.
-- ``curate_mixture_weights`` — temperature-scaled source mixture
-  weights, quantized to exact integers so the cross-engine value hash
-  is bit-stable (see the float-rounding lesson in
-  ``queries_ext2.q_orders_above_cust_avg``).
+EXTENDED surface twins (locally oracle-replayed; see
+``plans/catalog.py``): ``curate_stratified_sample``,
+``text_repetition``, ``mm_wav_decode`` (real in-repo WAV decode),
+``scd2_event_type`` (validity-interval dimension history),
+``sql_udf_text_stats`` / ``udtf_word_stats`` (function-registration
+surfaces).
 
 Same conventions as ``queries.py``: identical aliases both sides,
 deterministic output, no floats that re-enter IEEE rounding after an

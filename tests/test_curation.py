@@ -1,7 +1,7 @@
 """Training-data curation operators: deterministic hash sampling,
 benchmark decontamination, PII scrubbing, mixture weighting.
 
-Cross-engine value parity for the three catalog entries is covered by
+Cross-engine value parity for the catalog entries is covered by
 ``tests/test_oracle_parity.py`` (parametrized over the full catalog);
 these tests pin the operator-level semantics and the scale-relevant
 plan properties.
