@@ -98,3 +98,36 @@ def test_enrich_semantics(spark):
     row = enr.limit(1).collect()[0]
     # ISO-8601 UTC string with microseconds
     assert "T" in row["created_datetime"] and "." in row["created_datetime"]
+
+
+def test_stage_once_fingerprint_invalidation(spark, tmp_path):
+    """Staged artifacts must be keyed on source content: same key+dir
+    reuses the staging dir; touching the source data (mtime change)
+    yields a fresh one. The build callable must run only on a miss."""
+    import os
+
+    from event_streaming_toy_example_spark.plans.queries_ext import stage_once
+
+    src = tmp_path / "src"
+    src.mkdir()
+    f = src / "t.parquet"
+    spark.range(5).write.mode("overwrite").parquet(str(f))
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    p1 = stage_once(build, "sotest", str(src))
+    p2 = stage_once(build, "sotest", str(src))
+    assert p1 == p2 and len(calls) == 1
+    assert spark.read.parquet(p1).count() == 3
+
+    # content change at the same path -> new fingerprint -> rebuild
+    part = next(
+        q for q in f.rglob("*.parquet") if q.is_file()
+    )
+    os.utime(part, ns=(1, 1))
+    p3 = stage_once(build, "sotest", str(src))
+    assert p3 != p1 and len(calls) == 2
