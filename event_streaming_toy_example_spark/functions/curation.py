@@ -240,3 +240,37 @@ def sql_stratified_gate(
         f"substring(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), "
         f"1, {_GATE_DIGITS}) < {case}"
     )
+
+
+# ------------------------------------------------------- boilerplate
+
+#: Portable boilerplate patterns (same Java/RE2-safe subset as
+#: PII_PATTERNS): URLs and HTML/XML tags — the first two strip passes
+#: of any web-crawl curation pipeline.
+BOILERPLATE_PATTERNS: dict[str, str] = {
+    "url": r"https?://[A-Za-z0-9./_%+&#?=-]+",
+    "tag": r"<[A-Za-z/][^<>]*>",
+}
+
+
+def strip_boilerplate(text: Column) -> tuple[Column, Column]:
+    """(stripped_text, removal_count) — boilerplate spans are deleted
+    (replaced with a single space so token boundaries survive), counts
+    summed across patterns. Pure codegen'd column expressions, the
+    structural twin of :func:`scrub_pii`."""
+    stripped = text
+    n = F.lit(0)
+    for pat in BOILERPLATE_PATTERNS.values():
+        n = n + F.regexp_count(stripped, F.lit(pat))
+        stripped = F.regexp_replace(stripped, pat, " ")
+    return stripped, n.cast("long")
+
+
+def sql_strip_boilerplate(text_expr: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`strip_boilerplate`."""
+    stripped = text_expr
+    counts = []
+    for pat in BOILERPLATE_PATTERNS.values():
+        counts.append(f"len(regexp_extract_all({stripped}, '{pat}'))")
+        stripped = f"regexp_replace({stripped}, '{pat}', ' ', 'g')"
+    return stripped, "CAST(" + " + ".join(counts) + " AS BIGINT)"

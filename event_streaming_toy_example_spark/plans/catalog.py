@@ -113,6 +113,8 @@ FAMILY_REP: dict[str, str] = {
     # per-stratum rates are the mixture-consuming variant of the
     # hash-gate sampling rep
     "curate_stratified_sample": "curate_sample_scrub",
+    # boilerplate stripping is the other regexp-scrub surface
+    "curate_strip_boilerplate": "curate_sample_scrub",
     # SQL-surface twin of the DataFrame decorrelated form
     "sql_above_avg_orders": "orders_above_cust_avg",
     # deliberately-naive applyInPandas surface twin

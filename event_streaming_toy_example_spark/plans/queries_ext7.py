@@ -14,7 +14,7 @@ EXTENDED surface twins (locally oracle-replayed; see
 ``text_repetition``, ``mm_wav_decode`` (real in-repo WAV decode),
 ``scd2_event_type`` (validity-interval dimension history),
 ``sql_udf_text_stats`` / ``udtf_word_stats`` (function-registration
-surfaces).
+surfaces), ``curate_strip_boilerplate`` (URL/HTML stripping).
 
 Same conventions as ``queries.py``: identical aliases both sides,
 deterministic output, no floats that re-enter IEEE rounding after an
@@ -506,6 +506,49 @@ GROUP BY lang
 """
 
 
+def q_curate_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/HTML boilerplate stripping over a deterministically
+    "webified" corpus (a URL and a tag injected per doc, keyed on the
+    id, so both engines strip real spans) — the structural twin of
+    ``curate_sample_scrub``; zero exchanges."""
+    from event_streaming_toy_example_spark.functions.curation import (
+        strip_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    webified = docs.withColumn(
+        "web_text",
+        F.concat(
+            F.lit("<p class=x>"),
+            F.col("text"),
+            F.lit("</p> see https://example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    stripped, n = strip_boilerplate(F.col("web_text"))
+    return webified.select(
+        "doc_id",
+        stripped.alias("clean_text"),
+        n.alias("n_removed"),
+    )
+
+
+def _sql_curate_strip_boilerplate() -> str:
+    from event_streaming_toy_example_spark.functions.curation import (
+        sql_strip_boilerplate,
+    )
+
+    web = ("'<p class=x>' || text || '</p> see https://example.org/doc/' || "
+           "CAST(doc_id AS VARCHAR)")
+    stripped, n = sql_strip_boilerplate(web)
+    return f"""
+SELECT doc_id,
+       {stripped} AS clean_text,
+       {n} AS n_removed
+FROM documents
+"""
+
+
 EXT7_QUERIES = {
     "curate_sample_scrub": q_curate_sample_scrub,
     "curate_decontaminate": q_curate_decontaminate,
@@ -517,6 +560,7 @@ EXT7_QUERIES = {
     "sql_udf_text_stats": q_sql_udf_text_stats,
     "udtf_word_stats": q_udtf_word_stats,
     "curate_stratified_sample": q_curate_stratified_sample,
+    "curate_strip_boilerplate": q_curate_strip_boilerplate,
 }
 
 EXT7_ORACLES = {
@@ -530,4 +574,5 @@ EXT7_ORACLES = {
     "sql_udf_text_stats": _sql_sql_udf_text_stats(),
     "udtf_word_stats": _sql_udtf_word_stats(),
     "curate_stratified_sample": _sql_curate_stratified_sample(),
+    "curate_strip_boilerplate": _sql_curate_strip_boilerplate(),
 }

@@ -140,3 +140,23 @@ def test_stratified_sample_is_filter_and_consistent(spark):
     assert flat == strat
     with pytest.raises(ValueError):
         stratified_hash_sample(df, "k", "g", {"s0": 1.2})
+
+
+def test_strip_boilerplate(spark):
+    from event_streaming_toy_example_spark.functions.curation import (
+        strip_boilerplate,
+    )
+
+    rows = [
+        ("see <a href=x>link</a> at https://ex.org/p?q=1 end", 3),
+        ("plain text, no markup at all", 0),
+        ("<div><p>nested</p></div>", 4),
+    ]
+    df = spark.createDataFrame(rows, ["text", "expected"])
+    stripped, n = strip_boilerplate(F.col("text"))
+    out = df.select("expected", n.alias("n"), stripped.alias("s")).collect()
+    for r in out:
+        assert r.n == r.expected, r
+        assert "<" not in r.s and "https://" not in r.s
+    # token boundaries survive (spans replaced by a space, not deleted)
+    assert "link" in out[0].s and "nested" in out[2].s
