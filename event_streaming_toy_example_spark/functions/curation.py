@@ -36,6 +36,20 @@ _GATE_DIGITS = 4
 
 
 
+#: Sentinel hashed in place of a NULL key so the gate is engine-identical:
+#: Spark's ``concat_ws`` silently skips NULLs (all NULL keys would hash as
+#: ``md5(salt)``) while SQL ``||`` nulls the whole expression (all NULL
+#: keys would be dropped). Coalescing to one printable sentinel on BOTH
+#: sides makes NULL-key rows a single stable pseudo-random bucket.
+_NULL_KEY = "<NULL>"
+
+
+def _sq(value: str) -> str:
+    """Escape a value for interpolation into a single-quoted SQL string
+    literal (the oracle twins build SQL by string formatting)."""
+    return value.replace("'", "''")
+
+
 def _gate_threshold(rate: float) -> str:
     """Threshold string for an md5-prefix gate. ``rate >= 1`` must keep
     everything: int(1.0 * 65536) formats to the 5-char '10000', which
@@ -60,7 +74,13 @@ def hash_gate(key: Column, rate: float, salt: str = "smp") -> Column:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     thr = _gate_threshold(rate)
     prefix = F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.coalesce(key.cast("string"), F.lit(_NULL_KEY)),
+            )
+        ),
         1,
         _GATE_DIGITS,
     )
@@ -68,10 +88,12 @@ def hash_gate(key: Column, rate: float, salt: str = "smp") -> Column:
 
 
 def sql_hash_gate(key_expr: str, rate: float, salt: str = "smp") -> str:
-    """DuckDB twin of :func:`hash_gate` (same md5-prefix comparison)."""
+    """DuckDB twin of :func:`hash_gate` (same md5-prefix comparison,
+    same NULL-key sentinel)."""
     thr = _gate_threshold(rate)
     return (
-        f"substring(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), "
+        f"substring(md5('{_sq(salt)}:' || "
+        f"coalesce(CAST({key_expr} AS VARCHAR), '{_NULL_KEY}')), "
         f"1, {_GATE_DIGITS}) < '{thr}'"
     )
 
@@ -214,7 +236,13 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(thr(rate))
         ).otherwise(threshold)
     prefix = F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(salt),
+                F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY)),
+            )
+        ),
         1,
         _GATE_DIGITS,
     )
@@ -233,11 +261,12 @@ def sql_stratified_gate(
     case = f"'{thr(default_rate)}'"
     for stratum, rate in sorted(rates.items()):
         case = (
-            f"CASE WHEN {strata_expr} = '{stratum}' THEN '{thr(rate)}' "
+            f"CASE WHEN {strata_expr} = '{_sq(stratum)}' THEN '{thr(rate)}' "
             f"ELSE {case} END"
         )
     return (
-        f"substring(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), "
+        f"substring(md5('{_sq(salt)}:' || "
+        f"coalesce(CAST({key_expr} AS VARCHAR), '{_NULL_KEY}')), "
         f"1, {_GATE_DIGITS}) < {case}"
     )
 

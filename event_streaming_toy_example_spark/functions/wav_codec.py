@@ -86,6 +86,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             f"non-canonical chunk layout (fmt_size={fmt_size}, "
             f"next_chunk={data_tag!r})"
         )
+    block_align = channels * (bits // 8)
+    if len(payload) - _HDR.size < data_size:
+        raise ValueError(
+            f"truncated WAV: data chunk declares {data_size} bytes but "
+            f"only {len(payload) - _HDR.size} present"
+        )
+    if data_size % block_align != 0:
+        raise ValueError(
+            f"corrupt WAV: data size {data_size} is not a multiple of "
+            f"block align {block_align}"
+        )
     body = payload[_HDR.size : _HDR.size + data_size]
     samples = np.frombuffer(body, dtype="<i2")
     if channels > 1:

@@ -621,10 +621,13 @@ def _source_fingerprint(sf_dir: str) -> str:
     """Content fingerprint of the testdata dir (names+sizes+mtimes), so
     a staged copy is invalidated when the data at the same path changes."""
     parts = []
-    for root, _dirs, files in os.walk(sf_dir):
+    for root, dirs, files in os.walk(sf_dir):
+        dirs.sort()
         for fn in sorted(files):
-            st = os.stat(os.path.join(root, fn))
-            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+            full = os.path.join(root, fn)
+            st = os.stat(full)
+            rel = os.path.relpath(full, sf_dir)
+            parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 

@@ -177,15 +177,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     # prefer fixing the type at the scan (keeps ts predicate pushdown
-    # intact); the cast loop below only fires if this conf is unavailable
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # intact); the cast loop below only fires if this conf is unavailable.
+    # The driver may hand us a session it configured itself, so the confs
+    # must be set here — but save/restore them so a table loader doesn't
+    # permanently change NTZ inference for unrelated reads in the session.
+    wanted = {"spark.sql.parquet.inferTimestampNTZ.enabled": "false"}
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        wanted["spark.sql.legacy.parquet.nanosAsLong"] = "true"
+    saved: dict[str, str | None] = {}
+    for k, v in wanted.items():
+        try:
+            saved[k] = spark.conf.get(k, None)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    df = None
+    try:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # force schema resolution while the confs are active — the scan
+        # schema is fixed at analysis time, so later execution is safe
+        df.schema
+    finally:
+        nano_hit = (
+            df is not None
+            and name == "events"
+            and isinstance(df.schema["ts"].dataType, T.LongType)
+        )
+        for k, prior in saved.items():
+            if k == "spark.sql.legacy.parquet.nanosAsLong" and nano_hit:
+                # the executor-side reader consults this conf at action
+                # time; restoring it would fail the scan of nano data
+                continue
+            if prior is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prior)
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ntz = [
         f.name
         for f in df.schema.fields

@@ -54,6 +54,60 @@ def test_hash_gate_rejects_bad_rate(spark):
         hash_gate(F.lit(1), 1.5)
 
 
+def test_hash_gate_null_key_parity_with_sql_twin(spark):
+    """NULL keys must gate identically in Spark and the DuckDB twin:
+    both coalesce to the same sentinel, so NULL-key rows form one
+    stable bucket (kept or dropped together, same verdict per engine)."""
+    import duckdb
+
+    from event_streaming_toy_example_spark.functions.curation import sql_hash_gate
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], ["id", "k"]
+    )
+    for rate in (0.0, 0.37, 0.82, 1.0):
+        spark_kept = sorted(
+            r.id for r in df.where(hash_gate(F.col("k"), rate)).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(id INT, k VARCHAR)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)",
+            [(1, "a"), (2, None), (3, "b"), (4, None)],
+        )
+        duck_kept = sorted(
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM t WHERE {sql_hash_gate('k', rate)}"
+            ).fetchall()
+        )
+        assert spark_kept == duck_kept, (rate, spark_kept, duck_kept)
+    # NULL-key rows travel together: both in or both out
+    kept = set(r.id for r in df.where(hash_gate(F.col("k"), 0.5)).collect())
+    assert (2 in kept) == (4 in kept)
+
+
+def test_sql_gates_escape_quotes(spark):
+    """Salt/stratum values containing single quotes must not produce
+    malformed oracle SQL."""
+    import duckdb
+
+    from event_streaming_toy_example_spark.functions.curation import (
+        sql_hash_gate,
+        sql_stratified_gate,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k VARCHAR, g VARCHAR)")
+    con.execute("INSERT INTO t VALUES ('x', 'o''brien')")
+    # must parse and run without error
+    con.execute(f"SELECT * FROM t WHERE {sql_hash_gate('k', 0.5, salt=chr(39))}")
+    con.execute(
+        "SELECT * FROM t WHERE "
+        + sql_stratified_gate("k", "g", {"o'brien": 1.0}, salt="s'alt")
+    ).fetchall()
+
+
 def test_scrub_pii_patterns(spark):
     rows = [
         ("reach me at jane.doe+x@corp.example.org thanks", 1),

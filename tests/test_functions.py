@@ -361,6 +361,17 @@ def test_wav_codec_roundtrip_and_gates():
     bad[20] = 3  # audio_format = IEEE float
     with pytest.raises(NotImplementedError):
         wav_codec.decode_wav(bytes(bad))
+    # truncated payload (fewer bytes than the data chunk declares) must
+    # fail loudly, not silently decode fewer samples
+    with pytest.raises(ValueError, match="truncated"):
+        wav_codec.decode_wav(payload[:-10])
+    # data size not a multiple of the sample block must also refuse
+    stereo_payload = bytearray(wav_codec.encode_wav(stereo, 44100))
+    import struct
+
+    struct.pack_into("<I", stereo_payload, 40, 300 * 4 - 2)
+    with pytest.raises(ValueError, match="block align"):
+        wav_codec.decode_wav(bytes(stereo_payload))
 
 
 def test_wav_decode_features(spark, docs):
