@@ -381,9 +381,15 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 
 
 def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join (NOT EXISTS)."""
+    """Anti join (NOT EXISTS): customers with no orders before the
+    cutoff. The testdata gives every customer at least one order over
+    the full 1995-2001 span, so an unrestricted anti join is vacuously
+    empty — the date cutoff makes the anti join's survivor logic
+    observable (hundreds of survivors at sf0.01)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -392,7 +398,9 @@ def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFra
 
 SQL_ANTI_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate < TIMESTAMP '1996-01-01')
 """
 
 
@@ -480,17 +488,40 @@ FROM events GROUP BY 1
 """
 
 
+#: TPC-H order dates (1995-2001) and the synthetic event clock (2024-01)
+#: are disjoint time domains, so a literal ``ts <= o_orderdate`` is
+#: vacuously empty on this testdata. Both engines derive the same
+#: deterministic order event-time inside the event window — day from the
+#: order date (mod the window length), second-of-day from the order key —
+#: so the as-of/range logic is exercised against non-empty answers.
+#: Verified expression-identical across engines (see tests).
+_ORDER_EVENT_TS_SPARK = (
+    "timestamp'2024-01-01 00:00:00' + make_dt_interval("
+    "datediff(o_orderdate, date'1995-01-01') % 30, 0, 0, o_orderkey % 86400)"
+)
+_ORDER_EVENT_TS_SQL = (
+    "TIMESTAMP '2024-01-01 00:00:00'"
+    " + (datediff('day', DATE '1995-01-01', o_orderdate) % 30) * INTERVAL 1 DAY"
+    " + (o_orderkey % 86400) * INTERVAL 1 SECOND"
+)
+
+
 def q_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join composition (Spark lacks a native as-of): for each
-    order, the latest event of that user at-or-before the order date.
+    order, the latest event of that user at-or-before the order's
+    event-time (``_ORDER_EVENT_TS_SPARK`` bridges the disjoint testdata
+    time domains — same expression on both engines).
 
     Implemented as equi-join on user + range filter + ``max_by`` single
     aggregation — one shuffle on the join key, no window sort. At 100 TB
     add a coarse time-bucket to the join key to bound the fan-out.
     """
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    orders = orders.withColumn("o_event_ts", F.expr(_ORDER_EVENT_TS_SPARK))
     ev = load_table(spark, sf_dir, "events")
-    j = orders.join(ev, (orders.o_custkey == ev.user_id) & (ev.ts <= orders.o_orderdate))
+    j = orders.join(
+        ev, (orders.o_custkey == ev.user_id) & (ev.ts <= orders.o_event_ts)
+    )
     return (
         j.groupBy("o_orderkey")
         .agg(
@@ -502,13 +533,15 @@ def q_asof_last_event_before_order(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-SQL_ASOF_LAST_EVENT_BEFORE_ORDER = """
-WITH j AS (
+SQL_ASOF_LAST_EVENT_BEFORE_ORDER = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, {_ORDER_EVENT_TS_SQL} AS o_event_ts
+  FROM orders WHERE o_custkey < 150
+), j AS (
   SELECT o_orderkey, ts, event_id,
          row_number() OVER (PARTITION BY o_orderkey
                             ORDER BY ts DESC, event_id DESC) AS rn
-  FROM orders JOIN events ON o_custkey = user_id AND ts <= o_orderdate
-  WHERE o_custkey < 150
+  FROM o JOIN events ON o_custkey = user_id AND ts <= o_event_ts
 )
 SELECT o_orderkey, epoch_us(ts) AS last_event_ts_us, event_id AS last_event_id
 FROM j WHERE rn = 1

@@ -458,8 +458,12 @@ FROM ranked WHERE rank <= 5
 
 
 def q_sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold 0.35: the synthetic embeddings top out near cosine 0.47
+    within a label block, so higher thresholds make the answer vacuously
+    empty (0.35 keeps ~14 pairs at sf0.001 / ~26 at sf0.01 — the
+    thresholding logic is actually exercised)."""
     embs = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(embs, block_col="label", threshold=0.5)
+    return embedding_near_dup_pairs(embs, block_col="label", threshold=0.35)
 
 
 SQL_SIM_EMBEDDING_NEAR_DUP = f"""
@@ -467,7 +471,7 @@ SELECT q.vec_id AS id_a, c.vec_id AS id_b, q.label,
        {_SIM_COSINE_SQL} AS cosine
 FROM embeddings q JOIN embeddings c
   ON q.label = c.label AND q.vec_id < c.vec_id
-WHERE {_SIM_COSINE_SQL} >= 0.5
+WHERE {_SIM_COSINE_SQL} >= 0.35
 """
 
 
@@ -479,7 +483,7 @@ def q_sim_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin above is the hash-checked entry)."""
     embs = load_table(spark, sf_dir, "embeddings")
     dim = len(embs.select("embedding").first()["embedding"])
-    return embedding_near_dup_pairs(embs, threshold=0.5, dim=dim, bits=6, n_tables=8)
+    return embedding_near_dup_pairs(embs, threshold=0.35, dim=dim, bits=6, n_tables=8)
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

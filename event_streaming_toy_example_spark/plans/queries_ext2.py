@@ -197,15 +197,22 @@ FROM events GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
 
 def q_setop_purchasers_no_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    a = ev.where(F.col("event_type") == "purchase").select("user_id")
-    b = ev.where(F.col("event_type") == "error").select("user_id")
+    # scoped to the final days of the event window: over the full span
+    # every user hits every event type (~67 events/user), which makes an
+    # unrestricted EXCEPT vacuously empty — the window keeps real
+    # survivors (4 at sf0.001, 37 at sf0.01) so set semantics are checked
+    recent = ev.where(F.col("ts") >= F.lit("2024-01-28").cast("timestamp"))
+    a = recent.where(F.col("event_type") == "purchase").select("user_id")
+    b = recent.where(F.col("event_type") == "error").select("user_id")
     return a.subtract(b)
 
 
 SQL_SETOP_PURCHASERS_NO_ERRORS = """
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-28'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
+SELECT user_id FROM events
+WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-28'
 """
 
 
@@ -216,32 +223,54 @@ SELECT user_id FROM events WHERE event_type = 'error'
 
 def q_range_join_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per order: that user's event count/value in the 7 days up to the
-    order date — equi-join on user + time-range predicate (the range
-    arm stays a post-join filter; the shuffle key is the user)."""
+    order's event-time — equi-join on user + time-range predicate (the
+    range arm stays a post-join filter; the shuffle key is the user).
+    ``_ORDER_EVENT_TS_SPARK`` bridges the disjoint testdata time domains
+    (order dates 1995-2001 vs event clock 2024-01) with the same
+    expression on both engines, so the range logic is checked against a
+    non-empty answer."""
+    from event_streaming_toy_example_spark.plans.queries import (
+        _ORDER_EVENT_TS_SPARK,
+    )
+
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 300)
+    orders = orders.withColumn("o_event_ts", F.expr(_ORDER_EVENT_TS_SPARK))
     ev = load_table(spark, sf_dir, "events")
     j = orders.join(
         ev,
         (orders.o_custkey == ev.user_id)
-        & (ev.ts >= F.col("o_orderdate") - F.expr("INTERVAL 7 DAYS"))
-        & (ev.ts <= F.col("o_orderdate")),
+        & (ev.ts >= F.col("o_event_ts") - F.expr("INTERVAL 7 DAYS"))
+        & (ev.ts <= F.col("o_event_ts")),
     )
+    # integer cents before the cross-row sum: double summation order is
+    # engine-specific, so quantize first (the repo's exact-hash idiom)
     return j.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_events_7d"),
-        F.round(F.sum("value"), 2).alias("value_7d"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_7d_cc"),
     )
 
 
-SQL_RANGE_JOIN_ORDER_ACTIVITY = """
+def _sql_range_join_order_activity() -> str:
+    from event_streaming_toy_example_spark.plans.queries import (
+        _ORDER_EVENT_TS_SQL,
+    )
+
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, {_ORDER_EVENT_TS_SQL} AS o_event_ts
+  FROM orders WHERE o_custkey < 300
+)
 SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_events_7d,
-       round(sum(value), 2) AS value_7d
-FROM orders JOIN events
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_7d_cc
+FROM o JOIN events
   ON user_id = o_custkey
- AND ts >= o_orderdate - INTERVAL 7 DAY
- AND ts <= o_orderdate
-WHERE o_custkey < 300
+ AND ts >= o_event_ts - INTERVAL 7 DAY
+ AND ts <= o_event_ts
 GROUP BY 1
 """
+
+
+SQL_RANGE_JOIN_ORDER_ACTIVITY = _sql_range_join_order_activity()
 
 
 # --------------------------------------------------------------------------

@@ -109,6 +109,10 @@ def test_query_matches_oracle(spark, duck, name):
     d_rows = res.fetchall()
 
     assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    # a 0-row "pass" verifies nothing (round 2 shipped four such vacuous
+    # greens) — every oracle-checked query must have a non-empty answer
+    # on the oracle SF so the comparison actually exercises values
+    assert len(s_rows) > 0, f"{name}: vacuous zero-row result"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} (spark) != {len(d_rows)} (duckdb)"
     )
