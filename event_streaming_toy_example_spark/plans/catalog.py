@@ -76,8 +76,12 @@ FAMILY_REP: dict[str, str] = {
     # merged (shared per-key aggregate computes both):
     "pipe_dup_count": "pipe_metrics",
     "pipe_error_ratio": "pipe_metrics",
-    # approx-distinct family: custom-HLL entry is the rep
-    "approx_distinct_users": "sketch_hll_users",
+    # approx-distinct family: the exact count-distinct twin is the rep
+    # (round 3: swapped so the family gets a VALUE-hash driver verdict —
+    # the HLL sketch is engine-specific and could only ever be
+    # rows-only; its <5% accuracy test carries the sketch evidence)
+    "approx_distinct_users": "distinct_users_daily",
+    "sketch_hll_users": "distinct_users_daily",
     # top-k family: window-rank form generalizes global sort+limit
     "sort_topk_orders": "window_top_orders",
     # existence-join family: anti is the rep, semi is its complement
@@ -90,10 +94,13 @@ FAMILY_REP: dict[str, str] = {
     "left_join_order_counts": "full_outer_type_days",
     # broadcast-dim revenue rollup family
     "join_supplier_revenue": "join_revenue_by_nation",
-    # fingerprint family: base fingerprint entry is the rep
-    "text_fingerprint_rolling": "text_fingerprint",
-    # exact count-distinct is the exact twin of the HLL rep
-    "distinct_users_daily": "sketch_hll_users",
+    # fingerprint family: rolled into the token-stats rep for round 3 —
+    # text_fingerprint and text_langid are TEMPORARILY demoted (both
+    # hash-passed rounds 1-2 and stay locally replayed) to free two
+    # driver slots for the orders_above_cust_avg column bisect below
+    "text_fingerprint_rolling": "text_token_stats",
+    "text_fingerprint": "text_token_stats",
+    "text_langid": "text_quality",
     # sessionization family: stateful streaming form is the rep
     "session_window_users": "stream_session_stateful",
     # time-window agg family: streaming tumbling-window rep
@@ -117,6 +124,12 @@ FAMILY_REP: dict[str, str] = {
     "curate_strip_boilerplate": "curate_sample_scrub",
     # SQL-surface twin of the DataFrame decorrelated form
     "sql_above_avg_orders": "orders_above_cust_avg",
+    # round-3 driver-hash bisect: the PRIMARY entry emits keys only and
+    # two sibling probes add price_cc / cust_avg_cc separately (locally
+    # bit-exact for two rounds, driver hash_match=false — one driver run
+    # pins the column). The full 4-column operator stays here, replayed
+    # bit-exactly by tests/test_oracle_parity.py.
+    "orders_above_cust_avg_full": "orders_above_cust_avg",
     # deliberately-naive applyInPandas surface twin
     "zscore_grouped_map": "grouped_zscore_outliers",
     # weighted aggregate is a scan+agg surface variant
