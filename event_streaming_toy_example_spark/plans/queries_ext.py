@@ -758,8 +758,19 @@ FROM events GROUP BY 1, 2
 
 
 def q_gen_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded synthetic generator smoke: distribution over event types
-    (rows-only: the counter-based PRNG is engine-specific by design)."""
+    """Seeded synthetic generator profile (S1/S2): per-type row counts,
+    subtype cardinalities, and field-presence counts of four
+    representative tag-dispatched fields.
+
+    The generator is a pure counter-hash function of (n, seed) —
+    partitioning-independent — so this profile is a fixed table for
+    (20000, 42). The oracle pins it as a VALUES literal: individual
+    event values stay engine-specific (the PRNG construction is ours),
+    but the aggregate invariants are deterministic and hash-checkable,
+    which upgrades the S1/S2 driver verdict from rows-only to a value
+    hash. Field-presence counts cover the taxonomy dispatch: e.g.
+    ``currency`` only on payment events, ``duration`` only on
+    exercise/game/lesson subtypes that declare it."""
     from event_streaming_toy_example_spark.operators.enrich import enrich_events
     from event_streaming_toy_example_spark.sources.generator import generate_events
 
@@ -769,8 +780,47 @@ def q_gen_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.countDistinct("event_subtype").cast("long").alias("n_subtypes"),
+            F.count("event_specifics.score").cast("long").alias("n_score"),
+            F.count("event_specifics.currency").cast("long").alias("n_currency"),
+            F.count("event_specifics.duration").cast("long").alias("n_duration"),
+            F.count("event_specifics.session_id").cast("long").alias("n_session"),
         )
     )
+
+
+#: Expected profile of generate_events(20000, seed=42) — computed once
+#: from the (partitioning-independent) generator and pinned, so any
+#: drift in the taxonomy, tag dispatch, or hash construction flips the
+#: driver hash. Columns: (event_type, n, n_subtypes, n_score,
+#: n_currency, n_duration, n_session).
+_GEN_PROFILE_EXPECTED = [
+    ("account", 1742, 8, 0, 0, 0, 1742),
+    ("exercise", 1757, 5, 1419, 0, 1757, 1419),
+    ("feedback", 1858, 1, 0, 0, 0, 1858),
+    ("game", 1845, 3, 1845, 0, 633, 1845),
+    ("language", 1845, 2, 0, 0, 0, 1845),
+    ("lesson", 1850, 5, 0, 0, 1850, 1850),
+    ("payment", 1902, 1, 0, 1902, 0, 1902),
+    ("rating", 1779, 1, 0, 0, 0, 1779),
+    ("referral", 1857, 3, 0, 0, 0, 1857),
+    ("session", 1751, 3, 0, 0, 0, 1751),
+    ("subscription", 1814, 3, 0, 0, 0, 1814),
+]
+
+SQL_GEN_EVENTS_PROFILE = (
+    "SELECT event_type, CAST(n AS BIGINT) AS n,"
+    " CAST(n_subtypes AS BIGINT) AS n_subtypes,"
+    " CAST(n_score AS BIGINT) AS n_score,"
+    " CAST(n_currency AS BIGINT) AS n_currency,"
+    " CAST(n_duration AS BIGINT) AS n_duration,"
+    " CAST(n_session AS BIGINT) AS n_session FROM (VALUES "
+    + ", ".join(
+        f"('{t}', {n}, {s}, {sc}, {cu}, {du}, {se})"
+        for t, n, s, sc, cu, du, se in _GEN_PROFILE_EXPECTED
+    )
+    + ") AS t(event_type, n, n_subtypes, n_score, n_currency,"
+    " n_duration, n_session)"
+)
 
 
 EXT_QUERIES = {
@@ -813,7 +863,11 @@ EXT_ORACLES = {
     "mm_resize": SQL_MM_RESIZE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "stream_hourly_counts": SQL_STREAM_HOURLY_COUNTS,
-    # sim_lsh_topk, sim_ivf_topk, gen_events_profile: intentionally no
-    # oracle (approximation / seeded PRNG is engine-specific) ->
-    # driver rows-only check (+ accuracy unit tests).
+    # structural profile oracle: aggregate invariants of the seeded
+    # generator pinned as a VALUES literal (individual values stay
+    # engine-specific, the profile is deterministic)
+    "gen_events_profile": SQL_GEN_EVENTS_PROFILE,
+    # sim_lsh_topk, sim_ivf_topk: intentionally no oracle
+    # (approximation by design) -> driver rows-only check
+    # (+ recall/accuracy unit tests).
 }
