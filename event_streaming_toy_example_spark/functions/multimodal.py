@@ -102,6 +102,35 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """BMP twin of :func:`attach_png_payload`: a REAL (decodable) 24-bit
+    BI_RGB BMP per row, dims derived arithmetically from the id —
+    ``w = 12 + id % 40``, ``h = 6 + id % 20`` (different moduli than the
+    PNG attacher so a codec that confuses the two fails the oracle),
+    pixel (y, x, c) = ``(2*x + y + id + c) % 256``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import bmp_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 12 + d % 40, 6 + d % 20
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                arr = ((2 * x + y + d + c) % 256).astype(np.uint8)
+                rows.append((d, bmp_codec.encode_bmp(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        op, PNG_PAYLOAD_SCHEMA
+    )
+
+
 def decode_image_stub(payload: bytes, fake: bool) -> dict:
     """The codec boundary: one payload in, feature dict out.
 
@@ -122,10 +151,18 @@ def decode_image_stub(payload: bytes, fake: bool) -> dict:
             "width": int(digest[:4], 16) % 1920,
             "height": int(digest[4:8], 16) % 1080,
         }
-    from event_streaming_toy_example_spark.functions import png_codec
+    from event_streaming_toy_example_spark.functions import bmp_codec, png_codec
 
     if png_codec.is_png(payload):
         arr = png_codec.decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "digest": digest,
+            "width": int(arr.shape[1]),
+            "height": int(arr.shape[0]),
+        }
+    if bmp_codec.is_bmp(payload):
+        arr = bmp_codec.decode_bmp(payload)
         return {
             "n_bytes": len(payload),
             "digest": digest,
@@ -136,8 +173,8 @@ def decode_image_stub(payload: bytes, fake: bool) -> dict:
         from PIL import Image  # optional; absent in this environment
     except ImportError as exc:
         raise NotImplementedError(
-            "real decode implemented for PNG (in-repo codec); other "
-            "formats need Pillow, which is not installed"
+            "real decode implemented for PNG and BMP (in-repo codecs); "
+            "other formats need Pillow, which is not installed"
         ) from exc
     import io
 

@@ -151,6 +151,9 @@ FAMILY_REP: dict[str, str] = {
     "mm_media_features": "mm_png_decode",
     # audio twin of the real-decode rep (in-repo WAV codec)
     "mm_wav_decode": "mm_png_decode",
+    # second real image format (in-repo 24-bit BMP codec), same
+    # arithmetic-dims oracle construction with different moduli
+    "mm_bmp_decode": "mm_png_decode",
     # repetition ratio is a quality-signal surface of the text rep
     "text_repetition": "text_quality",
     # round-2 demotions freeing driver slots for the curation family:

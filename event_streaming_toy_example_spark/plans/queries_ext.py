@@ -569,6 +569,29 @@ FROM documents
 """
 
 
+def q_mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL image decode format (BMP, in-repo 24-bit BI_RGB
+    codec — header parse + padded-row deinterleave, no compression
+    library): same arithmetic-dims oracle construction as
+    ``mm_png_decode``, different moduli so a codec mix-up fails the
+    hash check."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_bmp_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_bmp_payload(docs), fake=False)
+    return feats.select("doc_id", "width", "height")
+
+
+SQL_MM_BMP_DECODE = """
+SELECT doc_id,
+       CAST(12 + doc_id % 40 AS INT) AS width,
+       CAST(6 + doc_id % 20 AS INT) AS height
+FROM documents
+"""
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: byte-chunk explode, one row per sampled
     frame (deterministic fake decode, so fully oracle-checked)."""
@@ -839,6 +862,7 @@ EXT_QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "mm_media_features": q_mm_media_features,
     "mm_png_decode": q_mm_png_decode,
+    "mm_bmp_decode": q_mm_bmp_decode,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_resize": q_mm_resize,
     "stream_dedup": q_stream_dedup,
@@ -859,6 +883,7 @@ EXT_ORACLES = {
     "sim_embedding_near_dup": SQL_SIM_EMBEDDING_NEAR_DUP,
     "mm_media_features": SQL_MM_MEDIA_FEATURES,
     "mm_png_decode": SQL_MM_PNG_DECODE,
+    "mm_bmp_decode": SQL_MM_BMP_DECODE,
     "mm_frame_sample": SQL_MM_FRAME_SAMPLE,
     "mm_resize": SQL_MM_RESIZE,
     "stream_dedup": SQL_STREAM_DEDUP,
