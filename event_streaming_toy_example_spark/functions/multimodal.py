@@ -366,6 +366,134 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("dhash", T.StringType(), True),
+    ]
+)
+
+#: dHash grid: 8x8 bits from an 8-row x 9-col luminance reduction.
+_DHASH_H, _DHASH_W = 8, 9
+
+
+def attach_scaled_tile_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL BMP payload that is a nearest-neighbor UPSCALE of
+    one of 7 fixed 9x8 "seed tiles" (tile pixel = first md5 byte of
+    ``tile:<class>:<x>:<y>``, class = ``id % 7``; scale =
+    ``(1 + id % 4, 1 + id % 3)``).  Integer block-mean downscale of such
+    an image recovers the seed tile EXACTLY, so every doc of a class
+    has the same perceptual dHash regardless of its pixel dimensions —
+    the ground truth for the image near-dup catalog entry is therefore
+    the pure arithmetic ``doc_id % 7``, which a SQL oracle can compute
+    without decoding a pixel."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import bmp_codec
+
+        tiles = {
+            cls: np.array(
+                [
+                    [
+                        int(
+                            hashlib.md5(
+                                f"tile:{cls}:{x}:{y}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        for x in range(_DHASH_W)
+                    ]
+                    for y in range(_DHASH_H)
+                ],
+                dtype=np.uint8,
+            )
+            for cls in range(7)
+        }
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                tile = tiles[d % 7]
+                sx, sy = 1 + d % 4, 1 + d % 3
+                img = np.repeat(np.repeat(tile, sy, axis=0), sx, axis=1)
+                arr = np.repeat(img[:, :, None], 3, axis=2)
+                rows.append((d, bmp_codec.encode_bmp(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        op, PNG_PAYLOAD_SCHEMA
+    )
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels, Arrow-batched.
+
+    Per payload: decode (in-repo PNG/BMP codecs — same loud gate as
+    ``decode_image_stub``), integer luminance (channel mean), reduce to
+    an 8x9 grid (exact integer block mean when dims divide evenly, else
+    deterministic nearest-neighbor cell sampling), then 64 bits of
+    "is the right neighbor brighter" — the classic dHash.  Scale- and
+    re-encode-invariant for block-constant images, so it groups resized
+    copies of the same picture that byte-level dedup can never see.
+
+    Downstream the hash is an ordinary 16-hex-char column: exact
+    grouping is a hash aggregate (mergeable, O(distinct images)); for
+    Hamming-tolerant matching feed it to the same block-permutation
+    equi-join used by ``minhash.simhash_near_dup_pairs`` — never an
+    all-pairs compare."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import bmp_codec, png_codec
+
+        def decode(payload: bytes) -> "np.ndarray":
+            if png_codec.is_png(payload):
+                return png_codec.decode_png(payload)
+            if bmp_codec.is_bmp(payload):
+                return bmp_codec.decode_bmp(payload)
+            raise NotImplementedError(
+                "image_dhash decodes PNG and BMP (in-repo codecs); other "
+                "formats need Pillow, which is not installed"
+            )
+
+        def reduce_grid(gray: "np.ndarray") -> "np.ndarray":
+            h, w = gray.shape
+            if h % _DHASH_H == 0 and w % _DHASH_W == 0:
+                by, bx = h // _DHASH_H, w // _DHASH_W
+                return (
+                    gray.astype(np.int64)
+                    .reshape(_DHASH_H, by, _DHASH_W, bx)
+                    .sum(axis=(1, 3))
+                    // (by * bx)
+                )
+            ys = (np.arange(_DHASH_H) * h) // _DHASH_H
+            xs = (np.arange(_DHASH_W) * w) // _DHASH_W
+            return gray[np.ix_(ys, xs)].astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode(bytes(payload))
+                h, w = arr.shape[:2]
+                gray = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+                grid = reduce_grid(gray)
+                bits = 0
+                for y in range(_DHASH_H):
+                    for x in range(_DHASH_W - 1):
+                        bits = (bits << 1) | int(grid[y, x + 1] > grid[y, x])
+                rows.append((int(doc_id), w, h, format(bits, "016x")))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, DHASH_SCHEMA)
+
+
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """REAL audio decode over Arrow batches: RIFF header fields +
     per-clip mean absolute amplitude (integer floor-division, so the

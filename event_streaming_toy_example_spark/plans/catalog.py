@@ -66,6 +66,10 @@ from event_streaming_toy_example_spark.plans.queries_ext7 import (
     EXT7_ORACLES,
     EXT7_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext8 import (
+    EXT8_ORACLES,
+    EXT8_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -167,6 +171,17 @@ FAMILY_REP: dict[str, str] = {
     # incremental dedup subsumes the content-hash survivor grouping and
     # adds the cross-snapshot anti-join
     "dedup_exact_docs": "dedup_incremental",
+    # round-3 additions land in EXTENDED while the two bisect probes
+    # hold their PRIMARY slots (all three are value-hash-replayed by
+    # tests/test_oracle_parity.py; promote once the bisect resolves):
+    # frequency sketch joins the HLL in the approx-sketch family, whose
+    # hash-checked rep is the exact distinct-count twin
+    "sketch_cms_heavy_hitters": "distinct_users_daily",
+    # perceptual image dedup consumes the real-decode rep's codec path
+    "mm_dhash_dedup": "mm_png_decode",
+    # sequence packing is a curation-stage surface (window cumsum over
+    # the same sampled/scrubbed corpus the gate rep verifies)
+    "curate_pack_sequences": "curate_sample_scrub",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -178,6 +193,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT5_QUERIES,
     **EXT6_QUERIES,
     **EXT7_QUERIES,
+    **EXT8_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -189,6 +205,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT5_ORACLES,
     **EXT6_ORACLES,
     **EXT7_ORACLES,
+    **EXT8_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

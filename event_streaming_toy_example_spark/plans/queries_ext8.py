@@ -1,0 +1,184 @@
+"""Round-3 additions: frequency sketch, perceptual image dedup,
+sequence packing.
+
+Three operator families a 100 TB training-data pipeline needs that the
+reference (a record-at-a-time event pipeline, ``producer.py:1-173``,
+``toy_lambda_function.py:1-81``) has no analogue for:
+
+- ``sketch_cms_heavy_hitters`` — count-min frequency sketch: bounded-
+  size mergeable counter grid; the shuffle carries O(sketch) rows, not
+  O(data).
+- ``mm_dhash_dedup`` — perceptual difference-hash dedup over REAL
+  decoded pixels (in-repo BMP codec): groups resized copies of the same
+  image that byte-level dedup can never see.
+- ``curate_pack_sequences`` — token-budget sequence packing: the step
+  that turns a curated document set into fixed-budget training
+  sequences, expressed as a per-stratum cumulative-sum window so packs
+  build in parallel per language instead of on one global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from event_streaming_toy_example_spark.schemas import load_table
+
+# ------------------------------------------------- count-min sketch
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts, per user.
+
+    Two passes over ``events``, each collapsing map-side: (1) build the
+    ``depth x width`` sketch (shuffle bounded at ``depth * width`` rows
+    regardless of input size — the sketch property); (2) exact per-key
+    counts (the verification twin a real pipeline wouldn't pay for).
+    Estimates join the BROADCAST sketch against the key set and take the
+    per-key min across hash rows.  ``cms_est >= exact_cnt`` always
+    (count-min never undercounts); equality whenever none of the key's
+    ``depth`` buckets collides.  md5-derived buckets make the estimates
+    engine-identical, so this row is value-hash-checked, not rows-only.
+    """
+    from event_streaming_toy_example_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(exact, sketch, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    return exact.join(est, "user_id").select(
+        F.col("user_id").alias("key"), "exact_cnt", "cms_est"
+    )
+
+
+def _sql_sketch_cms_heavy_hitters() -> str:
+    from event_streaming_toy_example_spark.functions.sketches import (
+        sql_cms_estimates,
+    )
+
+    return sql_cms_estimates("events", "user_id", _CMS_DEPTH, _CMS_WIDTH)
+
+
+# --------------------------------------------- perceptual image dedup
+
+
+def q_mm_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image groups via dHash over REAL decode.
+
+    Pipeline: attach a real BMP per doc (an upscaled copy of one of 7
+    seed tiles — see ``attach_scaled_tile_bmp``), decode + dHash in one
+    Arrow-batched ``mapInPandas`` pass, then ONE hash aggregate on the
+    64-bit hash.  Docs of the same class carry different pixel
+    dimensions (12 scale variants) yet identical dHash, so the groups
+    the engine finds are exactly the arithmetic classes the SQL oracle
+    computes from ``doc_id % 7`` — the real pixel path is value-checked
+    without the oracle decoding anything.
+
+    Scale: the only exchange is the tiny per-hash aggregate
+    (O(distinct images)); decode work is embarrassingly parallel.
+    Hamming-tolerant grouping would reuse the block-permutation
+    equi-join of ``simhash_near_dup_pairs`` on the hash bits."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_scaled_tile_bmp,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = image_dhash(attach_scaled_tile_bmp(docs))
+    return (
+        feats.groupBy("dhash")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("width", "height").alias("n_scales"),
+        )
+        .select("rep_doc_id", "n_docs", "n_scales")
+    )
+
+
+SQL_MM_DHASH_DEDUP = """
+SELECT min(doc_id) AS rep_doc_id,
+       count(*) AS n_docs,
+       count(DISTINCT (doc_id % 4) * 3 + (doc_id % 3)) AS n_scales
+FROM documents
+GROUP BY doc_id % 7
+"""
+
+
+# --------------------------------------------------- sequence packing
+
+#: token budget per training sequence (toy-sized so sf0.01 yields
+#: multiple packs per language)
+_PACK_BUDGET = 2048
+
+
+def q_curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents to fixed-budget
+    training packs, contiguously in ``doc_id`` order within each
+    language stratum.
+
+    A doc joins the pack its cumulative start offset falls in
+    (``pack_id = floor((cumsum - n_tokens) / budget)``) — the
+    deterministic streaming form of greedy packing.  Token counts use
+    the ~4-chars-per-token heuristic on ``n_chars`` (integer, portable);
+    a production pipeline swaps in its tokenizer's counts and the
+    packing plan is unchanged.
+
+    Scale: the window partitions by ``lang``, so each stratum's
+    cumulative sum runs independently — no global sort, no single-
+    partition bottleneck.  A skewed stratum subdivides the same way
+    (window over ``(lang, shard)``), trading pack-boundary slack for
+    parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.ceil(F.col("n_chars") / 4).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+        ).cast("long"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SQL_CURATE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                     - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT lang, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc
+FROM packed GROUP BY lang, pack_id
+"""
+
+
+EXT8_QUERIES = {
+    "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
+    "mm_dhash_dedup": q_mm_dhash_dedup,
+    "curate_pack_sequences": q_curate_pack_sequences,
+}
+
+EXT8_ORACLES = {
+    "sketch_cms_heavy_hitters": _sql_sketch_cms_heavy_hitters(),
+    "mm_dhash_dedup": SQL_MM_DHASH_DEDUP,
+    "curate_pack_sequences": SQL_CURATE_PACK_SEQUENCES,
+}

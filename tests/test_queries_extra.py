@@ -362,3 +362,39 @@ def test_sql_udf_inlines_to_codegen(spark):
     got = out.collect()
     assert [(r.n, r.norm) for r in got] == [(w.n, w.norm) for w in want]
     assert all(r.c == 125 for r in got)
+
+
+def test_pack_sequences_partitions_budget(spark):
+    """Packing invariants: packs are contiguous per lang starting at 0,
+    token totals are conserved, and every doc's start offset falls
+    inside its pack's budget window (the defining property of
+    offset-based packing)."""
+    from event_streaming_toy_example_spark.plans.queries_ext8 import (
+        _PACK_BUDGET,
+        q_curate_pack_sequences,
+    )
+
+    rows = q_curate_pack_sequences(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    want_tokens = {
+        r["lang"]: r["tot"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.ceil(F.col("n_chars") / 4).cast("long")).alias("tot"))
+        .collect()
+    }
+    for lang, packs in per_lang.items():
+        ids = sorted(p["pack_id"] for p in packs)
+        assert ids == list(range(len(ids)))  # contiguous from 0
+        assert sum(p["pack_tokens"] for p in packs) == want_tokens[lang]
+        # docs were assigned by start offset, so no pack can hold more
+        # tokens than budget + the largest single doc that straddles it
+        max_doc = docs.agg(
+            F.max(F.ceil(F.col("n_chars") / 4).cast("long"))
+        ).collect()[0][0]
+        assert all(
+            p["pack_tokens"] <= _PACK_BUDGET + max_doc for p in packs
+        )
