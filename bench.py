@@ -59,6 +59,11 @@ HEADLINE = [
     "mm_media_features",
     "stream_hourly_counts",
     "gen_events_profile",
+    # round-3 additions (appended; pre-existing names unchanged)
+    "mm_bmp_decode",
+    "sketch_cms_heavy_hitters",
+    "mm_dhash_dedup",
+    "curate_pack_sequences",
 ]
 
 

@@ -51,6 +51,14 @@ EXPECT = {
     # exchanges at any scale
     "text_repetition": (0, 0),
     "mm_wav_decode": (0, 0),
+    # count-min: one bounded (d,b) sketch exchange + the two per-key
+    # aggregates; the sketch comes back as a BROADCAST on both joins
+    # (sketch->keys and est->exact), never an O(data) shuffle join
+    "sketch_cms_heavy_hitters": (3, 2),
+    # perceptual dedup: decode+dHash are mapInPandas (no movement);
+    # the only exchange is the per-hash aggregate (countDistinct adds
+    # its expand pass on the same key)
+    "mm_dhash_dedup": (2, 0),
 }
 
 
@@ -96,3 +104,19 @@ def test_agg_pricing_scan_is_pruned_and_pushed(spark):
     assert schemas and len(schemas[0].split(",")) == 6, schemas
     pushed = re.findall(r"PushedFilters: \[(.*?)\]", fmt)
     assert pushed and "l_shipdate" in pushed[0], pushed
+
+
+def test_pack_sequences_single_exchange_reuses_window_partitioning(spark):
+    """Sequence packing must pay exactly ONE shuffle: the (lang, pack_id)
+    aggregate runs on the window's lang-hash partitioning (lang
+    co-locates every (lang, pack_id) group), and the scan reads only the
+    three columns the packing needs."""
+    qs = ALL_QUERIES
+    df = qs["curate_pack_sequences"](spark, SF_DIR)
+    plan, shuffles, bcast = _counts(df)
+    assert shuffles == 1, plan
+    assert "Window" in plan, plan
+    cols = plan.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "doc_id", "lang", "n_chars"
+    }, cols
