@@ -1,0 +1,232 @@
+"""Minimal real GIF87a codec (pure stdlib ``struct`` + numpy).
+
+Third real image format after ``png_codec`` / ``bmp_codec`` (same role,
+same boundary).  The decoder implements the full GIF LZW scheme —
+variable-width codes LSB-first, clear/end codes, dictionary growth to
+12 bits, and the deferred-clear ``next_code`` edge case — so it reads
+GIFs produced by any conforming encoder, not just this module's.
+
+The encoder is spec-valid but deliberately simple: it emits literal
+codes only, interleaving Clear codes before the decoder's dictionary
+would force a code-width bump (the classic "uncompressed GIF" scheme).
+Output is deterministic and byte-stable, which the oracle-checked
+catalog entries require; it trades ~12% size for never exercising the
+encoder-side dictionary.
+
+Scope (documented, asserted): GIF87a/89a, global color table, one
+non-interlaced image frame, no transparency.  That covers what a
+training-data pipeline writes itself; interlaced frames, local color
+tables, and animation raise ``NotImplementedError`` with the
+unsupported feature named; truncated or corrupt streams raise
+``ValueError`` naming the offending structure.
+
+Codec boundary only — the Spark-side plumbing (Arrow batches,
+``mapInPandas`` signatures, schemas) lives in
+``functions/multimodal.py`` and is codec-agnostic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_LSD = struct.Struct("<HHBBB")  # logical screen descriptor (after 6-byte sig)
+_IMG = struct.Struct("<HHHHB")  # image descriptor body (after 0x2C)
+
+_MAX_CODE_WIDTH = 12
+
+
+def is_gif(data: bytes) -> bool:
+    return bytes(data[:6]) in (b"GIF87a", b"GIF89a")
+
+
+# ------------------------------------------------------------- decode
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Full GIF LZW decode: LSB-first variable-width codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    # dictionary as a list of index-tuples; entries < clear are literals
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = bits = 0
+    pos = 0
+    while True:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError(
+                    "truncated GIF: LZW stream ended before the End code"
+                )
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF: LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            # widen when the NEXT code would not fit (deferred at 12 bits)
+            if len(table) == (1 << code_size) and code_size < _MAX_CODE_WIDTH:
+                code_size += 1
+        prev = entry
+        if len(out) > n_pixels:
+            raise ValueError(
+                f"corrupt GIF: LZW produced {len(out)} indices for "
+                f"{n_pixels} pixels"
+            )
+    if len(out) != n_pixels:
+        raise ValueError(
+            f"truncated GIF: {len(out)} of {n_pixels} pixels decoded"
+        )
+    return np.asarray(out, dtype=np.uint8)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a single-frame GIF87a/89a -> uint8 RGB array (h, w, 3)."""
+    payload = bytes(payload)
+    if not is_gif(payload):
+        raise ValueError("not a GIF stream")
+    if len(payload) < 6 + _LSD.size:
+        raise ValueError(f"GIF too short: {len(payload)} bytes")
+    _sw, _sh, packed, _bg, _aspect = _LSD.unpack_from(payload, 6)
+    pos = 6 + _LSD.size
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_len = 2 << (packed & 0x07)
+    gct_end = pos + 3 * gct_len
+    if len(payload) < gct_end:
+        raise ValueError("truncated GIF: global color table cut short")
+    palette = np.frombuffer(payload, np.uint8, 3 * gct_len, pos).reshape(
+        gct_len, 3
+    )
+    pos = gct_end
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: no image descriptor before EOF")
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF: unterminated extension")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer reached with no image frame")
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+    _left, _top, w, h, ipacked = _IMG.unpack_from(payload, pos)
+    pos += _IMG.size
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if w == 0 or h == 0:
+        raise ValueError(f"corrupt GIF: zero image dimension {w}x{h}")
+    if pos >= len(payload):
+        raise ValueError("truncated GIF: missing LZW minimum code size")
+    min_code_size = payload[pos]
+    pos += 1
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"corrupt GIF: LZW min code size {min_code_size}")
+    chunks = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: unterminated image data")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(payload):
+            raise ValueError("truncated GIF: image sub-block cut short")
+        chunks.append(payload[pos : pos + n])
+        pos += n
+    idx = _lzw_decode(b"".join(chunks), min_code_size, w * h)
+    if int(idx.max(initial=0)) >= gct_len:
+        raise ValueError("corrupt GIF: pixel index outside the color table")
+    return palette[idx].reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------------- encode
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode an 8-bit RGB (h, w, 3) or grayscale (h, w) array with at
+    most 256 distinct colors as a single-frame GIF87a.
+
+    Literal-codes-only LZW (see module docstring): every pixel is
+    written as its palette index at ``min_code_size + 1`` bits, with a
+    Clear code re-emitted before the decoder's dictionary would reach
+    the next code width."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <=256 distinct colors, got {len(colors)}")
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    # decoder adds one table entry per code after the first; reset before
+    # its next_code (= 258 + emitted-since-clear - 1) reaches 1 << 9
+    span = (1 << code_size) - (clear + 2)
+    emit(clear)
+    for i, v in enumerate(idx):
+        if i and i % span == 0:
+            emit(clear)
+        emit(int(v))
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+
+    header = b"GIF87a" + _LSD.pack(w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
+    img = b"\x2c" + _IMG.pack(0, 0, w, h, 0) + bytes([mcs])
+    body = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        body.append(len(chunk))
+        body.extend(chunk)
+    body.append(0)
+    return header + palette.tobytes() + img + bytes(body) + b"\x3b"

@@ -151,30 +151,31 @@ def decode_image_stub(payload: bytes, fake: bool) -> dict:
             "width": int(digest[:4], 16) % 1920,
             "height": int(digest[4:8], 16) % 1080,
         }
-    from event_streaming_toy_example_spark.functions import bmp_codec, png_codec
+    from event_streaming_toy_example_spark.functions import (
+        bmp_codec,
+        gif_codec,
+        png_codec,
+    )
 
-    if png_codec.is_png(payload):
-        arr = png_codec.decode_png(payload)
-        return {
-            "n_bytes": len(payload),
-            "digest": digest,
-            "width": int(arr.shape[1]),
-            "height": int(arr.shape[0]),
-        }
-    if bmp_codec.is_bmp(payload):
-        arr = bmp_codec.decode_bmp(payload)
-        return {
-            "n_bytes": len(payload),
-            "digest": digest,
-            "width": int(arr.shape[1]),
-            "height": int(arr.shape[0]),
-        }
+    for probe, decode in (
+        (png_codec.is_png, png_codec.decode_png),
+        (bmp_codec.is_bmp, bmp_codec.decode_bmp),
+        (gif_codec.is_gif, gif_codec.decode_gif),
+    ):
+        if probe(payload):
+            arr = decode(payload)
+            return {
+                "n_bytes": len(payload),
+                "digest": digest,
+                "width": int(arr.shape[1]),
+                "height": int(arr.shape[0]),
+            }
     try:
         from PIL import Image  # optional; absent in this environment
     except ImportError as exc:
         raise NotImplementedError(
-            "real decode implemented for PNG and BMP (in-repo codecs); "
-            "other formats need Pillow, which is not installed"
+            "real decode implemented for PNG, BMP, and GIF87a (in-repo "
+            "codecs); other formats need Pillow, which is not installed"
         ) from exc
     import io
 
@@ -366,6 +367,35 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """GIF twin of :func:`attach_png_payload` / :func:`attach_bmp_payload`:
+    a REAL (decodable) single-frame GIF87a per row — grayscale, so the
+    palette constraint is trivially met — with dims derived
+    arithmetically from the id: ``w = 10 + id % 30``, ``h = 5 + id % 15``
+    (a third moduli pair, so any codec mix-up fails the oracle),
+    pixel (y, x) = ``(3*x + 2*y + id) % 256``."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import gif_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 10 + d % 30, 5 + d % 15
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                arr = ((3 * x + 2 * y + d) % 256).astype(np.uint8)
+                rows.append((d, gif_codec.encode_gif(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        op, PNG_PAYLOAD_SCHEMA
+    )
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
@@ -452,13 +482,17 @@ def image_dhash(df: DataFrame) -> DataFrame:
         from event_streaming_toy_example_spark.functions import bmp_codec, png_codec
 
         def decode(payload: bytes) -> "np.ndarray":
+            from event_streaming_toy_example_spark.functions import gif_codec
+
             if png_codec.is_png(payload):
                 return png_codec.decode_png(payload)
             if bmp_codec.is_bmp(payload):
                 return bmp_codec.decode_bmp(payload)
+            if gif_codec.is_gif(payload):
+                return gif_codec.decode_gif(payload)
             raise NotImplementedError(
-                "image_dhash decodes PNG and BMP (in-repo codecs); other "
-                "formats need Pillow, which is not installed"
+                "image_dhash decodes PNG, BMP, and GIF87a (in-repo "
+                "codecs); other formats need Pillow, which is not installed"
             )
 
         def reduce_grid(gray: "np.ndarray") -> "np.ndarray":

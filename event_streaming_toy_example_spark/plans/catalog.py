@@ -179,6 +179,9 @@ FAMILY_REP: dict[str, str] = {
     "sketch_cms_heavy_hitters": "distinct_users_daily",
     # perceptual image dedup consumes the real-decode rep's codec path
     "mm_dhash_dedup": "mm_png_decode",
+    # third real image format (in-repo GIF87a codec, full LZW decoder),
+    # same arithmetic-dims oracle with a third moduli pair
+    "mm_gif_decode": "mm_png_decode",
     # sequence packing is a curation-stage surface (window cumsum over
     # the same sampled/scrubbed corpus the gate rep verifies)
     "curate_pack_sequences": "curate_sample_scrub",

@@ -110,6 +110,29 @@ GROUP BY doc_id % 7
 """
 
 
+def q_mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL image decode format (GIF87a, in-repo codec with a
+    full LZW decoder): same arithmetic-dims oracle construction as the
+    PNG and BMP entries, a third moduli pair so a codec mix-up fails
+    the hash check."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_gif_payload,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_gif_payload(docs), fake=False)
+    return feats.select("doc_id", "width", "height")
+
+
+SQL_MM_GIF_DECODE = """
+SELECT doc_id,
+       CAST(10 + doc_id % 30 AS INT) AS width,
+       CAST(5 + doc_id % 15 AS INT) AS height
+FROM documents
+"""
+
+
 # --------------------------------------------------- sequence packing
 
 #: token budget per training sequence (toy-sized so sf0.01 yields
@@ -174,11 +197,13 @@ FROM packed GROUP BY lang, pack_id
 EXT8_QUERIES = {
     "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
     "mm_dhash_dedup": q_mm_dhash_dedup,
+    "mm_gif_decode": q_mm_gif_decode,
     "curate_pack_sequences": q_curate_pack_sequences,
 }
 
 EXT8_ORACLES = {
     "sketch_cms_heavy_hitters": _sql_sketch_cms_heavy_hitters(),
     "mm_dhash_dedup": SQL_MM_DHASH_DEDUP,
+    "mm_gif_decode": SQL_MM_GIF_DECODE,
     "curate_pack_sequences": SQL_CURATE_PACK_SEQUENCES,
 }

@@ -1,0 +1,136 @@
+"""GIF87a codec: round-trips, real-LZW interop, refuse paths."""
+
+import numpy as np
+import pytest
+
+from event_streaming_toy_example_spark.functions.gif_codec import (
+    decode_gif,
+    encode_gif,
+    is_gif,
+)
+
+
+def _gradient(h, w, seed=0):
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    return ((3 * x + 2 * y + seed) % 256).astype(np.uint8)
+
+
+def test_roundtrip_grayscale_various_dims():
+    for h, w in [(1, 1), (5, 10), (8, 9), (33, 47), (64, 64)]:
+        arr = _gradient(h, w, seed=h * w)
+        payload = encode_gif(arr)
+        assert is_gif(payload)
+        out = decode_gif(payload)
+        assert out.shape == (h, w, 3)
+        assert (out == np.repeat(arr[:, :, None], 3, axis=2)).all()
+
+
+def test_roundtrip_color_palette():
+    rng = np.random.default_rng(3)
+    # 200 distinct colors repeated over a 30x40 image
+    colors = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, size=(30, 40))
+    arr = colors[idx]
+    out = decode_gif(encode_gif(arr))
+    assert (out == arr).all()
+
+
+def test_too_many_colors_refused():
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert len(np.unique(arr.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(arr)
+
+
+def _lzw_compress(indices, mcs=8):
+    """Reference dictionary-building LZW encoder (bit-for-bit the GIF
+    scheme, including width growth) used ONLY to prove the decoder
+    handles streams this module's literal-only encoder never emits."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = bits = 0
+    code_size = mcs + 1
+
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # the decoder is one entry BEHIND (its first post-clear code adds
+        # nothing), so the encoder widens one add later than the decoder's
+        # "table reached 1<<cs" point: at next_code == (1<<cs) + 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_decoder_handles_real_lzw_with_dictionary_growth():
+    # repetitive data drives real dictionary use incl. the KwKwK case
+    arr = np.tile(_gradient(8, 12, seed=5), (5, 5))  # 40 x 60
+    arr3 = np.repeat(arr[:, :, None], 3, axis=2)
+    # compress the same palette indices encode_gif would assign (indices
+    # into the SORTED unique-color table, not raw gray values)
+    _colors, inv = np.unique(arr3.reshape(-1, 3), axis=0, return_inverse=True)
+    stream = _lzw_compress(inv.reshape(-1))
+    # splice the compressed stream into an encode_gif container
+    container = bytearray(encode_gif(arr))
+    # container layout: 6 sig + 7 LSD + 768 GCT + 10 img desc + 1 mcs
+    head = bytes(container[: 6 + 7 + 768 + 10 + 1])
+    body = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        body.append(len(chunk))
+        body.extend(chunk)
+    body.append(0)
+    payload = head + bytes(body) + b"\x3b"
+    out = decode_gif(payload)
+    assert (out == arr3).all()
+
+
+def test_truncated_and_corrupt_refused():
+    payload = encode_gif(_gradient(9, 11))
+    with pytest.raises(ValueError, match="truncated|short"):
+        decode_gif(payload[: len(payload) // 2])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"JUNK" + payload[4:])
+    # flip the interlace bit in the image descriptor
+    bad = bytearray(payload)
+    img_off = 6 + 7 + 768
+    assert bad[img_off] == 0x2C
+    bad[img_off + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(bad))
+
+
+def test_extension_blocks_are_skipped():
+    payload = bytearray(encode_gif(_gradient(4, 6)))
+    img_off = 6 + 7 + 768
+    # inject a GIF89a-style comment extension before the image descriptor
+    ext = b"\x21\xfe\x05hello\x00"
+    spliced = bytes(payload[:img_off]) + ext + bytes(payload[img_off:])
+    out = decode_gif(spliced)
+    assert out.shape == (4, 6, 3)
