@@ -38,14 +38,27 @@ from event_streaming_toy_example_spark.functions.text import (
 )
 
 
+def _cached_fixture_table(spark, path):
+    """Cache behind a marker column so the cached plan is NOT the bare
+    table relation: Spark's cache manager substitutes any later plan
+    SUBTREE equal to a cached plan, so caching ``read.parquet(path)``
+    itself would silently replace every other test's scan of the same
+    table with the unpruned in-memory copy (breaking column-pruning
+    plan assertions in test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    return df.withColumn("_fixture", F.lit(1)).drop("_fixture").cache()
+
+
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    return _cached_fixture_table(spark, f"{sf_dir}/documents.parquet")
 
 
 @pytest.fixture(scope="module")
 def embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    return _cached_fixture_table(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------- text
