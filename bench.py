@@ -64,6 +64,8 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "mm_dhash_dedup",
     "curate_pack_sequences",
+    "mm_gif_decode",
+    "join_bloom_pruned_revenue",
 ]
 
 

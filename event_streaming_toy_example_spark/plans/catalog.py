@@ -182,6 +182,10 @@ FAMILY_REP: dict[str, str] = {
     # third real image format (in-repo GIF87a codec, full LZW decoder),
     # same arithmetic-dims oracle with a third moduli pair
     "mm_gif_decode": "mm_png_decode",
+    # explicit runtime-filter (bloom-prune) variant of the broadcast
+    # star-join family rep; the bloom's survivor count is part of the
+    # hash-checked output
+    "join_bloom_pruned_revenue": "join_revenue_by_nation",
     # sequence packing is a curation-stage surface (window cumsum over
     # the same sampled/scrubbed corpus the gate rep verifies)
     "curate_pack_sequences": "curate_sample_scrub",

@@ -133,6 +133,92 @@ FROM documents
 """
 
 
+# --------------------------------------------- bloom-filter join prune
+
+_BLOOM_M = 65536  # sized for ~14k dim keys at sf0.1 (~10% FP); a few
+_BLOOM_K = 3      # hundred KB broadcast even fully saturated
+
+
+def q_join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact-dim join: the explicit runtime-filter pattern.
+
+    A selective order set (urgent + late-window) is condensed to a
+    broadcast bloom bit-set; lineitem rows that miss any of the k
+    probe positions are dropped IN THE SCAN STAGE, before any exchange;
+    the exact broadcast join then runs over survivors only.  The output
+    exposes the bloom's own survivor count next to the exact join
+    count, so the driver hash checks the filter itself (a false
+    negative OR a false-positive-rate drift both flip the row), not
+    just the bloom-transparent final answer.  Revenue is summed in
+    integer cents (row-level double math is engine-identical; summation
+    order is not)."""
+    from event_streaming_toy_example_spark.operators.bloomjoin import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dim = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp"))
+    ).select("o_orderkey")
+    bloom = bloom_build(dim, "o_orderkey", _BLOOM_M, _BLOOM_K)
+    pruned = bloom_prune(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        bloom,
+        "l_orderkey",
+        _BLOOM_M,
+        _BLOOM_K,
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    flagged = pruned.join(
+        F.broadcast(dim), pruned["l_orderkey"] == dim["o_orderkey"], "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_bloom_passed"),
+        F.count("o_orderkey").alias("n_joined"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNotNull(), cents)
+        ).alias("revenue_cc"),
+    )
+
+
+def _sql_join_bloom_pruned_revenue() -> str:
+    from event_streaming_toy_example_spark.operators.bloomjoin import (
+        sql_bloom_positions,
+    )
+
+    dim_pos = sql_bloom_positions("o_orderkey", _BLOOM_M, _BLOOM_K)
+    fact_pos = sql_bloom_positions("l_orderkey", _BLOOM_M, _BLOOM_K)
+    union = "\n  UNION ALL ".join(
+        f"SELECT {p} AS p FROM dim" for p in dim_pos
+    )
+    membership = " AND ".join(
+        f"{p} IN (SELECT p FROM bits)" for p in fact_pos
+    )
+    return f"""
+WITH dim AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1998-06-01'
+), bits AS (
+  SELECT DISTINCT p FROM ({union})
+), pruned AS (
+  SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+  WHERE {membership}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bloom_passed,
+       CAST(count(d.o_orderkey) AS BIGINT) AS n_joined,
+       CAST(sum(CASE WHEN d.o_orderkey IS NOT NULL THEN
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           END) AS BIGINT) AS revenue_cc
+FROM pruned LEFT JOIN dim d ON pruned.l_orderkey = d.o_orderkey
+"""
+
+
 # --------------------------------------------------- sequence packing
 
 #: token budget per training sequence (toy-sized so sf0.01 yields
@@ -198,6 +284,7 @@ EXT8_QUERIES = {
     "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
     "mm_dhash_dedup": q_mm_dhash_dedup,
     "mm_gif_decode": q_mm_gif_decode,
+    "join_bloom_pruned_revenue": q_join_bloom_pruned_revenue,
     "curate_pack_sequences": q_curate_pack_sequences,
 }
 
@@ -205,5 +292,6 @@ EXT8_ORACLES = {
     "sketch_cms_heavy_hitters": _sql_sketch_cms_heavy_hitters(),
     "mm_dhash_dedup": SQL_MM_DHASH_DEDUP,
     "mm_gif_decode": SQL_MM_GIF_DECODE,
+    "join_bloom_pruned_revenue": _sql_join_bloom_pruned_revenue(),
     "curate_pack_sequences": SQL_CURATE_PACK_SEQUENCES,
 }

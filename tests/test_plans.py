@@ -59,6 +59,11 @@ EXPECT = {
     # the only exchange is the per-hash aggregate (countDistinct adds
     # its expand pass on the same key)
     "mm_dhash_dedup": (2, 0),
+    # bloom-pruned join: FACT ROWS NEVER SHUFFLE — the one-row bloom
+    # broadcasts into the scan (BroadcastNestedLoopJoin probe) and the
+    # dim broadcasts for the exact join; the three exchanges are all
+    # bounded bloom-build/final-agg aggregations (O(m) and O(1) rows)
+    "join_bloom_pruned_revenue": (3, 2),
 }
 
 
