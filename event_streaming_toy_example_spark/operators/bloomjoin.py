@@ -20,12 +20,16 @@ hash-check not just the final (bloom-transparent) join result but the
 bloom's own survivor count, which would silently hide false-negative
 bugs otherwise.
 
-Representation: the filter is the SORTED ARRAY of distinct set bit
-positions (at most ``m`` ints, one broadcast row).  For the selective
-dimensions this pattern targets (n_keys << m), that is smaller than a
-dense bitmap and keeps the membership probe a pure Catalyst expression:
-``array_contains`` per hash function — no UDF, no Python, stays inside
-whole-stage codegen.
+Representation: the filter is a DENSE ``array<long>`` bitmap of
+``m / 64`` words (one broadcast row, ``m/8`` bytes).  The membership
+probe is ``element_at(words, (pos >> 6) + 1)`` — O(1) array indexing —
+plus a shift/mask, all pure Catalyst expressions inside whole-stage
+codegen.  (The first cut broadcast the sorted array of set positions
+and probed with ``array_contains``; that is a LINEAR scan per probe,
+which at sf0.1 turned a 1 s query into 30 s — measured — and would be
+quadratic-ish at scale.  A position list is only viable for tiny key
+sets; the dense bitmap costs a fixed ``m/8`` bytes and probes O(1)
+regardless of how many keys are set.)
 """
 
 from __future__ import annotations
@@ -56,15 +60,40 @@ def _positions(key: Column, m: int, k: int) -> list[Column]:
 def bloom_build(
     dim: DataFrame, key_col: str, m: int = BLOOM_BITS, k: int = BLOOM_HASHES
 ) -> DataFrame:
-    """Build the filter: ONE row holding the sorted array of set bit
-    positions.  The aggregate is bounded at ``m`` distinct ints no
-    matter how many dim rows feed it (positions dedup in the set), so
-    the build costs one tiny all-to-one aggregation."""
+    """Build the filter: ONE row holding the dense ``m / 64``-word
+    bitmap (``bloom_words: array<long>``).
+
+    Per-word OR-aggregation is bounded at ``m / 64`` groups no matter
+    how many dim rows feed it (map-side partial combine), and the
+    final densification (fill absent words with 0) runs over one
+    bounded row — the build costs one tiny all-to-one aggregation."""
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
     pos = F.array(*_positions(F.col(key_col), m, k))
-    return (
+    words = (
         dim.select(F.explode(pos).alias("p"))
-        .distinct()
-        .agg(F.sort_array(F.collect_list("p")).alias("bloom_bits"))
+        .select(
+            F.shiftrightunsigned(F.col("p"), 6).alias("w"),
+            # column-valued shift amounts need call_function (the Python
+            # shiftleft wrapper only accepts a literal int)
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("w", "bits"))
+        ).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m // 64 - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("wm"), w.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bloom_words")
     )
 
 
@@ -77,17 +106,27 @@ def bloom_prune(
 ) -> DataFrame:
     """Keep only fact rows whose key hits ALL ``k`` bloom positions.
 
-    The one-row filter is broadcast and the probe is ``array_contains``
-    x k inside codegen — fact rows are dropped at the scan stage,
-    before any exchange.  Guarantees a superset of the true matches
-    (no false negatives); follow with the exact join."""
-    probe = _positions(F.col(key_col), m, k)
+    The one-row bitmap is broadcast and each probe is O(1):
+    ``element_at(words, (pos >> 6) + 1)`` then shift/mask — inside
+    codegen, no UDF, independent of how many keys are set.  Fact rows
+    are dropped at the scan stage, before any exchange.  Guarantees a
+    superset of the true matches (no false negatives); follow with the
+    exact join."""
     cond = None
-    for p in probe:
-        c = F.array_contains(F.col("bloom_bits"), p)
+    for p in _positions(F.col(key_col), m, k):
+        word = F.element_at(
+            F.col("bloom_words"),
+            (F.shiftrightunsigned(p, 6) + 1).cast("int"),
+        )
+        c = (
+            F.call_function(
+                "shiftrightunsigned", word, (p % 64).cast("int")
+            ).bitwiseAND(F.lit(1).cast("long"))
+            == 1
+        )
         cond = c if cond is None else (cond & c)
     return (
-        fact.crossJoin(F.broadcast(bloom)).where(cond).drop("bloom_bits")
+        fact.crossJoin(F.broadcast(bloom)).where(cond).drop("bloom_words")
     )
 
 

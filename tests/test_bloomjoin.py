@@ -39,12 +39,12 @@ def test_false_positive_rate_bounded(spark, tables):
     assert 40 <= n_passed <= 40 + 40
 
 
-def test_build_is_bounded_and_sorted(spark, tables):
+def test_build_is_dense_bounded_bitmap(spark, tables):
     dim, _ = tables
-    bits = bloom_build(dim, "key", M, K).collect()[0]["bloom_bits"]
-    assert len(bits) <= min(M, 40 * K)
-    assert bits == sorted(bits)
-    assert all(0 <= b < M for b in bits)
+    words = bloom_build(dim, "key", M, K).collect()[0]["bloom_words"]
+    assert len(words) == M // 64  # dense: O(1) element_at probes
+    set_bits = sum(bin(w & (2**64 - 1)).count("1") for w in words)
+    assert 0 < set_bits <= 40 * K  # k positions per key, minus collisions
 
 
 def test_null_keys_round_trip(spark):
@@ -61,5 +61,5 @@ def test_empty_dim_prunes_everything(spark, tables):
     _, fact = tables
     empty = spark.createDataFrame([], "key bigint")
     bloom = bloom_build(empty, "key", M, K)
-    # collect_list over zero rows -> empty array, nothing can pass
+    # zero dim rows -> all-zero bitmap, nothing can pass
     assert bloom_prune(fact, bloom, "key", M, K).count() == 0
