@@ -66,6 +66,7 @@ HEADLINE = [
     "curate_pack_sequences",
     "mm_gif_decode",
     "join_bloom_pruned_revenue",
+    "sketch_kmv_setops",
 ]
 
 

@@ -126,6 +126,84 @@ def cms_estimate(
     )
 
 
+KMV_K = 64
+#: md5-prefix hash space: 12 hex chars = 48 uniform bits
+_KMV_SPACE = 16**12
+
+
+def kmv_distinct(df: DataFrame, key_col: str, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.,
+    "Counting Distinct Elements in a Data Stream", RANDOM 2002):
+    hash keys uniformly, keep the k smallest distinct hash values; the
+    k-th smallest estimates density, so
+    ``n ~ (k-1) * SPACE / h_(k)``.
+
+    Returns ONE row ``(exact_distinct, kmv_est)``.  The estimate is
+    computed in pure BIGINT arithmetic ((k-1)*2^48 fits comfortably),
+    so unlike HLL it is bit-identical across engines and the catalog
+    entry is value-hash-checked — the only engine-specific part of
+    most sketches (float estimator math) is eliminated by construction.
+    When fewer than k distinct keys exist the sketch degrades to the
+    exact count (it has seen every hash), identically on both sides.
+
+    Scale shape: distinct hash values reduce map-side; the k-smallest
+    selection is a global sort+limit, which Spark compiles to
+    ``TakeOrderedAndProject`` — per-partition heaps merged on the
+    driver, NO shuffle of the distinct set.  The sketch merges by
+    union + re-take-k (union the top-k lists of shards, keep the k
+    smallest), the same property the CMS relies on.
+
+    The ``exact_distinct`` column is the verification twin a real
+    pipeline would not compute; production use returns just the k-list.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit(_NULL_KEY))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashes = df.select(h.alias("h")).distinct()
+    stats = (
+        hashes.orderBy("h")
+        .limit(k)
+        .agg(F.count(F.lit(1)).alias("kc"), F.max("h").alias("hk"))
+    )
+    exact = hashes.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    est = F.when(
+        F.col("kc") < k, F.col("exact_distinct")
+    ).otherwise(F.expr(f"CAST({(k - 1) * _KMV_SPACE} AS BIGINT) div hk"))
+    return exact.crossJoin(stats).select(
+        "exact_distinct", est.alias("kmv_est")
+    )
+
+
+def sql_kmv_distinct(table_expr: str, key_expr: str, k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (same md5 prefix, same
+    integer estimator).  ``table_expr`` is a relation expression (table
+    name or parenthesized subquery)."""
+    key = f"coalesce(CAST({key_expr} AS VARCHAR), '{_NULL_KEY}')"
+    return f"""
+(WITH hashes AS (
+  SELECT DISTINCT ('0x' || substr(md5({key}), 1, 12))::BIGINT AS h
+  FROM {table_expr}
+), topk AS (
+  SELECT h FROM hashes ORDER BY h LIMIT {k}
+), stats AS (
+  SELECT count(*) AS kc, max(h) AS hk FROM topk
+), ex AS (
+  SELECT count(*) AS exact_distinct FROM hashes
+)
+SELECT ex.exact_distinct,
+       CASE WHEN stats.kc < {k} THEN ex.exact_distinct
+            ELSE CAST({(k - 1) * _KMV_SPACE} AS BIGINT) // stats.hk
+       END AS kmv_est
+FROM ex, stats)
+"""
+
+
 def sql_cms_estimates(
     table: str,
     key_expr: str,

@@ -186,6 +186,10 @@ FAMILY_REP: dict[str, str] = {
     # star-join family rep; the bloom's survivor count is part of the
     # hash-checked output
     "join_bloom_pruned_revenue": "join_revenue_by_nation",
+    # KMV distinct sketch + inclusion-exclusion set ops: third member
+    # of the approx-sketch family (integer estimator, value-hashable
+    # unlike HLL)
+    "sketch_kmv_setops": "distinct_users_daily",
     # sequence packing is a curation-stage surface (window cumsum over
     # the same sampled/scrubbed corpus the gate rep verifies)
     "curate_pack_sequences": "curate_sample_scrub",

@@ -64,3 +64,28 @@ def test_cms_null_keys_bucket_together(spark):
     ).collect()
     by_key = {r["k"]: r["cms_est"] for r in est}
     assert by_key[None] >= 2 and by_key[1] >= 1
+
+
+def test_kmv_estimate_accuracy_and_exact_degrade(spark):
+    from event_streaming_toy_example_spark.functions.sketches import (
+        kmv_distinct,
+    )
+
+    big = spark.range(5000).withColumnRenamed("id", "k")
+    row = kmv_distinct(big, "k", 128).collect()[0]
+    assert row["exact_distinct"] == 5000
+    # 1/sqrt(128) ~ 9% expected relative error; allow 3 sigma
+    assert abs(row["kmv_est"] - 5000) / 5000 < 0.27
+    small = spark.range(40).withColumnRenamed("id", "k")
+    row = kmv_distinct(small, "k", 128).collect()[0]
+    assert row["kmv_est"] == row["exact_distinct"] == 40  # degrades exact
+
+
+def test_kmv_topk_selection_avoids_global_sort(spark):
+    from event_streaming_toy_example_spark.functions.sketches import (
+        kmv_distinct,
+    )
+
+    df = kmv_distinct(spark.range(1000).withColumnRenamed("id", "k"), "k", 64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
