@@ -67,6 +67,10 @@ HEADLINE = [
     "mm_gif_decode",
     "join_bloom_pruned_revenue",
     "sketch_kmv_setops",
+    "curate_gopher_rules",
+    "match_fuzzy_names",
+    "dedup_substring",
+    "graph_pagerank_nations",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Fuzzy entity matching: deletion-neighborhood blocking + verified
+edit-distance join.
+
+The reference pipeline (``producer.py:1-173``) only ever matches events
+by exact key; a training-data pipeline also needs *approximate* entity
+resolution (near-identical names, typo'd URLs, OCR'd titles).  The
+naive form is an all-pairs ``levenshtein(a, b) <= d`` cross join —
+quadratic and unusable at scale.
+
+This module implements the FastSS / SymSpell **deletion neighborhood**
+scheme for edit distance 1 as a pure equi-join:
+
+- ``deletion_keys(s)`` = ``{s} ∪ {s with one character deleted}`` —
+  ``len(s) + 1`` keys per string.
+- If ``levenshtein(a, b) <= 1`` then ``a`` and ``b`` share at least one
+  deletion key (equal: share the string itself; substitution at i:
+  both deletions at i coincide; insert/delete: the deletion of the
+  inserted char equals the shorter string).
+- So the equi-join on exploded keys yields a **superset** of the true
+  pairs, which a cheap exact ``levenshtein`` filter then verifies.
+
+Scale: candidate generation is a flat projection (O(len) keys/row); the
+join shuffles on short string keys and each block holds only strings
+one deletion apart — never all-pairs.  Heavy true-duplicate clusters
+produce quadratic *output* pairs (inherent to emitting pairs); feed the
+pairs to ``operators.components`` for transitive cluster ids instead of
+materializing cliques downstream.
+
+No UDFs anywhere: key generation is ``transform``/``substr`` Catalyst
+expressions, verification is the JVM ``levenshtein``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def deletion_keys(s: Column) -> Column:
+    """Distinct deletion-1 neighborhood of ``s`` (including ``s``)."""
+    n = F.length(s)
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - F.lit(1)), F.substr(s, i + F.lit(1), n)
+        ),
+    )
+    return F.array_distinct(F.array_insert(dels, 1, s))
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs (a, b), ``a.key < b.key``, with
+    ``levenshtein(a.name, b.name) <= max_dist`` — via deletion-
+    neighborhood blocking, never an all-pairs join.
+
+    ``max_dist`` must be 1: the deletion-1 neighborhood is only
+    complete for edit distance 1 (distance d needs d-deep deletion
+    chains; raise once a caller needs it).
+
+    Returns ``(a_<key>, b_<key>, a_<name>, b_<name>, lev_dist)``.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "deletion-neighborhood blocking implemented for max_dist=1 "
+            f"only, got {max_dist}"
+        )
+    keyed = df.select(
+        F.col(key_col).alias("k"),
+        F.col(name_col).alias("nm"),
+        F.explode(deletion_keys(F.col(name_col))).alias("bk"),
+    )
+    a = keyed.select(
+        F.col("k").alias("a_key"), F.col("nm").alias("a_name"), "bk"
+    )
+    b = keyed.select(
+        F.col("k").alias("b_key"), F.col("nm").alias("b_name"), "bk"
+    )
+    cand = (
+        a.join(b, "bk")
+        .where(F.col("a_key") < F.col("b_key"))
+        # the same pair can share several deletion keys — dedup before
+        # the verify so each pair is scored once
+        .dropDuplicates(["a_key", "b_key"])
+    )
+    return cand.select(
+        "a_key",
+        "b_key",
+        "a_name",
+        "b_name",
+        F.levenshtein("a_name", "b_name").alias("lev_dist"),
+    ).where(F.col("lev_dist") <= max_dist)

@@ -70,6 +70,10 @@ from event_streaming_toy_example_spark.plans.queries_ext8 import (
     EXT8_ORACLES,
     EXT8_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext9 import (
+    EXT9_ORACLES,
+    EXT9_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -193,6 +197,19 @@ FAMILY_REP: dict[str, str] = {
     # sequence packing is a curation-stage surface (window cumsum over
     # the same sampled/scrubbed corpus the gate rep verifies)
     "curate_pack_sequences": "curate_sample_scrub",
+    # round-3 second wave: two genuinely-new families (deletion-
+    # neighborhood fuzzy matching, integer PageRank) take PRIMARY
+    # slots freed by demoting the two mm plumbing twins into the
+    # real-decode rep's family (both hash-passed rounds 1-2 and stay
+    # locally value-replayed); the other two newcomers join existing
+    # families:
+    "mm_frame_sample": "mm_png_decode",
+    "mm_resize": "mm_png_decode",
+    # Gopher rules are quality signals over the same token pipeline
+    "curate_gopher_rules": "text_quality",
+    # span-level window dedup shares the shingle/window machinery with
+    # the n-gram pairwise rep (different output semantics, same family)
+    "dedup_substring": "dedup_ngram_jaccard",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -205,6 +222,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT6_QUERIES,
     **EXT7_QUERIES,
     **EXT8_QUERIES,
+    **EXT9_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -217,6 +235,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT6_ORACLES,
     **EXT7_ORACLES,
     **EXT8_ORACLES,
+    **EXT9_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {
