@@ -71,6 +71,12 @@ HEADLINE = [
     "match_fuzzy_names",
     "dedup_substring",
     "graph_pagerank_nations",
+    "mm_audio_dsp",
+    "rp_project",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q14_promo_share",
+    "tpch_q22_idle_balances",
 ]
 
 

@@ -564,3 +564,50 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(op, AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_DSP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("ms_energy", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("peak_abs", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_dsp(df: DataFrame) -> DataFrame:
+    """Signal-level features over REAL decoded PCM: mean-square energy
+    (integer floor-division of the exact int64 sum of squares),
+    zero-crossing count (sign products < 0 — the classic voiced/
+    unvoiced + pitch-proxy feature), and peak absolute amplitude.
+
+    All three are exact integer functions of the samples, so the
+    arithmetic oracle checks the full decode → DSP path bit-for-bit.
+    Vectorized numpy inside one Arrow batch pass — the per-payload
+    Python loop only spans payloads, never samples."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import wav_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = wav_codec.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                n = int(s.shape[0])
+                if n == 0:
+                    rows.append((int(doc_id), 0, 0, 0, 0))
+                    continue
+                ms_energy = int((s * s).sum()) // n
+                zc = int(((s[:-1] * s[1:]) < 0).sum())
+                peak = int(np.abs(s).max())
+                rows.append((int(doc_id), n, ms_energy, zc, peak))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_DSP_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, AUDIO_DSP_SCHEMA)

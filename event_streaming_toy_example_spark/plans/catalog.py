@@ -74,6 +74,10 @@ from event_streaming_toy_example_spark.plans.queries_ext9 import (
     EXT9_ORACLES,
     EXT9_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext10 import (
+    EXT10_ORACLES,
+    EXT10_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -210,6 +214,16 @@ FAMILY_REP: dict[str, str] = {
     # span-level window dedup shares the shingle/window machinery with
     # the n-gram pairwise rep (different output semantics, same family)
     "dedup_substring": "dedup_ngram_jaccard",
+    # third wave: audio DSP extends the real-decode family; the JL
+    # projection is an embedding-column surface like the array-stats
+    # twin; the TPC-H shapes are SQL-analytics surfaces of the
+    # decorrelated-subquery and broadcast-join families
+    "mm_audio_dsp": "mm_png_decode",
+    "rp_project": "sim_topk_bruteforce",
+    "tpch_q17_small_qty_revenue": "orders_above_cust_avg",
+    "tpch_q18_large_orders": "orders_above_cust_avg",
+    "tpch_q14_promo_share": "join_revenue_by_nation",
+    "tpch_q22_idle_balances": "anti_customers_without_orders",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -223,6 +237,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT7_QUERIES,
     **EXT8_QUERIES,
     **EXT9_QUERIES,
+    **EXT10_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -236,6 +251,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT7_ORACLES,
     **EXT8_ORACLES,
     **EXT9_ORACLES,
+    **EXT10_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -64,6 +64,15 @@ EXPECT = {
     # dim broadcasts for the exact join; the three exchanges are all
     # bounded bloom-build/final-agg aggregations (O(m) and O(1) rows)
     "join_bloom_pruned_revenue": (3, 2),
+    # Gopher quality gate: pure row-local expressions, rides the scan
+    "curate_gopher_rules": (0, 0),
+    # deletion-neighborhood fuzzy join: ONE shuffle (pair dedup); the
+    # keyed side broadcasts at toy scale (AQE picks SMJ at cluster
+    # scale) — and never a cartesian (asserted separately)
+    "match_fuzzy_names": (1, 1),
+    # span dedup: window-hash aggregate + per-doc aggregate; the
+    # occurrence side broadcasts at toy scale
+    "dedup_substring": (2, 1),
 }
 
 
@@ -109,6 +118,33 @@ def test_agg_pricing_scan_is_pruned_and_pushed(spark):
     assert schemas and len(schemas[0].split(",")) == 6, schemas
     pushed = re.findall(r"PushedFilters: \[(.*?)\]", fmt)
     assert pushed and "l_shipdate" in pushed[0], pushed
+
+
+def test_fuzzy_match_is_equi_join_never_all_pairs(spark):
+    """The deletion-neighborhood join must compile to a hash/merge
+    equi-join on the blocking key — a cartesian or nested-loop plan
+    would mean the blocking scheme degenerated to all-pairs."""
+    qs = ALL_QUERIES
+    plan, _, _ = _counts(qs["match_fuzzy_names"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pagerank_edge_list_cached_once(spark):
+    """The loop-invariant edge list (with out-degrees) must be an
+    InMemoryTableScan in EVERY iteration — one cache scan per
+    iteration means the expensive fact-table edge build executes
+    exactly once, not once per iteration."""
+    from event_streaming_toy_example_spark.caching import release_caches
+
+    qs = ALL_QUERIES
+    df = qs["graph_pagerank_nations"](spark, SF_DIR)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") == 5, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        release_caches()
 
 
 def test_pack_sequences_single_exchange_reuses_window_partitioning(spark):
