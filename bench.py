@@ -77,6 +77,8 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "tpch_q14_promo_share",
     "tpch_q22_idle_balances",
+    "stream_join_outer",
+    "sim_ivfpq_topk",
 ]
 
 

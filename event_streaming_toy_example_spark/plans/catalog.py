@@ -78,6 +78,10 @@ from event_streaming_toy_example_spark.plans.queries_ext10 import (
     EXT10_ORACLES,
     EXT10_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext11 import (
+    EXT11_ORACLES,
+    EXT11_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -224,6 +228,11 @@ FAMILY_REP: dict[str, str] = {
     "tpch_q18_large_orders": "orders_above_cust_avg",
     "tpch_q14_promo_share": "join_revenue_by_nation",
     "tpch_q22_idle_balances": "anti_customers_without_orders",
+    # fourth wave: the outer join is the stateful sibling of the inner
+    # stream-stream rep; IVF-PQ extends the ANN family whose
+    # driver-checked exact baseline is the brute-force entry
+    "stream_join_outer": "stream_stream_join",
+    "sim_ivfpq_topk": "sim_topk_bruteforce",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -238,6 +247,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT8_QUERIES,
     **EXT9_QUERIES,
     **EXT10_QUERIES,
+    **EXT11_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -252,6 +262,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT8_ORACLES,
     **EXT9_ORACLES,
     **EXT10_ORACLES,
+    **EXT11_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

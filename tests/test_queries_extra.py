@@ -398,3 +398,45 @@ def test_pack_sequences_partitions_budget(spark):
         assert all(
             p["pack_tokens"] <= _PACK_BUDGET + max_doc for p in packs
         )
+
+
+def test_ivfpq_recall_and_rerank(spark):
+    """IVF-PQ must land at its calibrated operating point on the
+    sf0.01 embeddings (recall@5 >= 0.45 at m=8/rerank=6 — the numpy
+    full-ADC reference caps out at ~0.48 on these near-random
+    vectors, so this asserts the implementation sits at the method's
+    intrinsic ceiling), and the exact-cosine rerank must strictly
+    improve on raw ADC ordering."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.functions.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    embs = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    queries = embs.where(F.col("vec_id") < 10)
+    exact_sets: dict[int, set] = {}
+    for r in brute_force_topk(embs, queries, k=5).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    total = sum(len(s) for s in exact_sets.values())
+
+    def recall_of(rows) -> float:
+        sets: dict[int, set] = {}
+        for r in rows:
+            sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return (
+            sum(len(exact_sets[q] & sets.get(q, set())) for q in exact_sets)
+            / total
+        )
+
+    reranked = recall_of(
+        ivfpq_topk(embs, queries, k=5, n_cells=16, n_probe=6).collect()
+    )
+    raw_adc = recall_of(
+        ivfpq_topk(
+            embs, queries, k=5, n_cells=16, n_probe=6, rerank=1
+        ).collect()
+    )
+    assert reranked >= 0.45, f"IVF-PQ recall@5 = {reranked:.2f}"
+    assert reranked > raw_adc, (reranked, raw_adc)
