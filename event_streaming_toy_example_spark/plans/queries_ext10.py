@@ -117,7 +117,6 @@ def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, "l_partkey")
         .where(qty * 5 * F.col("cnt") < F.col("sum_qty"))
     )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return matched.agg(
         F.count(F.lit(1)).alias("n_small"),
         F.expr(
