@@ -79,6 +79,11 @@ HEADLINE = [
     "tpch_q22_idle_balances",
     "stream_join_outer",
     "sim_ivfpq_topk",
+    "snapshot_diff",
+    "table_stats",
+    "winsorize_revenue",
+    "text_bpe_tokens",
+    "cluster_embeddings",
 ]
 
 

@@ -82,6 +82,14 @@ from event_streaming_toy_example_spark.plans.queries_ext11 import (
     EXT11_ORACLES,
     EXT11_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext12 import (
+    EXT12_ORACLES,
+    EXT12_QUERIES,
+)
+from event_streaming_toy_example_spark.plans.queries_ext13 import (
+    EXT13_ORACLES,
+    EXT13_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -233,6 +241,16 @@ FAMILY_REP: dict[str, str] = {
     # driver-checked exact baseline is the brute-force entry
     "stream_join_outer": "stream_stream_join",
     "sim_ivfpq_topk": "sim_topk_bruteforce",
+    # fifth wave: snapshot diff is the inverse (derive-a-change-feed)
+    # surface of the CDC apply rep; profiling and winsorizing are
+    # scan+aggregate surfaces of existing agg families
+    "snapshot_diff": "upsert_events_cdc",
+    "table_stats": "agg_pricing_summary",
+    "winsorize_revenue": "percentiles_by_priority",
+    # sixth wave (rows-only approximation/ML surfaces): BPE counts are
+    # a token-statistics surface; clustering an embedding-column one
+    "text_bpe_tokens": "text_token_stats",
+    "cluster_embeddings": "sim_topk_bruteforce",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -248,6 +266,8 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT9_QUERIES,
     **EXT10_QUERIES,
     **EXT11_QUERIES,
+    **EXT12_QUERIES,
+    **EXT13_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -263,6 +283,8 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT9_ORACLES,
     **EXT10_ORACLES,
     **EXT11_ORACLES,
+    **EXT12_ORACLES,
+    **EXT13_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {
