@@ -84,6 +84,9 @@ HEADLINE = [
     "winsorize_revenue",
     "text_bpe_tokens",
     "cluster_embeddings",
+    "funnel_conversion",
+    "cohort_retention",
+    "timeseries_gapfill",
 ]
 
 

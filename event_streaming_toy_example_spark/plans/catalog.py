@@ -90,6 +90,10 @@ from event_streaming_toy_example_spark.plans.queries_ext13 import (
     EXT13_ORACLES,
     EXT13_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext14 import (
+    EXT14_ORACLES,
+    EXT14_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -251,6 +255,14 @@ FAMILY_REP: dict[str, str] = {
     # a token-statistics surface; clustering an embedding-column one
     "text_bpe_tokens": "text_token_stats",
     "cluster_embeddings": "sim_topk_bruteforce",
+    # seventh wave (event-analytics classics): funnel is a sequential
+    # decorrelation chain (family rep: the decorrelated-subquery
+    # entry); retention is a two-stage per-user aggregate (distinct-
+    # count family); gap-fill consumes the streaming-window family's
+    # hourly series shape
+    "funnel_conversion": "orders_above_cust_avg",
+    "cohort_retention": "distinct_users_daily",
+    "timeseries_gapfill": "stream_hourly_counts",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -268,6 +280,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT11_QUERIES,
     **EXT12_QUERIES,
     **EXT13_QUERIES,
+    **EXT14_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -285,6 +298,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT11_ORACLES,
     **EXT12_ORACLES,
     **EXT13_ORACLES,
+    **EXT14_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {
