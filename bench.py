@@ -87,6 +87,9 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "timeseries_gapfill",
+    "agg_incremental_merge",
+    "dq_expectations",
+    "window_analytics",
 ]
 
 

@@ -94,6 +94,10 @@ from event_streaming_toy_example_spark.plans.queries_ext14 import (
     EXT14_ORACLES,
     EXT14_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext15 import (
+    EXT15_ORACLES,
+    EXT15_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -263,6 +267,13 @@ FAMILY_REP: dict[str, str] = {
     "funnel_conversion": "orders_above_cust_avg",
     "cohort_retention": "distinct_users_daily",
     "timeseries_gapfill": "stream_hourly_counts",
+    # eighth wave: IVM merge is a partial-aggregate surface of the
+    # scan+agg family; DQ rules are conditional aggregates + the
+    # anti-join family's RI check; ranking analytics join the window
+    # family
+    "agg_incremental_merge": "agg_pricing_summary",
+    "dq_expectations": "anti_customers_without_orders",
+    "window_analytics": "window_top_orders",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -281,6 +292,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT12_QUERIES,
     **EXT13_QUERIES,
     **EXT14_QUERIES,
+    **EXT15_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -299,6 +311,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT12_ORACLES,
     **EXT13_ORACLES,
     **EXT14_ORACLES,
+    **EXT15_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -121,34 +121,41 @@ _PROFILE_COLS = [
 
 
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-level profile of ``orders`` — one aggregation pass per
-    column batched into a single job, long-format output.
+    """Column-level profile of ``orders`` — ALL columns' stats in ONE
+    aggregation pass (multi-distinct via Catalyst's expand), reshaped
+    wide→long with ``stack``.  A union of per-column aggregates would
+    scan the table once per column (the first draft did: 5 scans, 10
+    exchanges); profiling at 100 TB must be a single scan.
 
-    Scale: each column's stats are one map-side-combinable aggregate;
-    exact distinct is the honest profiling cost (swap in
-    ``approx_count_distinct`` at 100 TB — same plan, bounded sketch).
-    """
+    Exact distinct is the honest profiling cost — swap in
+    ``approx_count_distinct`` at scale for the same plan with a
+    bounded sketch."""
     orders = load_table(spark, sf_dir, "orders")
-    parts = []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col, kind in _PROFILE_COLS:
-        if kind == "cents":
-            v = F.round(F.col(col) * 100).cast("long")
-        else:
-            v = F.col(col)
-        parts.append(
-            orders.agg(
-                F.lit(col).alias("col_name"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
-                F.countDistinct(v).alias("n_distinct"),
-                F.min(v).cast("string").alias("min_v"),
-                F.max(v).cast("string").alias("max_v"),
-            )
+        v = (
+            F.round(F.col(col) * 100).cast("long")
+            if kind == "cents"
+            else F.col(col)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"nn_{col}"),
+            F.countDistinct(v).alias(f"nd_{col}"),
+            F.min(v).cast("string").alias(f"mn_{col}"),
+            F.max(v).cast("string").alias(f"mx_{col}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}"
+        for col, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_v, max_v)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
 
 
 def _sql_table_stats() -> str:

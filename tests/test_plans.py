@@ -73,7 +73,30 @@ EXPECT = {
     # span dedup: window-hash aggregate + per-doc aggregate; the
     # occurrence side broadcasts at toy scale
     "dedup_substring": (2, 1),
+    # snapshot diff: the key-join pair of exchanges, nothing more
+    "snapshot_diff": (2, 0),
+    # profiling: ONE scan, one multi-distinct aggregate (expand) —
+    # pinned so a refactor back to per-column unions (5 scans) fails
+    "table_stats": (2, 0),
+    # winsorize: fences aggregate + final group-agg; fences broadcast
+    "winsorize_revenue": (2, 1),
+    # IVM merge: partial rollups + merge re-aggregation
+    "agg_incremental_merge": (2, 0),
+    # retention: first-seen aggregate (broadcast back) + final distinct
+    "cohort_retention": (3, 1),
+    # gap-fill: the hour aggregate + the spine-sized window sort
+    "timeseries_gapfill": (2, 1),
+    # ranking trio: per-customer aggregate + the O(customers) window
+    "window_analytics": (2, 0),
 }
+
+
+def test_table_stats_single_scan(spark):
+    """Profiling must read the table ONCE (multi-distinct in one
+    aggregate), not once per profiled column."""
+    qs = ALL_QUERIES
+    plan, _, _ = _counts(qs["table_stats"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
 
 
 @pytest.mark.parametrize("name", sorted(EXPECT))
