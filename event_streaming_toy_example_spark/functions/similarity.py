@@ -273,6 +273,20 @@ def ivf_assign(
     )
 
 
+def _bounded_sample(
+    corpus: DataFrame, vec_col: str, seed: int, n: int
+) -> DataFrame:
+    """Deterministic bounded corpus sample shared by every index
+    trainer: hash-order top-N (TakeOrdered — per-partition heaps +
+    merge, no full sort) of ONE corpus scan; returns an ``arr``
+    (array<double>) relation."""
+    return (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("arr"))
+        .orderBy(F.xxhash64(F.col("arr"), F.lit(seed)))
+        .limit(n)
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -297,13 +311,8 @@ def train_ivf_centroids(
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    sample = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("arr"))
-        # deterministic sample: hash-order top-N (TakeOrdered — per-
-        # partition top-N then merge, no full sort) of the one scan
-        .orderBy(F.xxhash64(F.col("arr"), F.lit(seed)))
-        .limit(sample_rows)
-        .select(array_to_vector(F.col("arr")).alias("features"))
+    sample = _bounded_sample(corpus, vec_col, seed, sample_rows).select(
+        array_to_vector(F.col("arr")).alias("features")
     )
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(sample)
     centers = [
@@ -520,12 +529,7 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_d = dim // m
-    sample = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("arr"))
-        .orderBy(F.xxhash64(F.col("arr"), F.lit(seed)))
-        .limit(sample_rows)
-        .persist()
-    )
+    sample = _bounded_sample(corpus, vec_col, seed, sample_rows).persist()
     books: list[list[list[float]]] = []
     for s in range(m):
         sub = sample.select(
@@ -692,9 +696,17 @@ def ivfpq_topk(
     if index is not None:
         indexed = index
     else:
-        indexed = ivfpq_encode(
-            corpus, centroids, codebooks, id_col, vec_col, m=m, dim=dim,
-            normalized=True,
+        # inline encode reusing THIS call's broadcast relations (an
+        # ivfpq_encode call here would rebuild identical broadcasts)
+        indexed = (
+            ivf_assign(corpus, cent_b, id_col, vec_col, n_probe=1)
+            .crossJoin(cb_row)
+            .select(
+                F.col("vid").alias("neighbor_id"),
+                F.col("vec").alias("c_vec"),
+                "cell",
+                pq_codes(F.col("vec"), F.col("cb"), m, sub_d).alias("codes"),
+            )
         )
     probes = ivf_assign(
         queries, cent_b, id_col, vec_col, n_probe=n_probe
@@ -713,18 +725,34 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # the ADC scan emits ONLY (query_id, neighbor_id, adc) into the
+    # pool-selection window — codes-width rows, never the 64-dim
+    # vectors (shipping q_vec/c_vec here would multiply the one
+    # corpus-cardinality shuffle by ~64x and void the compression
+    # claim); exact vectors rejoin only for the tiny surviving pool
     cand = (
-        indexed.join(F.broadcast(probes), ["cell"])
+        indexed.join(
+            F.broadcast(probes.select("query_id", "q_vec", "cell")), ["cell"]
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
         .crossJoin(cb_row)
-        .select("query_id", "neighbor_id", "q_vec", "c_vec", adc.alias("adc"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
-    refined = (
+    pool = (
         cand.withColumn("arank", F.row_number().over(w_adc))
         .where(F.col("arank") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    qvecs = F.broadcast(
+        probes.select("query_id", "q_vec").dropDuplicates(["query_id"])
+    )
+    refined = (
+        indexed.select("neighbor_id", "c_vec")
+        .join(F.broadcast(pool), "neighbor_id")
+        .join(qvecs, "query_id")
         .select(
             "query_id",
             "neighbor_id",

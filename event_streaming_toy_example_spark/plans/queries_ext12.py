@@ -1,8 +1,11 @@
 """Round-3 additions (fifth wave): snapshot diff (CDC derivation),
 table profiling, and winsorized robust aggregation.
 
-Three warehouse-maintenance surfaces a lakehouse engine owes its
-users, each value-hash-checked against a DuckDB twin:
+The reference's only table maintenance is an overwrite-in-place glue
+write (``toy_glue.py:58-65``) with no diffing, profiling, or robust
+aggregation anywhere in its 432 lines; these are the warehouse-
+maintenance surfaces a lakehouse engine owes its users, each
+value-hash-checked against a DuckDB twin:
 
 - ``snapshot_diff`` — derive a change feed (insert/update/delete
   rows) by diffing two table snapshots on their key + content

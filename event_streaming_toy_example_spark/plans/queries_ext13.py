@@ -1,6 +1,10 @@
 """Round-3 additions (sixth wave): BPE tokenizer training and corpus
 clustering.
 
+The reference has no tokenizer or ML surface (its whole text handling
+is one ``event_name.split(":")``, ``toy_lambda_function.py:58-59``); both
+operators here are greenfield training-data-pipeline capability.
+
 - ``text_bpe_tokens`` — train a byte-pair-encoding merge table on the
   corpus (distributed word histogram -> bounded-vocab driver loop,
   ``functions/bpe.py``) and report per-document token counts under

@@ -2,9 +2,11 @@
 funnel conversion, cohort retention, time-series gap-fill with
 interpolation.
 
-The reference is an app-event pipeline; these are the three queries
-such a pipeline's events table exists to answer, and none of them
-needs anything beyond declarative DataFrame ops.  All three are
+The reference is an app-event pipeline (``producer.py:1-173`` emits
+exactly these view/click/purchase/signup/error events) whose analytics
+stop at duplicate counts (``toy_glue.py:47-50``); these are the three
+queries such a pipeline's events table exists to answer, and none of
+them needs anything beyond declarative DataFrame ops.  All three are
 value-hash-checked against DuckDB twins, with every emitted number in
 exact integer arithmetic.
 

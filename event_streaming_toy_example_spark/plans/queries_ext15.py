@@ -1,6 +1,11 @@
 """Round-3 additions (eighth wave): incremental aggregate maintenance,
 data-quality expectations, and the analytic-ranking window surface.
 
+Reference parity anchors: the reference recomputes its per-batch
+metrics from scratch every cycle (``toy_glue.py:47-50``) and its only
+"validation" is a TODO (``toy_lambda_function.py:37``) — IVM and DQ
+expectations are the engine-grade forms of those two gaps.
+
 - ``agg_incremental_merge`` — incremental view maintenance: a prior
   daily rollup (partial aggregates) merged with a new partition's
   delta by re-aggregating the PARTIALS, never the history.  The
