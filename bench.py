@@ -90,6 +90,7 @@ HEADLINE = [
     "agg_incremental_merge",
     "dq_expectations",
     "window_analytics",
+    "mm_gif_frames",
 ]
 
 

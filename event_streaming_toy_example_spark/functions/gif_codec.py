@@ -13,12 +13,13 @@ Output is deterministic and byte-stable, which the oracle-checked
 catalog entries require; it trades ~12% size for never exercising the
 encoder-side dictionary.
 
-Scope (documented, asserted): GIF87a/89a, global color table, one
-non-interlaced image frame, no transparency.  That covers what a
-training-data pipeline writes itself; interlaced frames, local color
-tables, and animation raise ``NotImplementedError`` with the
-unsupported feature named; truncated or corrupt streams raise
-``ValueError`` naming the offending structure.
+Scope (documented, asserted): GIF87a/89a, global color table,
+non-interlaced frames, no transparency.  Multi-frame streams are
+supported (``encode_gif_frames`` / ``decode_gif_frames`` — the real
+video-like frame-sampling substrate); interlaced frames and local
+color tables raise ``NotImplementedError`` with the unsupported
+feature named; truncated or corrupt streams raise ``ValueError``
+naming the offending structure.
 
 Codec boundary only — the Spark-side plumbing (Arrow batches,
 ``mapInPandas`` signatures, schemas) lives in
@@ -99,45 +100,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     return np.asarray(out, dtype=np.uint8)
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode a single-frame GIF87a/89a -> uint8 RGB array (h, w, 3)."""
-    payload = bytes(payload)
-    if not is_gif(payload):
-        raise ValueError("not a GIF stream")
-    if len(payload) < 6 + _LSD.size:
-        raise ValueError(f"GIF too short: {len(payload)} bytes")
-    _sw, _sh, packed, _bg, _aspect = _LSD.unpack_from(payload, 6)
-    pos = 6 + _LSD.size
-    if not packed & 0x80:
-        raise NotImplementedError("GIF without a global color table")
-    gct_len = 2 << (packed & 0x07)
-    gct_end = pos + 3 * gct_len
-    if len(payload) < gct_end:
-        raise ValueError("truncated GIF: global color table cut short")
-    palette = np.frombuffer(payload, np.uint8, 3 * gct_len, pos).reshape(
-        gct_len, 3
-    )
-    pos = gct_end
-    while True:
-        if pos >= len(payload):
-            raise ValueError("truncated GIF: no image descriptor before EOF")
-        block = payload[pos]
-        pos += 1
-        if block == 0x21:  # extension: label + sub-blocks, skipped
-            pos += 1
-            while True:
-                if pos >= len(payload):
-                    raise ValueError("truncated GIF: unterminated extension")
-                n = payload[pos]
-                pos += 1 + n
-                if n == 0:
-                    break
-        elif block == 0x2C:
-            break
-        elif block == 0x3B:
-            raise ValueError("GIF trailer reached with no image frame")
-        else:
-            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+def _decode_frame(
+    payload: bytes, pos: int, palette: np.ndarray, gct_len: int
+) -> tuple[np.ndarray, int]:
+    """Decode one image block starting at its descriptor body."""
     _left, _top, w, h, ipacked = _IMG.unpack_from(payload, pos)
     pos += _IMG.size
     if ipacked & 0x80:
@@ -167,44 +133,79 @@ def decode_gif(payload: bytes) -> np.ndarray:
     idx = _lzw_decode(b"".join(chunks), min_code_size, w * h)
     if int(idx.max(initial=0)) >= gct_len:
         raise ValueError("corrupt GIF: pixel index outside the color table")
-    return palette[idx].reshape(h, w, 3).copy()
+    return palette[idx].reshape(h, w, 3).copy(), pos
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode every frame of a GIF87a/89a stream -> list of uint8 RGB
+    arrays.  Frames may differ in size (each image descriptor carries
+    its own dimensions)."""
+    payload = bytes(payload)
+    if not is_gif(payload):
+        raise ValueError("not a GIF stream")
+    if len(payload) < 6 + _LSD.size:
+        raise ValueError(f"GIF too short: {len(payload)} bytes")
+    _sw, _sh, packed, _bg, _aspect = _LSD.unpack_from(payload, 6)
+    pos = 6 + _LSD.size
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_len = 2 << (packed & 0x07)
+    gct_end = pos + 3 * gct_len
+    if len(payload) < gct_end:
+        raise ValueError("truncated GIF: global color table cut short")
+    palette = np.frombuffer(payload, np.uint8, 3 * gct_len, pos).reshape(
+        gct_len, 3
+    )
+    pos = gct_end
+    frames: list[np.ndarray] = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF: no trailer before EOF")
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF: unterminated extension")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+        elif block == 0x2C:
+            frame, pos = _decode_frame(payload, pos, palette, gct_len)
+            frames.append(frame)
+        elif block == 0x3B:
+            if not frames:
+                raise ValueError("GIF trailer reached with no image frame")
+            return frames
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a -> uint8 RGB (h, w, 3)."""
+    return decode_gif_frames(payload)[0]
 
 
 # ------------------------------------------------------------- encode
 
 
-def encode_gif(arr: np.ndarray) -> bytes:
-    """Encode an 8-bit RGB (h, w, 3) or grayscale (h, w) array with at
-    most 256 distinct colors as a single-frame GIF87a.
-
-    Literal-codes-only LZW (see module docstring): every pixel is
-    written as its palette index at ``min_code_size + 1`` bits, with a
-    Clear code re-emitted before the decoder's dictionary would reach
-    the next code width."""
+def _rgb(arr: np.ndarray) -> np.ndarray:
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = np.repeat(a[:, :, None], 3, axis=2)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError(f"unsupported array shape {arr.shape}")
-    h, w, _ = a.shape
-    flat = a.reshape(-1, 3)
-    if (flat[:, 0] == flat[:, 1]).all() and (flat[:, 1] == flat[:, 2]).all():
-        # grayscale fast path: unique over one uint8 channel instead of
-        # the row-sorting unique(axis=0) (~3x cheaper per call)
-        gray = flat[:, 0]
-        vals = np.unique(gray)
-        colors = np.repeat(vals[:, None], 3, axis=1)
-        idx = np.searchsorted(vals, gray)
-    else:
-        colors, idx = np.unique(flat, axis=0, return_inverse=True)
-    if len(colors) > 256:
-        raise ValueError(f"GIF needs <=256 distinct colors, got {len(colors)}")
-    palette = np.zeros((256, 3), dtype=np.uint8)
-    palette[: len(colors)] = colors
+    return a
+
+
+def _literal_lzw_body(idx: np.ndarray) -> bytes:
+    """Pack palette indices as literal-codes-only LZW sub-blocks (see
+    module docstring), min code size 8."""
     mcs = 8
     clear, end = 1 << mcs, (1 << mcs) + 1
     code_size = mcs + 1
-
     # decoder adds one table entry per code after the first; reset before
     # its next_code (= 258 + emitted-since-clear - 1) reaches 1 << 9
     span = (1 << code_size) - (clear + 2)
@@ -213,9 +214,7 @@ def encode_gif(arr: np.ndarray) -> bytes:
     codes = np.insert(
         lits, np.arange(1, n_clears + 1) * span, np.uint32(clear)
     )
-    codes = np.concatenate(
-        ([np.uint32(clear)], codes, [np.uint32(end)])
-    )
+    codes = np.concatenate(([np.uint32(clear)], codes, [np.uint32(end)]))
     # vectorized LSB-first 9-bit packing: each code lands at bit offset
     # 9*i, spreading over at most two bytes (9 + 7 shift = 16 bits)
     offs = np.arange(len(codes), dtype=np.int64) * code_size
@@ -224,14 +223,58 @@ def encode_gif(arr: np.ndarray) -> bytes:
     out = np.zeros(int((offs[-1] + code_size + 7) // 8), dtype=np.uint8)
     np.bitwise_or.at(out, byte0, (v & 0xFF).astype(np.uint8))
     np.bitwise_or.at(out, byte0 + 1, (v >> 8).astype(np.uint8))
-    out = bytearray(out.tobytes())
-
-    header = b"GIF87a" + _LSD.pack(w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
-    img = b"\x2c" + _IMG.pack(0, 0, w, h, 0) + bytes([mcs])
-    body = bytearray()
-    for i in range(0, len(out), 255):
-        chunk = out[i : i + 255]
+    raw = out.tobytes()
+    body = bytearray([mcs])
+    for i in range(0, len(raw), 255):
+        chunk = raw[i : i + 255]
         body.append(len(chunk))
         body.extend(chunk)
     body.append(0)
-    return header + palette.tobytes() + img + bytes(body) + b"\x3b"
+    return bytes(body)
+
+
+def encode_gif_frames(frames: list[np.ndarray]) -> bytes:
+    """Encode one or more frames (8-bit RGB (h, w, 3) or grayscale
+    (h, w), possibly different sizes) as a multi-frame GIF87a sharing
+    one global color table — the union of all frames' colors must fit
+    in 256 entries."""
+    if not frames:
+        raise ValueError("encode_gif_frames needs at least one frame")
+    rgb = [_rgb(f) for f in frames]
+    flats = [a.reshape(-1, 3) for a in rgb]
+    allpx = np.concatenate(flats, axis=0)
+    if (allpx[:, 0] == allpx[:, 1]).all() and (
+        allpx[:, 1] == allpx[:, 2]
+    ).all():
+        # grayscale fast path: unique over one uint8 channel instead of
+        # the row-sorting unique(axis=0) (~3x cheaper per call)
+        vals = np.unique(allpx[:, 0])
+        colors = np.repeat(vals[:, None], 3, axis=1)
+        idxs = [np.searchsorted(vals, f[:, 0]) for f in flats]
+    else:
+        colors = np.unique(allpx, axis=0)
+        view = {tuple(c): i for i, c in enumerate(colors)}
+        idxs = [
+            np.fromiter(
+                (view[tuple(p)] for p in f), dtype=np.int64, count=len(f)
+            )
+            for f in flats
+        ]
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs <=256 distinct colors, got {len(colors)}")
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    sw, sh = rgb[0].shape[1], rgb[0].shape[0]
+    parts = [b"GIF87a" + _LSD.pack(sw, sh, 0x80 | 0x07, 0, 0)]
+    parts.append(palette.tobytes())
+    for a, idx in zip(rgb, idxs):
+        h, w, _ = a.shape
+        parts.append(b"\x2c" + _IMG.pack(0, 0, w, h, 0))
+        parts.append(_literal_lzw_body(idx))
+    parts.append(b"\x3b")
+    return b"".join(parts)
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode a single frame as GIF87a (see ``encode_gif_frames``)."""
+    return encode_gif_frames([arr])

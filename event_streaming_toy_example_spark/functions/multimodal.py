@@ -396,6 +396,86 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def attach_gif_anim_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Multi-FRAME GIF87a per row — the video-like payload for REAL
+    frame sampling (vs the byte-slice plumbing of
+    :func:`sample_payload_frames`).  ``n_frames = 1 + id % 4``; frame
+    ``f`` is a grayscale tile ``h = 4 + (id + f) % 5``,
+    ``w = 5 + (id + 2f) % 6``, flat pixel ``i`` valued
+    ``(id + 17*f + i) % 241`` — every decoded feature is integer
+    arithmetic on (id, f), so a SQL oracle checks the real multi-frame
+    decode without parsing GIF."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import gif_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                frames = []
+                for f in range(1 + d % 4):
+                    h = 4 + (d + f) % 5
+                    w = 5 + (d + 2 * f) % 6
+                    i = np.arange(h * w, dtype=np.int64)
+                    frames.append(
+                        (((d + 17 * f + i) % 241).astype(np.uint8)).reshape(
+                            h, w
+                        )
+                    )
+                rows.append((d, gif_codec.encode_gif_frames(frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        op, PNG_PAYLOAD_SCHEMA
+    )
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_px", T.LongType(), True),
+    ]
+)
+
+
+def extract_gif_frames(df: DataFrame) -> DataFrame:
+    """REAL frame sampling: decode every frame of each multi-frame GIF
+    payload (full LZW per frame) and emit one row per frame with its
+    dimensions and exact integer mean pixel value.  One Arrow batch
+    pass; the explode happens inside pandas, so each payload is
+    decoded exactly once."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import gif_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = gif_codec.decode_gif_frames(bytes(payload))
+                for f, arr in enumerate(frames):
+                    h, w, _ = arr.shape
+                    mean_px = int(arr[:, :, 0].astype(np.int64).sum()) // (
+                        h * w
+                    )
+                    rows.append(
+                        (int(doc_id), f, len(frames), w, h, mean_px)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FRAME_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, GIF_FRAME_SCHEMA)
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),

@@ -210,6 +210,9 @@ FAMILY_REP: dict[str, str] = {
     # third real image format (in-repo GIF87a codec, full LZW decoder),
     # same arithmetic-dims oracle with a third moduli pair
     "mm_gif_decode": "mm_png_decode",
+    # REAL multi-frame sampling (animated GIF, per-frame LZW decode) —
+    # the codec-real upgrade of the mm_frame_sample plumbing twin
+    "mm_gif_frames": "mm_png_decode",
     # explicit runtime-filter (bloom-prune) variant of the broadcast
     # star-join family rep; the bloom's survivor count is part of the
     # hash-checked output

@@ -224,6 +224,42 @@ FROM documents
 """
 
 
+def q_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame sampling: per-doc animated GIF (1 + id % 4
+    frames, each its own dims) -> full per-frame LZW decode -> one row
+    per frame with dims + exact integer mean pixel.  Upgrades the
+    byte-slice frame-sampling plumbing (``mm_frame_sample``) to a real
+    video-like codec path; the oracle reconstructs every frame's
+    features arithmetically from (id, frame)."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_gif_anim_payload,
+        extract_gif_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_gif_frames(attach_gif_anim_payload(docs))
+
+
+SQL_MM_GIF_FRAMES = """
+WITH fr AS (
+  SELECT doc_id, f,
+         CAST(1 + doc_id % 4 AS INT) AS n_frames,
+         CAST(5 + (doc_id + 2 * f) % 6 AS INT) AS width,
+         CAST(4 + (doc_id + f) % 5 AS INT) AS height
+  FROM documents, unnest(generate_series(0, doc_id % 4)) AS t(f)
+), px AS (
+  SELECT doc_id, f, n_frames, width, height,
+         CAST(sum((doc_id + 17 * f + i) % 241) // (width * height)
+              AS BIGINT) AS mean_px
+  FROM fr, unnest(generate_series(0, width * height - 1)) AS u(i)
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, n_frames, width, height,
+       mean_px
+FROM px
+"""
+
+
 # --------------------------------------------- bloom-filter join prune
 
 _BLOOM_M = 65536  # sized for ~14k dim keys at sf0.1 (~10% FP); a few
@@ -375,6 +411,7 @@ EXT8_QUERIES = {
     "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
     "mm_dhash_dedup": q_mm_dhash_dedup,
     "mm_gif_decode": q_mm_gif_decode,
+    "mm_gif_frames": q_mm_gif_frames,
     "join_bloom_pruned_revenue": q_join_bloom_pruned_revenue,
     "sketch_kmv_setops": q_sketch_kmv_setops,
     "curate_pack_sequences": q_curate_pack_sequences,
@@ -384,6 +421,7 @@ EXT8_ORACLES = {
     "sketch_cms_heavy_hitters": _sql_sketch_cms_heavy_hitters(),
     "mm_dhash_dedup": SQL_MM_DHASH_DEDUP,
     "mm_gif_decode": SQL_MM_GIF_DECODE,
+    "mm_gif_frames": SQL_MM_GIF_FRAMES,
     "join_bloom_pruned_revenue": _sql_join_bloom_pruned_revenue(),
     "sketch_kmv_setops": _sql_sketch_kmv_setops(),
     "curate_pack_sequences": SQL_CURATE_PACK_SEQUENCES,

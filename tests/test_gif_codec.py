@@ -134,3 +134,59 @@ def test_extension_blocks_are_skipped():
     spliced = bytes(payload[:img_off]) + ext + bytes(payload[img_off:])
     out = decode_gif(spliced)
     assert out.shape == (4, 6, 3)
+
+
+def test_multiframe_roundtrip():
+    import numpy as np
+
+    from event_streaming_toy_example_spark.functions.gif_codec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    frames = [
+        (np.arange(20, dtype=np.uint8).reshape(4, 5) * 3) % 200,
+        (np.arange(12, dtype=np.uint8).reshape(3, 4) + 7) % 200,
+        np.zeros((2, 2), dtype=np.uint8),
+    ]
+    payload = encode_gif_frames(frames)
+    got = decode_gif_frames(payload)
+    assert len(got) == 3
+    for orig, dec in zip(frames, got):
+        assert dec.shape == (*orig.shape, 3)
+        assert (dec[:, :, 0] == orig).all()
+        assert (dec[:, :, 1] == orig).all()
+
+
+def test_multiframe_shared_palette_overflow_rejected():
+    import numpy as np
+    import pytest
+
+    from event_streaming_toy_example_spark.functions.gif_codec import (
+        encode_gif_frames,
+    )
+
+    # two RGB frames whose color UNION exceeds 256
+    a = np.zeros((16, 16, 3), dtype=np.uint8)
+    a[:, :, 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    b = a.copy()
+    b[:, :, 1] = 9  # 256 more distinct colors
+    with pytest.raises(ValueError, match="<=256 distinct colors"):
+        encode_gif_frames([a, b])
+
+
+def test_single_frame_decode_returns_first_frame():
+    import numpy as np
+
+    from event_streaming_toy_example_spark.functions.gif_codec import (
+        decode_gif,
+        encode_gif_frames,
+    )
+
+    frames = [
+        np.full((2, 3), 11, dtype=np.uint8),
+        np.full((4, 5), 99, dtype=np.uint8),
+    ]
+    first = decode_gif(encode_gif_frames(frames))
+    assert first.shape == (2, 3, 3)
+    assert (first == 11).all()

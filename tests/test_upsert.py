@@ -62,3 +62,63 @@ def test_upsert_plan_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_snapshot_diff_feed_applied_reproduces_next_snapshot(spark):
+    """CDC round trip: the change feed DERIVED by snapshot_diff,
+    applied with upsert_snapshot, must reproduce the next snapshot
+    exactly — the two table-maintenance directions are inverses."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.operators.upsert import (
+        upsert_snapshot,
+    )
+    from event_streaming_toy_example_spark.plans.queries_ext12 import (
+        _DEL_MOD,
+        _INS_MOD,
+        _INS_SHIFT,
+        _UPD_MOD,
+        q_snapshot_diff,
+    )
+    from event_streaming_toy_example_spark.schemas import load_table
+    from tests.conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    nxt = (
+        base.where(F.col("doc_id") % _DEL_MOD != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % _UPD_MOD == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % _INS_MOD == 0).select(
+                (F.col("doc_id") + _INS_SHIFT).alias("doc_id"), "text"
+            )
+        )
+    )
+    feed = q_snapshot_diff(spark, SF_DIR)
+    # materialize full change rows: upserts carry the next-snapshot
+    # row, deletes a tombstone
+    upserts = feed.where(F.col("change_type") != "delete").join(
+        nxt, "doc_id"
+    ).select("doc_id", "text", F.lit(False).alias("_deleted"))
+    deletes = feed.where(F.col("change_type") == "delete").select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit(True).alias("_deleted"),
+    )
+    changes = upserts.unionByName(deletes)
+    applied = upsert_snapshot(
+        base.withColumn("_deleted", F.lit(False)),
+        changes,
+        keys=["doc_id"],
+        order_by=["doc_id"],
+        tombstone_col="_deleted",
+    )
+    got = sorted((r.doc_id, r.text) for r in applied.collect())
+    want = sorted((r.doc_id, r.text) for r in nxt.collect())
+    assert got == want
