@@ -91,6 +91,7 @@ HEADLINE = [
     "dq_expectations",
     "window_analytics",
     "mm_gif_frames",
+    "geo_grid_join",
 ]
 
 

@@ -98,6 +98,10 @@ from event_streaming_toy_example_spark.plans.queries_ext15 import (
     EXT15_ORACLES,
     EXT15_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext16 import (
+    EXT16_ORACLES,
+    EXT16_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -213,6 +217,11 @@ FAMILY_REP: dict[str, str] = {
     # REAL multi-frame sampling (animated GIF, per-frame LZW decode) —
     # the codec-real upgrade of the mm_frame_sample plumbing twin
     "mm_gif_frames": "mm_png_decode",
+    # ninth wave: the spatial grid-blocked proximity join shares the
+    # blocked-candidate-generation family with the deletion-
+    # neighborhood fuzzy rep (same verification construction: the
+    # oracle is the naive all-pairs join)
+    "geo_grid_join": "match_fuzzy_names",
     # explicit runtime-filter (bloom-prune) variant of the broadcast
     # star-join family rep; the bloom's survivor count is part of the
     # hash-checked output
@@ -296,6 +305,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT13_QUERIES,
     **EXT14_QUERIES,
     **EXT15_QUERIES,
+    **EXT16_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -315,6 +325,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT13_ORACLES,
     **EXT14_ORACLES,
     **EXT15_ORACLES,
+    **EXT16_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

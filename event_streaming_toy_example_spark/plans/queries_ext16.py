@@ -1,0 +1,69 @@
+"""Round-3 additions (ninth wave): spatial proximity join.
+
+The reference has no spatial surface (its records carry no
+coordinates at all, ``producer.py:1-173``); proximity joins are a
+standard curation operation (geo dedup, store-customer matching).
+``geo_grid_join`` derives deterministic integer coordinates from
+customer keys — the SAME arithmetic on both engines, so the oracle is
+the naive all-pairs distance join while the engine runs the scalable
+grid-blocked plan (``functions/spatial.py``): a single missed
+candidate (broken neighborhood) or spurious survivor flips the value
+hash, exactly like the deletion-neighborhood fuzzy join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.schemas import load_table
+
+#: deterministic point derivation (both engines): two co-prime
+#: multipliers scatter customer keys over a 100k x 100k grid
+_PX, _PY, _GRID = 7919, 104_729, 100_000
+_RADIUS = 2_000
+
+
+def q_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of customers within ``_RADIUS`` grid units, via
+    3x3-neighborhood grid blocking + exact integer distance verify."""
+    from event_streaming_toy_example_spark.functions.spatial import (
+        proximity_join_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (F.col("c_custkey") * _PX % _GRID).alias("x"),
+        (F.col("c_custkey") * _PY % _GRID).alias("y"),
+    )
+    return proximity_join_pairs(
+        pts, id_col="pid", x_col="x", y_col="y", radius=_RADIUS
+    ).select(
+        F.col("a_id").alias("a_custkey"),
+        F.col("b_id").alias("b_custkey"),
+        "dist_sq",
+    )
+
+
+SQL_GEO_GRID_JOIN = f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         c_custkey * {_PX} % {_GRID} AS x,
+         c_custkey * {_PY} % {_GRID} AS y
+  FROM customer
+)
+SELECT a.pid AS a_custkey, b.pid AS b_custkey,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_RADIUS * _RADIUS}
+"""
+
+
+EXT16_QUERIES = {
+    "geo_grid_join": q_geo_grid_join,
+}
+
+EXT16_ORACLES = {
+    "geo_grid_join": SQL_GEO_GRID_JOIN,
+}
