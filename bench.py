@@ -92,6 +92,7 @@ HEADLINE = [
     "window_analytics",
     "mm_gif_frames",
     "geo_grid_join",
+    "stream_upsert_sink",
 ]
 
 

@@ -222,6 +222,9 @@ FAMILY_REP: dict[str, str] = {
     # neighborhood fuzzy rep (same verification construction: the
     # oracle is the naive all-pairs join)
     "geo_grid_join": "match_fuzzy_names",
+    # streaming MERGE sink: the streaming-apply surface of the CDC
+    # upsert rep (same upsert_snapshot semantics, driven per batch)
+    "stream_upsert_sink": "upsert_events_cdc",
     # explicit runtime-filter (bloom-prune) variant of the broadcast
     # star-join family rep; the bloom's survivor count is part of the
     # hash-checked output

@@ -1,4 +1,5 @@
-"""Round-3 additions (ninth wave): spatial proximity join.
+"""Round-3 additions (ninth wave): spatial proximity join and the
+streaming MERGE sink.
 
 The reference has no spatial surface (its records carry no
 coordinates at all, ``producer.py:1-173``); proximity joins are a
@@ -60,10 +61,73 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
 """
 
 
+def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the event stream MERGEs into a keyed
+    latest-row-per-user snapshot via ``foreachBatch`` +
+    ``upsert_snapshot`` (``streaming/upsert_sink.py``), multiple
+    micro-batches forced with ``maxFilesPerTrigger`` so the
+    merge-into-state loop actually iterates.  The final snapshot must
+    equal the batch latest-per-key — which is exactly what the oracle
+    computes."""
+    import tempfile
+    import uuid
+
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_stream_input,
+    )
+    from event_streaming_toy_example_spark.streaming.upsert_sink import (
+        read_state,
+        start_upsert_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    in_path = stage_stream_input(ev, "upsink", sf_dir)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(in_path)
+    )
+    base = tempfile.mkdtemp(prefix=f"upsink_{uuid.uuid4().hex[:8]}_")
+    q = start_upsert_stream(
+        changes,
+        state_dir=f"{base}/state",
+        checkpoint_dir=f"{base}/ckpt",
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+    )
+    q.awaitTermination(300)
+    state = read_state(spark, f"{base}/state")
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_us"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+SQL_STREAM_UPSERT_SINK = """
+SELECT user_id,
+       event_id AS last_event_id,
+       epoch_us(ts) AS last_us,
+       event_type AS last_type
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 EXT16_QUERIES = {
     "geo_grid_join": q_geo_grid_join,
+    "stream_upsert_sink": q_stream_upsert_sink,
 }
 
 EXT16_ORACLES = {
     "geo_grid_join": SQL_GEO_GRID_JOIN,
+    "stream_upsert_sink": SQL_STREAM_UPSERT_SINK,
 }

@@ -336,3 +336,68 @@ def test_running_user_stats_gate_or_run(spark):
         for r in spark.table(name).collect()
     }
     assert got == {1: (2, 375), 2: (1, 300)}
+
+
+def test_upsert_sink_replay_and_checkpoint_idempotence(spark, tmp_path):
+    """The streaming MERGE sink must (a) equal the batch latest-per-key
+    result, (b) be a no-op when re-run over the same checkpoint, and
+    (c) reproduce identical state from a fresh checkpoint (replay
+    determinism)."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_stream_input,
+    )
+    from event_streaming_toy_example_spark.schemas import load_table
+    from event_streaming_toy_example_spark.streaming.upsert_sink import (
+        read_state,
+        start_upsert_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    in_path = stage_stream_input(ev, "upsink_test", SF_DIR)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+
+    def run(state, ckpt):
+        changes = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(in_path)
+        )
+        q = start_upsert_stream(
+            changes,
+            state_dir=str(state),
+            checkpoint_dir=str(ckpt),
+            keys=["user_id"],
+            order_by=["ts", "event_id"],
+        )
+        q.awaitTermination(300)
+        return sorted(
+            tuple(r)
+            for r in read_state(spark, str(state))
+            .select("user_id", "event_id")
+            .collect()
+        )
+
+    got = run(tmp_path / "s1", tmp_path / "c1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = sorted(
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    )
+    assert got == want
+    # (b) same checkpoint: no new batches, state unchanged
+    assert run(tmp_path / "s1", tmp_path / "c1") == got
+    # (c) fresh checkpoint + fresh state: deterministic replay
+    assert run(tmp_path / "s2", tmp_path / "c2") == got
