@@ -5,6 +5,7 @@ invariants (mass bound, sink/source handling, argument validation)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from event_streaming_toy_example_spark.operators.pagerank import (
     TOTAL_PPB,
@@ -75,3 +76,28 @@ def test_total_mass_never_exceeds_budget(spark):
 def test_invalid_args_rejected(spark, kw):
     with pytest.raises(ValueError):
         _run(spark, 2, [(0, 1, 1)], **kw)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5), st.integers(0, 5), st.integers(1, 50)
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(1, 4),
+)
+def test_matches_python_reference_on_random_graphs(spark, raw, iters):
+    """Differential property: the distributed integer recurrence must
+    match the pure-Python reference on arbitrary small weighted
+    digraphs (self-loops, parallel edges collapsed, sinks, sources)."""
+    # collapse parallel edges (sum weights) as a real edge build would
+    agg: dict[tuple[int, int], int] = {}
+    for s, d, w in raw:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    edges = [(s, d, w) for (s, d), w in agg.items()]
+    assert _run(spark, 6, edges, iterations=iters) == _py_pagerank(
+        6, edges, iterations=iters
+    )
