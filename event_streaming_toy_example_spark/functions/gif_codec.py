@@ -136,10 +136,14 @@ def _decode_frame(
     return palette[idx].reshape(h, w, 3).copy(), pos
 
 
-def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
-    """Decode every frame of a GIF87a/89a stream -> list of uint8 RGB
-    arrays.  Frames may differ in size (each image descriptor carries
-    its own dimensions)."""
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Decode the frames of a GIF87a/89a stream -> list of uint8 RGB
+    arrays (at most ``max_frames`` if given — the early exit a
+    first-frame caller needs to skip the rest of an animation's LZW).
+    Frames may differ in size (each image descriptor carries its own
+    dimensions)."""
     payload = bytes(payload)
     if not is_gif(payload):
         raise ValueError("not a GIF stream")
@@ -175,6 +179,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         elif block == 0x2C:
             frame, pos = _decode_frame(payload, pos, palette, gct_len)
             frames.append(frame)
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         elif block == 0x3B:
             if not frames:
                 raise ValueError("GIF trailer reached with no image frame")
@@ -184,8 +190,9 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF87a/89a -> uint8 RGB (h, w, 3)."""
-    return decode_gif_frames(payload)[0]
+    """Decode the first frame of a GIF87a/89a -> uint8 RGB (h, w, 3);
+    stops parsing after it (no LZW work on later animation frames)."""
+    return decode_gif_frames(payload, max_frames=1)[0]
 
 
 # ------------------------------------------------------------- encode
@@ -252,19 +259,17 @@ def encode_gif_frames(frames: list[np.ndarray]) -> bytes:
         colors = np.repeat(vals[:, None], 3, axis=1)
         idxs = [np.searchsorted(vals, f[:, 0]) for f in flats]
     else:
-        colors = np.unique(allpx, axis=0)
-        view = {tuple(c): i for i, c in enumerate(colors)}
-        idxs = [
-            np.fromiter(
-                (view[tuple(p)] for p in f), dtype=np.int64, count=len(f)
-            )
-            for f in flats
-        ]
+        colors, inverse = np.unique(allpx, axis=0, return_inverse=True)
+        offsets = np.cumsum([len(f) for f in flats])[:-1]
+        idxs = np.split(inverse, offsets)
     if len(colors) > 256:
         raise ValueError(f"GIF needs <=256 distinct colors, got {len(colors)}")
     palette = np.zeros((256, 3), dtype=np.uint8)
     palette[: len(colors)] = colors
-    sw, sh = rgb[0].shape[1], rgb[0].shape[0]
+    # logical screen must contain every frame (conforming decoders
+    # clip/reject images that extend past it)
+    sw = max(a.shape[1] for a in rgb)
+    sh = max(a.shape[0] for a in rgb)
     parts = [b"GIF87a" + _LSD.pack(sw, sh, 0x80 | 0x07, 0, 0)]
     parts.append(palette.tobytes())
     for a, idx in zip(rgb, idxs):

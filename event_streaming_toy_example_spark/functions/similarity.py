@@ -576,6 +576,29 @@ def pq_codes(vec: Column, cb: Column, m: int, sub_d: int) -> Column:
     )
 
 
+def _encode_indexed(
+    corpus: DataFrame,
+    cent_b: DataFrame,
+    cb_row: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_d: int,
+) -> DataFrame:
+    """Cell assignment + PQ codes over an already-normalized corpus,
+    reusing prebuilt centroid/codebook broadcast relations."""
+    return (
+        ivf_assign(corpus, cent_b, id_col, vec_col, n_probe=1)
+        .crossJoin(cb_row)
+        .select(
+            F.col("vid").alias("neighbor_id"),
+            F.col("vec").alias("c_vec"),
+            "cell",
+            pq_codes(F.col("vec"), F.col("cb"), m, sub_d).alias("codes"),
+        )
+    )
+
+
 def ivfpq_encode(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -606,16 +629,7 @@ def ivfpq_encode(
             "cell", F.col("cent").cast("array<double>").alias("cent")
         )
     )
-    return (
-        ivf_assign(corpus, cent_b, id_col, vec_col, n_probe=1)
-        .crossJoin(cb_row)
-        .select(
-            F.col("vid").alias("neighbor_id"),
-            F.col("vec").alias("c_vec"),
-            "cell",
-            pq_codes(F.col("vec"), F.col("cb"), m, sub_d).alias("codes"),
-        )
-    )
+    return _encode_indexed(corpus, cent_b, cb_row, id_col, vec_col, m, sub_d)
 
 
 def ivfpq_topk(
@@ -696,17 +710,16 @@ def ivfpq_topk(
     if index is not None:
         indexed = index
     else:
-        # inline encode reusing THIS call's broadcast relations (an
-        # ivfpq_encode call here would rebuild identical broadcasts)
-        indexed = (
-            ivf_assign(corpus, cent_b, id_col, vec_col, n_probe=1)
-            .crossJoin(cb_row)
-            .select(
-                F.col("vid").alias("neighbor_id"),
-                F.col("vec").alias("c_vec"),
-                "cell",
-                pq_codes(F.col("vec"), F.col("cb"), m, sub_d).alias("codes"),
-            )
+        # encode reusing THIS call's broadcast relations, and PERSIST:
+        # both the ADC pool selection and the exact-rerank rejoin
+        # consume the index, and without a persist the corpus-
+        # cardinality assignment shuffle would execute twice
+        from event_streaming_toy_example_spark.caching import track
+
+        indexed = track(
+            _encode_indexed(
+                corpus, cent_b, cb_row, id_col, vec_col, m, sub_d
+            ).persist()
         )
     probes = ivf_assign(
         queries, cent_b, id_col, vec_col, n_probe=n_probe

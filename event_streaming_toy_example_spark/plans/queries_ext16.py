@@ -90,22 +90,37 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 8)
         .parquet(in_path)
     )
+    import shutil
+
     base = tempfile.mkdtemp(prefix=f"upsink_{uuid.uuid4().hex[:8]}_")
-    q = start_upsert_stream(
-        changes,
-        state_dir=f"{base}/state",
-        checkpoint_dir=f"{base}/ckpt",
-        keys=["user_id"],
-        order_by=["ts", "event_id"],
-    )
-    q.awaitTermination(300)
-    state = read_state(spark, f"{base}/state")
-    return state.select(
-        "user_id",
-        F.col("event_id").alias("last_event_id"),
-        F.unix_micros("ts").alias("last_us"),
-        F.col("event_type").alias("last_type"),
-    )
+    try:
+        q = start_upsert_stream(
+            changes,
+            state_dir=f"{base}/state",
+            checkpoint_dir=f"{base}/ckpt",
+            keys=["user_id"],
+            order_by=["ts", "event_id"],
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("upsert stream did not finish within 300 s")
+        state = read_state(spark, f"{base}/state")
+        if state is None:
+            raise RuntimeError("upsert stream committed no state")
+        # materialize the (per-key, tiny) snapshot so the state/
+        # checkpoint tempdir can be removed before returning — a lazy
+        # DataFrame over the tempdir would leak it per bench iteration
+        out = state.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_us"),
+            F.col("event_type").alias("last_type"),
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 SQL_STREAM_UPSERT_SINK = """

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,16 +78,21 @@ def start_upsert_stream(
                 batch_df.limit(0), batch_df, keys, order_by
             )
         )
-        gen = f"gen_{batch_id}"
+        # every attempt writes a FRESH generation: a retried batch must
+        # never overwrite the directory its own read side is scanning
+        # (Spark deletes target files before the lazy read runs —
+        # overwrite-in-place guts the committed state).  Re-merging an
+        # already-applied batch is a semantic no-op (newest-per-key of
+        # state ∪ same-rows = state), so retry idempotence comes from
+        # the MERGE, and crash safety from write-new-then-swap.
+        gen = f"gen_{batch_id}_{uuid.uuid4().hex[:8]}"
         out = os.path.join(state_dir, gen)
-        # a retried batch overwrites its own generation, then the
-        # pointer swap re-commits the identical snapshot: idempotent
         merged.write.mode("overwrite").parquet(out)
         tmp = os.path.join(state_dir, f".{_PTR}.tmp")
         with open(tmp, "w") as f:
             f.write(gen)
         os.replace(tmp, os.path.join(state_dir, _PTR))
-        # drop superseded generations (keep current only)
+        # drop superseded generations (keep the one just committed)
         for d in os.listdir(state_dir):
             if d.startswith("gen_") and d != gen:
                 shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)

@@ -49,8 +49,10 @@ def test_boundary_and_cell_crossing(spark):
     ]
     pairs = _run(spark, rows, 100)
     assert pairs == _brute(rows, 100)
-    assert (1, 2) in pairs and (1, 4) in pairs
-    assert all(3 not in p or p == (1, 3) for p in pairs) or (1, 3) not in pairs
+    assert (1, 2) in pairs and (1, 4) in pairs  # inclusive boundary
+    assert (1, 3) not in pairs  # one past radius
+    assert (2, 3) in pairs  # adjacent to the boundary point
+    assert not any(5 in p for p in pairs)  # isolated point matches nothing
 
 
 def test_distances_reported_exactly(spark):
