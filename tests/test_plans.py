@@ -143,6 +143,17 @@ def test_agg_pricing_scan_is_pruned_and_pushed(spark):
     assert pushed and "l_shipdate" in pushed[0], pushed
 
 
+def test_geo_grid_join_is_equi_join_never_all_pairs(spark):
+    """The grid-blocked proximity join must be a hash/merge equi-join
+    on the cell key (broadcast at toy scale) — a cartesian or
+    nested-loop plan means the blocking degenerated to all-pairs."""
+    qs = ALL_QUERIES
+    plan, shuffles, bcast = _counts(qs["geo_grid_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert shuffles == 0 and bcast == 1, plan
+
+
 def test_fuzzy_match_is_equi_join_never_all_pairs(spark):
     """The deletion-neighborhood join must compile to a hash/merge
     equi-join on the blocking key — a cartesian or nested-loop plan
