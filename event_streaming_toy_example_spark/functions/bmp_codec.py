@@ -103,6 +103,11 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     top_down = height < 0
     h, w = abs(height), width
     stride = _row_stride(w)
+    if offset < _FILE_HDR.size + hdr_size:
+        raise ValueError(
+            f"corrupt BMP: pixel offset {offset} points inside the "
+            f"{_FILE_HDR.size + hdr_size}-byte headers"
+        )
     if len(payload) - offset < stride * h:
         raise ValueError(
             f"truncated BMP: pixel data declares {stride * h} bytes but "

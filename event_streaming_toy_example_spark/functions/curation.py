@@ -28,6 +28,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from event_streaming_toy_example_spark.functions.hashkeys import (
+    NULL_KEY as _NULL_KEY,
+)
+
 # ------------------------------------------------------------- sampling
 
 #: hex digits of the md5 prefix used as the sampling gate; 4 digits =
@@ -41,7 +45,6 @@ _GATE_DIGITS = 4
 #: ``md5(salt)``) while SQL ``||`` nulls the whole expression (all NULL
 #: keys would be dropped). Coalescing to one printable sentinel on BOTH
 #: sides makes NULL-key rows a single stable pseudo-random bucket.
-_NULL_KEY = "<NULL>"
 
 
 def _sq(value: str) -> str:

@@ -151,12 +151,30 @@ def decode_image_stub(payload: bytes, fake: bool) -> dict:
             "width": int(digest[:4], 16) % 1920,
             "height": int(digest[4:8], 16) % 1080,
         }
+    arr = decode_image(payload)
+    return {
+        "n_bytes": len(payload),
+        "digest": digest,
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+    }
+
+
+def decode_image(payload: bytes):
+    """THE image-decode dispatch (shared by every real-pixel path —
+    feature extraction and perceptual hashing must not each carry
+    their own probe list): PNG/BMP/GIF87a via the in-repo codecs,
+    anything else via Pillow when importable, else a loud
+    ``NotImplementedError``.  Returns a uint8 ``(h, w, 3)`` array."""
+    import numpy as np
+
     from event_streaming_toy_example_spark.functions import (
         bmp_codec,
         gif_codec,
         png_codec,
     )
 
+    payload = bytes(payload)
     for probe, decode in (
         (png_codec.is_png, png_codec.decode_png),
         (bmp_codec.is_bmp, bmp_codec.decode_bmp),
@@ -164,28 +182,24 @@ def decode_image_stub(payload: bytes, fake: bool) -> dict:
     ):
         if probe(payload):
             arr = decode(payload)
-            return {
-                "n_bytes": len(payload),
-                "digest": digest,
-                "width": int(arr.shape[1]),
-                "height": int(arr.shape[0]),
-            }
-    try:
-        from PIL import Image  # optional; absent in this environment
-    except ImportError as exc:
-        raise NotImplementedError(
-            "real decode implemented for PNG, BMP, and GIF87a (in-repo "
-            "codecs); other formats need Pillow, which is not installed"
-        ) from exc
-    import io
+            break
+    else:
+        try:
+            from PIL import Image  # optional; absent in this environment
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real decode implemented for PNG, BMP, and GIF87a "
+                "(in-repo codecs); other formats need Pillow, which is "
+                "not installed"
+            ) from exc
+        import io
 
-    with Image.open(io.BytesIO(payload)) as img:
-        return {
-            "n_bytes": len(payload),
-            "digest": digest,
-            "width": int(img.width),
-            "height": int(img.height),
-        }
+        with Image.open(io.BytesIO(payload)) as img:
+            arr = np.asarray(img)
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    return arr[:, :, :3]
 
 
 def extract_media_features(df: DataFrame, fake: bool = True) -> DataFrame:
@@ -542,8 +556,9 @@ def attach_scaled_tile_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def image_dhash(df: DataFrame) -> DataFrame:
     """Perceptual difference-hash over REAL decoded pixels, Arrow-batched.
 
-    Per payload: decode (in-repo PNG/BMP codecs — same loud gate as
-    ``decode_image_stub``), integer luminance (channel mean), reduce to
+    Per payload: decode (the shared ``decode_image`` dispatch —
+    PNG/BMP/GIF87a in-repo codecs, loud gate beyond), integer
+    luminance (channel mean), reduce to
     an 8x9 grid (exact integer block mean when dims divide evenly, else
     deterministic nearest-neighbor cell sampling), then 64 bits of
     "is the right neighbor brighter" — the classic dHash.  Scale- and
@@ -559,21 +574,7 @@ def image_dhash(df: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from event_streaming_toy_example_spark.functions import bmp_codec, png_codec
-
-        def decode(payload: bytes) -> "np.ndarray":
-            from event_streaming_toy_example_spark.functions import gif_codec
-
-            if png_codec.is_png(payload):
-                return png_codec.decode_png(payload)
-            if bmp_codec.is_bmp(payload):
-                return bmp_codec.decode_bmp(payload)
-            if gif_codec.is_gif(payload):
-                return gif_codec.decode_gif(payload)
-            raise NotImplementedError(
-                "image_dhash decodes PNG, BMP, and GIF87a (in-repo "
-                "codecs); other formats need Pillow, which is not installed"
-            )
+        decode = decode_image  # the one shared dispatch
 
         def reduce_grid(gray: "np.ndarray") -> "np.ndarray":
             h, w = gray.shape

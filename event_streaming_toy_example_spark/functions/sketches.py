@@ -34,15 +34,18 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from event_streaming_toy_example_spark.functions.hashkeys import (
+    NULL_KEY as _NULL_KEY,
+)
+
 #: Defaults sized so the sketch stays well under a broadcast threshold
 #: (4 * 1024 counters = 8 KiB of longs) while keeping collision noise
 #: visible at toy scale.
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
-#: NULL keys hash as one stable sentinel bucket on both engines
-#: (Spark concat would null the expression; see curation._NULL_KEY).
-_NULL_KEY = "<NULL>"
+#: NULL keys hash as one stable sentinel bucket on both engines —
+#: the shared convention lives in functions/hashkeys.py.
 
 
 def _bucket(key: Column, d: int, width: int) -> Column:
@@ -230,5 +233,5 @@ est AS (
 ),
 exact AS (SELECT {key_expr} AS key, count(*) AS exact_cnt FROM {table} GROUP BY 1)
 SELECT exact.key, exact.exact_cnt, est.cms_est
-FROM exact JOIN est ON exact.key = est.key
+FROM exact JOIN est ON exact.key IS NOT DISTINCT FROM est.key
 """

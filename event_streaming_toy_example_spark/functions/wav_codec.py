@@ -86,6 +86,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             f"non-canonical chunk layout (fmt_size={fmt_size}, "
             f"next_chunk={data_tag!r})"
         )
+    if channels < 1:
+        raise ValueError(f"corrupt WAV: channel count {channels}")
     block_align = channels * (bits // 8)
     if len(payload) - _HDR.size < data_size:
         raise ValueError(

@@ -36,12 +36,16 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: Defaults: 4096 bits / 3 hashes ≈ 1% false-positive rate at ~340 keys,
-#: still < 3% at 1000 keys — and the broadcast is a few KB either way.
+from event_streaming_toy_example_spark.functions.hashkeys import (
+    NULL_KEY as _NULL_KEY,
+)
+
+#: Defaults: 4096 bits / 3 hashes ≈ 1% false-positive rate at ~340
+#: keys; at 1000 keys FP ≈ (1 - e^(-3000/4096))^3 ≈ 14% — size m to
+#: ~12 bits/key for ~1%.  The broadcast is a few KB either way.
 BLOOM_BITS = 4096
 BLOOM_HASHES = 3
 
-_NULL_KEY = "<NULL>"
 
 
 def _positions(key: Column, m: int, k: int) -> list[Column]:

@@ -51,8 +51,16 @@ def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     est = cms_estimate(exact, sketch, "user_id", _CMS_DEPTH, _CMS_WIDTH)
-    return exact.join(est, "user_id").select(
-        F.col("user_id").alias("key"), "exact_cnt", "cms_est"
+    # null-safe join so a NULL key's estimate row survives, matching
+    # the oracle's IS NOT DISTINCT FROM (no NULL user_ids in the
+    # testdata, but the helper pair must agree on the semantics);
+    # aliased because est derives from exact (self-join lineage)
+    return (
+        exact.alias("ex")
+        .join(est.alias("es"), F.expr("ex.user_id <=> es.user_id"))
+        .select(
+            F.col("ex.user_id").alias("key"), "exact_cnt", "cms_est"
+        )
     )
 
 
@@ -81,9 +89,16 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_distinct,
     )
 
+    from event_streaming_toy_example_spark.caching import track
+    from event_streaming_toy_example_spark.functions.hashkeys import (
+        null_safe_key,
+    )
+
     ev = load_table(spark, sf_dir, "events")
+    # null-safe user key: concat_ws would SKIP a NULL user_id while the
+    # oracle's || nulls the expression — coalesce on both sides instead
     key = F.concat_ws(
-        ":", F.col("user_id"), F.dayofmonth("ts").cast("string")
+        ":", null_safe_key(F.col("user_id")), F.dayofmonth("ts").cast("string")
     ).alias("k")
 
     def keys(pred):
@@ -92,9 +107,12 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = keys(F.col("event_type") == "purchase")
     e = keys(F.col("event_type") == "error")
     u = keys(F.col("event_type").isin("purchase", "error"))
-    kp = kmv_distinct(p, "k", _KMV_K)
-    ke = kmv_distinct(e, "k", _KMV_K)
-    ku = kmv_distinct(u, "k", _KMV_K)
+    # each single-row sketch feeds BOTH the per-set rows and the
+    # inclusion-exclusion cross-join; persist so the distinct +
+    # top-k + count lineage executes once per set, not twice
+    kp = track(kmv_distinct(p, "k", _KMV_K).persist())
+    ke = track(kmv_distinct(e, "k", _KMV_K).persist())
+    ku = track(kmv_distinct(u, "k", _KMV_K).persist())
     rows = (
         kp.select(F.lit("purchase").alias("set_label"), "exact_distinct", "kmv_est")
         .unionByName(
@@ -127,7 +145,11 @@ def _sql_sketch_kmv_setops() -> str:
         sql_kmv_distinct,
     )
 
-    key = "user_id || ':' || day(ts)"
+    from event_streaming_toy_example_spark.functions.hashkeys import (
+        sql_null_safe_key,
+    )
+
+    key = f"{sql_null_safe_key('user_id')} || ':' || day(ts)"
     p_rel = "(SELECT * FROM events WHERE event_type = 'purchase')"
     e_rel = "(SELECT * FROM events WHERE event_type = 'error')"
     u_rel = "(SELECT * FROM events WHERE event_type IN ('purchase', 'error'))"

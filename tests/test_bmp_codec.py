@@ -99,3 +99,22 @@ def test_extract_media_features_real_bmp(spark):
         assert r["width"] == 12 + d % 40
         assert r["height"] == 6 + d % 20
         assert r["n_bytes"] == payload_sizes[d]
+
+
+def test_pixel_offset_inside_headers_rejected():
+    """A corrupt pixel-data offset pointing inside the headers must be
+    refused, not silently decoded as garbage pixels."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from event_streaming_toy_example_spark.functions.bmp_codec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    payload = bytearray(encode_bmp(np.zeros((4, 4), dtype=np.uint8)))
+    struct.pack_into("<I", payload, 10, 14)  # offset -> inside headers
+    with pytest.raises(ValueError, match="inside the"):
+        decode_bmp(bytes(payload))

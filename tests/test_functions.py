@@ -407,3 +407,20 @@ def test_wav_decode_features(spark, docs):
         i = np.arange(n, dtype=np.int64)
         s = (i * (d + 3)) % 65536 - 32768
         assert r.mean_abs == int(np.abs(s).sum()) // n
+
+
+def test_wav_zero_channels_raises_value_error():
+    """A corrupt header with channels=0 must raise the contract's
+    ValueError, not ZeroDivisionError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from event_streaming_toy_example_spark.functions import wav_codec
+
+    good = wav_codec.encode_wav(np.zeros(8, dtype=np.int16), 8000)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 22, 0)
+    with pytest.raises(ValueError, match="channel count"):
+        wav_codec.decode_wav(bytes(bad))
