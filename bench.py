@@ -93,6 +93,8 @@ HEADLINE = [
     "mm_gif_frames",
     "geo_grid_join",
     "stream_upsert_sink",
+    "assoc_pairs",
+    "graph_triangles",
 ]
 
 

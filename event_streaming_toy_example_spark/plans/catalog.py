@@ -225,6 +225,11 @@ FAMILY_REP: dict[str, str] = {
     # streaming MERGE sink: the streaming-apply surface of the CDC
     # upsert rep (same upsert_snapshot semantics, driven per batch)
     "stream_upsert_sink": "upsert_events_cdc",
+    # pair mining is a self-join + conditional-aggregate surface of
+    # the set-op/user-overlap family; triangle counting joins the
+    # graph family whose rep is the PageRank entry
+    "assoc_pairs": "setop_purchase_and_error_users",
+    "graph_triangles": "graph_pagerank_nations",
     # explicit runtime-filter (bloom-prune) variant of the broadcast
     # star-join family rep; the bloom's survivor count is part of the
     # hash-checked output

@@ -137,12 +137,149 @@ FROM (
 """
 
 
+def q_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over per-user event-type baskets:
+    support, per-item counts, and integer-ppm lift for every co-
+    occurring event-type pair.
+
+    The A-priori-style plan: distinct (user, item) once, ordered
+    self-join per user for pair supports (baskets here are ≤5 items,
+    so the per-user pair blowup is bounded by item-vocabulary, not
+    data), broadcast item counts back.  Lift in exact integer ppm —
+    ``n_ab * n_users * 1e6 div (n_a * n_b)`` — so the row hashes
+    identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select("user_id", "event_type").distinct()
+    n_users = items.select("user_id").distinct().count()
+    counts = items.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = items.select("user_id", F.col("event_type").alias("t1"))
+    b = items.select("user_id", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = F.broadcast(counts.select(F.col("event_type").alias("t1"),
+                                   F.col("n_item").alias("n_a")))
+    cb = F.broadcast(counts.select(F.col("event_type").alias("t2"),
+                                   F.col("n_item").alias("n_b")))
+    return (
+        pairs.join(ca, "t1")
+        .join(cb, "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"n_ab * {n_users}L * 1000000L div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+SQL_ASSOC_PAIRS = """
+WITH items AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT count(DISTINCT user_id) AS n_users FROM items
+), counts AS (
+  SELECT event_type, count(*) AS n_item FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_ab, ca.n_item AS n_a, cb.n_item AS n_b,
+       p.n_ab * nu.n_users * 1000000 // (ca.n_item * cb.n_item)
+           AS lift_ppm
+FROM pairs p
+JOIN counts ca ON p.t1 = ca.event_type
+JOIN counts cb ON p.t2 = cb.event_type, nu
+"""
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the undirected nation trade graph —
+    the second classic distributed graph kernel next to PageRank.
+
+    Edges: distinct customer-nation/supplier-nation trading pairs
+    (ordered lo < hi so each undirected edge exists once).  Triangles
+    enumerate via the standard two-join on ordered edges
+    (a<b, b<c, a<c) — each triangle counted exactly once — then
+    explode to per-node participation.  At scale the ordered-edge
+    convention IS the degree-based load bound (every wedge is built
+    at its lowest-id vertex)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        lineitem.select("l_orderkey", "l_suppkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").cast("long").alias("lo"),
+            F.greatest("c_nationkey", "s_nationkey").cast("long").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e1 = pairs.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = pairs.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = pairs.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = tri.select(F.col("a").alias("node")).unionAll(
+        tri.select(F.col("b").alias("node"))
+    ).unionAll(tri.select(F.col("c").alias("node")))
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT
+         least(c.c_nationkey, s.s_nationkey)::BIGINT AS lo,
+         greatest(c.c_nationkey, s.s_nationkey)::BIGINT AS hi
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+), tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.hi = e2.lo
+  JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT node, count(*) AS n_triangles FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY 1
+"""
+
+
 EXT16_QUERIES = {
     "geo_grid_join": q_geo_grid_join,
     "stream_upsert_sink": q_stream_upsert_sink,
+    "assoc_pairs": q_assoc_pairs,
+    "graph_triangles": q_graph_triangles,
 }
 
 EXT16_ORACLES = {
     "geo_grid_join": SQL_GEO_GRID_JOIN,
     "stream_upsert_sink": SQL_STREAM_UPSERT_SINK,
+    "assoc_pairs": SQL_ASSOC_PAIRS,
+    "graph_triangles": SQL_GRAPH_TRIANGLES,
 }
