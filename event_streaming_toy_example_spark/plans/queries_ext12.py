@@ -64,23 +64,11 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    b = base.select(
-        F.col("doc_id").alias("b_id"), F.md5("text").alias("b_fp")
+    from event_streaming_toy_example_spark.operators.diff import (
+        diff_snapshots,
     )
-    n = nxt.select(
-        F.col("doc_id").alias("n_id"), F.md5("text").alias("n_fp")
-    )
-    j = b.join(n, b["b_id"] == n["n_id"], "full_outer")
-    return (
-        j.select(
-            F.coalesce("b_id", "n_id").alias("doc_id"),
-            F.when(F.col("b_id").isNull(), "insert")
-            .when(F.col("n_id").isNull(), "delete")
-            .when(F.col("b_fp") != F.col("n_fp"), "update")
-            .alias("change_type"),
-        )
-        .where(F.col("change_type").isNotNull())
-    )
+
+    return diff_snapshots(base, nxt, "doc_id", ["text"])
 
 
 SQL_SNAPSHOT_DIFF = f"""

@@ -122,3 +122,48 @@ def test_snapshot_diff_feed_applied_reproduces_next_snapshot(spark):
     got = sorted((r.doc_id, r.text) for r in applied.collect())
     want = sorted((r.doc_id, r.text) for r in nxt.collect())
     assert got == want
+
+
+from hypothesis import given, settings, strategies as st
+
+_VALS = st.sampled_from(["a", "b", "cc", "ddd", "e f", ""])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 15), _VALS, max_size=12),
+    st.dictionaries(st.integers(0, 15), _VALS, max_size=12),
+)
+def test_diff_then_apply_round_trips_random_tables(spark, base_d, next_d):
+    """diff_snapshots ∘ upsert_snapshot must be the identity from base
+    to next for ARBITRARY keyed tables (random inserts, updates,
+    deletes, no-ops, empty sides)."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.operators.diff import (
+        diff_snapshots,
+    )
+    from event_streaming_toy_example_spark.operators.upsert import (
+        upsert_snapshot,
+    )
+
+    schema = "k int, v string"
+    base = spark.createDataFrame(sorted(base_d.items()), schema)
+    nxt = spark.createDataFrame(sorted(next_d.items()), schema)
+    feed = diff_snapshots(base, nxt, "k", ["v"])
+    upserts = feed.where(F.col("change_type") != "delete").join(
+        nxt, "k"
+    ).select("k", "v", F.lit(False).alias("_del"))
+    deletes = feed.where(F.col("change_type") == "delete").select(
+        "k", F.lit(None).cast("string").alias("v"),
+        F.lit(True).alias("_del"),
+    )
+    applied = upsert_snapshot(
+        base.withColumn("_del", F.lit(False)),
+        upserts.unionByName(deletes),
+        keys=["k"],
+        order_by=["k"],
+        tombstone_col="_del",
+    )
+    got = sorted((r.k, r.v) for r in applied.collect())
+    assert got == sorted(next_d.items())
