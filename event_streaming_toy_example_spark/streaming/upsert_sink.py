@@ -38,6 +38,18 @@ from event_streaming_toy_example_spark.operators.upsert import (
 )
 
 _PTR = "CURRENT"
+_LOG = "COMMITS"
+
+
+def _commit_log(state_dir: str) -> list[str]:
+    """Committed generation names, oldest first; only entries whose
+    directory still exists (older ones may be retention-pruned)."""
+    log = os.path.join(state_dir, _LOG)
+    if not os.path.exists(log):
+        return []
+    with open(log) as f:
+        gens = [line.strip() for line in f if line.strip()]
+    return [g for g in gens if os.path.isdir(os.path.join(state_dir, g))]
 
 
 def _current_gen(state_dir: str) -> str | None:
@@ -50,10 +62,35 @@ def _current_gen(state_dir: str) -> str | None:
     return path if os.path.isdir(path) else None
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Current snapshot, or None before the first commit."""
-    path = _current_gen(state_dir)
-    return spark.read.parquet(path) if path else None
+def read_state(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Snapshot read with TIME TRAVEL: ``version=None`` reads the
+    current commit; a negative ``version`` indexes back from it
+    (``-2`` = the snapshot one commit before current) and a
+    non-negative one indexes the retained commit log from its oldest
+    entry.  Returns None before the first commit; raises IndexError
+    for a version outside the retained window (pruned by
+    ``keep_generations``)."""
+    if version is None:
+        path = _current_gen(state_dir)
+        return spark.read.parquet(path) if path else None
+    gens = _commit_log(state_dir)
+    if not gens:
+        return None
+    try:
+        gen = gens[version]
+    except IndexError:
+        raise IndexError(
+            f"version {version} outside the retained window of "
+            f"{len(gens)} commits (older generations were pruned)"
+        ) from None
+    return spark.read.parquet(os.path.join(state_dir, gen))
+
+
+def list_versions(state_dir: str) -> list[str]:
+    """Retained commit ids, oldest first (the time-travel index)."""
+    return _commit_log(state_dir)
 
 
 def start_upsert_stream(
@@ -63,9 +100,17 @@ def start_upsert_stream(
     keys: Sequence[str],
     order_by: Sequence[str],
     available_now: bool = True,
+    keep_generations: int = 1,
 ):
     """Run a streaming query that MERGEs ``changes`` (a streaming
-    DataFrame) into the keyed snapshot under ``state_dir``."""
+    DataFrame) into the keyed snapshot under ``state_dir``.
+
+    ``keep_generations`` is the retention window: how many committed
+    snapshots stay readable via ``read_state(version=...)`` — the
+    time-travel surface a lakehouse table format provides (1 = only
+    the current snapshot, the minimum)."""
+    if keep_generations < 1:
+        raise ValueError(f"keep_generations must be >= 1: {keep_generations}")
     os.makedirs(state_dir, exist_ok=True)
     spark = changes.sparkSession
 
@@ -92,9 +137,13 @@ def start_upsert_stream(
         with open(tmp, "w") as f:
             f.write(gen)
         os.replace(tmp, os.path.join(state_dir, _PTR))
-        # drop superseded generations (keep the one just committed)
+        with open(os.path.join(state_dir, _LOG), "a") as f:
+            f.write(gen + "\n")
+        # retention: keep the newest `keep_generations` committed
+        # snapshots readable (time travel), prune everything older
+        keep = set(_commit_log(state_dir)[-keep_generations:]) | {gen}
         for d in os.listdir(state_dir):
-            if d.startswith("gen_") and d != gen:
+            if d.startswith("gen_") and d not in keep:
                 shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
     writer = changes.writeStream.foreachBatch(_merge).option(

@@ -401,3 +401,84 @@ def test_upsert_sink_replay_and_checkpoint_idempotence(spark, tmp_path):
     assert run(tmp_path / "s1", tmp_path / "c1") == got
     # (c) fresh checkpoint + fresh state: deterministic replay
     assert run(tmp_path / "s2", tmp_path / "c2") == got
+
+
+def test_upsert_sink_time_travel_versions(spark, tmp_path):
+    """Retained generations are readable via read_state(version=...):
+    the retention window holds, version -1 equals current, earlier
+    versions are prefixes of the key history (latest-per-key row
+    counts never shrink as batches accumulate), and versions outside
+    the window raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_stream_input,
+    )
+    from event_streaming_toy_example_spark.schemas import load_table
+    from event_streaming_toy_example_spark.streaming.upsert_sink import (
+        list_versions,
+        read_state,
+        start_upsert_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    in_path = stage_stream_input(ev, "upsink_tt", SF_DIR)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    changes = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_path)
+    )
+    state = tmp_path / "s"
+    q = start_upsert_stream(
+        changes,
+        state_dir=str(state),
+        checkpoint_dir=str(tmp_path / "c"),
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        keep_generations=3,
+    )
+    assert q.awaitTermination(300)
+    versions = list_versions(str(state))
+    assert 1 <= len(versions) <= 3
+    current = sorted(
+        tuple(r) for r in read_state(spark, str(state)).collect()
+    )
+    assert (
+        sorted(tuple(r) for r in read_state(spark, str(state), -1).collect())
+        == current
+    )
+    counts = [
+        read_state(spark, str(state), i).count()
+        for i in range(len(versions))
+    ]
+    assert counts == sorted(counts)  # latest-per-key never shrinks
+    with pytest.raises(IndexError, match="outside the retained window"):
+        read_state(spark, str(state), -(len(versions) + 1))
+
+
+def test_upsert_sink_rejects_zero_retention(spark, tmp_path):
+    import pytest
+
+    from event_streaming_toy_example_spark.streaming.upsert_sink import (
+        start_upsert_stream,
+    )
+
+    # validation fires before any stream machinery, so a batch frame
+    # stands in for the changes stream
+    changes = spark.range(1)
+    with pytest.raises(ValueError, match="keep_generations"):
+        start_upsert_stream(
+            changes,
+            state_dir=str(tmp_path / "s"),
+            checkpoint_dir=str(tmp_path / "c"),
+            keys=["user_id"],
+            order_by=["ts"],
+            keep_generations=0,
+        )
