@@ -148,8 +148,13 @@ def q_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     data), broadcast item counts back.  Lift in exact integer ppm —
     ``n_ab * n_users * 1e6 div (n_a * n_b)`` — so the row hashes
     identically on both engines."""
+    from event_streaming_toy_example_spark.caching import track
+
     ev = load_table(spark, sf_dir, "events")
-    items = ev.select("user_id", "event_type").distinct()
+    # the distinct basket relation feeds four consumers (user count,
+    # item counts, both sides of the pair join) — persist so the
+    # distinct aggregation runs once
+    items = track(ev.select("user_id", "event_type").distinct().persist())
     n_users = items.select("user_id").distinct().count()
     counts = items.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_item")
@@ -234,13 +239,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lo") != F.col("hi"))
         .distinct()
     )
+    from event_streaming_toy_example_spark.caching import track
+
+    # the edge list feeds all three join roles — persist so the
+    # 4-table edge derivation runs once, not three times; and the
+    # per-node fan-out is one explode over the triangle rows, not a
+    # 3-way union that would re-enumerate the triangles per column
+    pairs = track(pairs.persist())
     e1 = pairs.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = pairs.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     e3 = pairs.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    nodes = tri.select(F.col("a").alias("node")).unionAll(
-        tri.select(F.col("b").alias("node"))
-    ).unionAll(tri.select(F.col("c").alias("node")))
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )

@@ -143,6 +143,23 @@ def test_agg_pricing_scan_is_pruned_and_pushed(spark):
     assert pushed and "l_shipdate" in pushed[0], pushed
 
 
+def test_triangles_edge_list_cached_once(spark):
+    """The triangle enumeration joins the edge list in three roles —
+    all three must be InMemoryTableScans of ONE persisted edge build,
+    and the per-node fan-out must be an explode, not a union that
+    would re-enumerate triangles per column."""
+    from event_streaming_toy_example_spark.caching import release_caches
+
+    qs = ALL_QUERIES
+    try:
+        plan, _, _ = _counts(qs["graph_triangles"](spark, SF_DIR))
+        assert plan.count("InMemoryTableScan") == 3, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Union" not in plan, plan
+    finally:
+        release_caches()
+
+
 def test_geo_grid_join_is_equi_join_never_all_pairs(spark):
     """The grid-blocked proximity join must be a hash/merge equi-join
     on the cell key (broadcast at toy scale) — a cartesian or
