@@ -95,6 +95,7 @@ HEADLINE = [
     "stream_upsert_sink",
     "assoc_pairs",
     "graph_triangles",
+    "sql_recursive_hierarchy",
 ]
 
 

@@ -230,6 +230,10 @@ FAMILY_REP: dict[str, str] = {
     # graph family whose rep is the PageRank entry
     "assoc_pairs": "setop_purchase_and_error_users",
     "graph_triangles": "graph_pagerank_nations",
+    # WITH RECURSIVE is a SQL-string-API surface (same family as the
+    # subquery/CTE rep); the iterative-graph semantics it expresses
+    # are driver-checked via the PageRank/components entries
+    "sql_recursive_hierarchy": "sql_shipping_priority",
     # explicit runtime-filter (bloom-prune) variant of the broadcast
     # star-join family rep; the bloom's survivor count is part of the
     # hash-checked output

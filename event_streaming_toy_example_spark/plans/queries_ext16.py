@@ -282,11 +282,46 @@ SELECT node, count(*) AS n_triangles FROM (
 """
 
 
+def _recursive_hierarchy_sql(tbl: str) -> str:
+    """Shared WITH RECURSIVE body (ANSI, runs verbatim on Spark 4 and
+    DuckDB): synthetic decimal-digit tree over customer keys —
+    ``parent(c) = floor(c / 10)``, roots are keys < 10 — rolled up to
+    (root, depth) node counts and key sums."""
+    return f"""
+WITH RECURSIVE h(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM {tbl} WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.root, h.depth + 1
+  FROM {tbl} c JOIN h
+    ON CAST(floor(c.c_custkey / 10) AS BIGINT) = h.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT root, depth,
+       count(*) AS n_nodes,
+       CAST(sum(custkey) AS BIGINT) AS sum_keys
+FROM h GROUP BY root, depth
+"""
+
+
+def q_sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4's WITH RECURSIVE): traverse the
+    synthetic decimal-digit hierarchy over customer keys from the
+    roots down, emitting per-(root, depth) rollups.  The SAME SQL
+    text runs on both engines — this is the iterative-traversal
+    capability ``operators/components.py`` implements as an explicit
+    loop, expressed declaratively now that the engine supports it."""
+    cust = load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        _recursive_hierarchy_sql("{customer}"), customer=cust
+    )
+
+
 EXT16_QUERIES = {
     "geo_grid_join": q_geo_grid_join,
     "stream_upsert_sink": q_stream_upsert_sink,
     "assoc_pairs": q_assoc_pairs,
     "graph_triangles": q_graph_triangles,
+    "sql_recursive_hierarchy": q_sql_recursive_hierarchy,
 }
 
 EXT16_ORACLES = {
@@ -294,4 +329,5 @@ EXT16_ORACLES = {
     "stream_upsert_sink": SQL_STREAM_UPSERT_SINK,
     "assoc_pairs": SQL_ASSOC_PAIRS,
     "graph_triangles": SQL_GRAPH_TRIANGLES,
+    "sql_recursive_hierarchy": _recursive_hierarchy_sql("customer"),
 }
