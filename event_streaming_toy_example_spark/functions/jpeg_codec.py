@@ -1,0 +1,656 @@
+"""Minimal real baseline JPEG (JFIF) codec (pure stdlib ``struct`` + numpy).
+
+Fourth real image format after ``png_codec`` / ``bmp_codec`` /
+``gif_codec`` (same role, same boundary).  The decoder implements the
+full baseline sequential scheme — marker parse, multi-table DQT/DHT
+segments, Huffman entropy decode with byte-unstuffing, restart-marker
+handling (DRI/RSTn), arbitrary h/v sampling factors with replicate
+chroma upsampling, dequantize + inverse zigzag + IDCT, and YCbCr→RGB —
+so it reads baseline JPEGs produced by any conforming encoder, not just
+this module's.
+
+The encoder is spec-valid and deliberately simple: 4:4:4 (no chroma
+subsampling), the Annex K example quantization tables scaled by the
+libjpeg quality formula, and the Annex K typical Huffman tables.
+Output is deterministic and byte-stable, which the oracle-checked
+catalog entries require.
+
+JPEG is lossy by construction, so unlike the PNG/BMP/GIF paths the
+pixel round-trip is approximate; the *dimensions* round-trip exactly
+(that is what the arithmetic SQL oracle checks) and the tests bound the
+pixel error of an encode→decode cycle on smooth images.
+
+Scope (documented, asserted): baseline DCT (SOF0), 8-bit precision,
+1- or 3-component scans, interleaved single-scan streams.  Progressive
+(SOF2), arithmetic coding, 12-bit precision, and hierarchical modes
+raise ``NotImplementedError`` naming the feature; truncated or corrupt
+streams raise ``ValueError`` naming the offending structure.
+
+Codec boundary only — the Spark-side plumbing (Arrow batches,
+``mapInPandas`` signatures, schemas) lives in
+``functions/multimodal.py`` and is codec-agnostic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------ constants
+
+#: Annex K example luminance / chrominance quantization tables (natural
+#: row-major order).
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+#: zigzag[i] = natural index of the i-th coefficient in zigzag order.
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# Annex K typical Huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+#: 8x8 DCT-II basis matrix: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    _c = (0.5 / np.sqrt(2.0)) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+_IDCT = _DCT.T.copy()
+
+
+def is_jpeg(data: bytes) -> bool:
+    return bytes(data[:2]) == b"\xff\xd8"
+
+
+# ------------------------------------------------------------- encode
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex K tables (1..100)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA):
+        q = (base * scale + 50) // 100
+        out.append(np.clip(q, 1, 255))
+    return out[0], out[1]
+
+
+def _build_code_strings(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the JPEG canonical code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _component_blocks(plane: np.ndarray, n_by: int, n_bx: int) -> np.ndarray:
+    """Pad (edge-replicate) to exactly ``n_by x n_bx`` 8x8 blocks ->
+    (n_by, n_bx, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = n_by * 8 - h, n_bx * 8 - w
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane.reshape(n_by, 8, n_bx, 8).transpose(0, 2, 1, 3)
+
+
+def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Mean-pool by (fy, fx) with edge-replicate padding to multiples."""
+    if fy == 1 and fx == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -h % fy, -w % fx
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    return plane.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: list[int], ci: int,
+                  dc_codes, ac_codes) -> None:
+    tbl = 0 if ci == 0 else 1
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    cat, bits = _magnitude(diff)
+    code, length = dc_codes[tbl][cat]
+    bw.write(code, length)
+    if cat:
+        bw.write(bits, cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[tbl][0xF0]
+            bw.write(code, length)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, length = ac_codes[tbl][(run << 4) | cat]
+        bw.write(code, length)
+        bw.write(bits, cat)
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, length = ac_codes[tbl][0x00]
+        bw.write(code, length)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                restart_interval: int = 0,
+                subsample: bool = False) -> bytes:
+    """Encode a uint8 ``(h, w, 3)`` RGB array as a baseline JFIF JPEG.
+
+    Deterministic: fixed tables (Annex K scaled by ``quality``), fixed
+    marker layout. ``subsample=True`` emits 4:2:0 (2x2 luma blocks per
+    MCU, box-filtered chroma) — the layout real camera files use;
+    default is 4:4:4. ``restart_interval`` > 0 emits a DRI segment and
+    RSTn markers every that many MCUs. Both options exist so the
+    decoder's sampling-factor and restart paths round-trip against a
+    conforming producer."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"invalid image dimensions {w}x{h}")
+    q_luma, q_chroma = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(arr)
+    sampling = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    dc_codes = [_build_code_strings(_DC_LUMA_BITS, _DC_LUMA_VALS),
+                _build_code_strings(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_codes = [_build_code_strings(_AC_LUMA_BITS, _AC_LUMA_VALS),
+                _build_code_strings(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    # DCT + quantize each component up front (vectorized over blocks).
+    comp_zz = []
+    for ci, (hs, vs) in enumerate(sampling):
+        plane = _box_downsample(ycc[:, :, ci], vmax // vs, hmax // hs)
+        blocks = _component_blocks(plane, mcus_y * vs, mcus_x * hs) - 128.0
+        coef = np.einsum("ux,byxw,wv->byuv", _DCT, blocks, _IDCT)
+        q = (q_luma if ci == 0 else q_chroma).reshape(8, 8).astype(np.float64)
+        qz = np.round(coef / q).astype(np.int64)
+        n_by, n_bx = qz.shape[:2]
+        comp_zz.append(qz.reshape(n_by, n_bx, 64)[:, :, _ZIGZAG])
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                pred = [0, 0, 0]
+            mcu_count += 1
+            for ci, (hs, vs) in enumerate(sampling):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = comp_zz[ci][my * vs + by, mx * hs + bx]
+                        _encode_block(bw, zz, pred, ci, dc_codes, ac_codes)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, q_luma), (1, q_chroma)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(q[i]) for i in _ZIGZAG)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        hs, vs = sampling[cid - 1]
+        out += bytes([cid, (hs << 4) | vs, qid])
+    for tc_th, bits, vals in (
+        (0x00, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tbls in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tbls])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader: unstuffs 0xFF00, stops at
+    markers, and can resynchronise at RSTn boundaries."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG: entropy data ended early")
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG: dangling 0xFF")
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    "unexpected restart marker inside an entropy run"
+                )
+            else:
+                # A real marker (EOI / next segment): per spec the
+                # entropy decoder pads with 1-bits past the segment end.
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_restart(self) -> None:
+        """Discard pad bits and consume one RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        # tolerate stuffing remnants: scan to the next 0xFF
+        while self.pos < len(d) and d[self.pos] != 0xFF:
+            self.pos += 1
+        if self.pos + 1 >= len(d) or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected RSTn marker at restart interval")
+        self.pos += 2
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG: Huffman code longer than 16 bits")
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to a uint8 ``(h, w, 3)`` RGB
+    array (grayscale streams are replicated across channels)."""
+    data = bytes(data)
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, qid)]
+    restart_interval = 0
+    n = len(data)
+
+    while True:
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG: ran out of markers")
+        if data[pos] != 0xFF:
+            raise ValueError(f"invalid JPEG: expected marker at byte {pos}")
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1  # legal fill bytes before a marker
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("invalid JPEG: EOI before scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length segment
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential DCT (SOF0) is supported; "
+                f"got SOF marker 0xFF{marker:02X}"
+            )
+        seg_len = struct.unpack_from(">H", data, pos)[0]
+        seg_end = pos + seg_len
+        if seg_end > n:
+            raise ValueError("truncated JPEG: segment overruns payload")
+        body_pos = pos + 2
+
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = body_pos
+            while p < seg_end:
+                pq, tq = data[p] >> 4, data[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables are not supported"
+                    )
+                zz = np.frombuffer(data, dtype=np.uint8, count=64,
+                                   offset=p + 1).astype(np.int64)
+                natural = np.empty(64, dtype=np.int64)
+                natural[_ZIGZAG] = zz
+                qtables[tq] = natural.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = body_pos
+            while p < seg_end:
+                tc_th = data[p]
+                bits = list(data[p + 1:p + 17])
+                nvals = sum(bits)
+                vals = list(data[p + 17:p + 17 + nvals])
+                htables[tc_th] = _build_decode_table(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC0:  # SOF0
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", data, body_pos)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"only 8-bit precision supported, got {prec}"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"only 1- or 3-component frames supported, got {nc}"
+                )
+            comps = []
+            for i in range(nc):
+                cid, hv, qid = data[body_pos + 6 + 3 * i:body_pos + 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+            frame = (fh, fw, comps)
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", data, body_pos)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("invalid JPEG: SOS before SOF0")
+            ns = data[body_pos]
+            scan_tbl = {}
+            for i in range(ns):
+                cid = data[body_pos + 1 + 2 * i]
+                td_ta = data[body_pos + 2 + 2 * i]
+                scan_tbl[cid] = (td_ta >> 4, td_ta & 0x0F)
+            pos = seg_end
+            return _decode_scan(
+                data, pos, frame, scan_tbl, qtables, htables,
+                restart_interval,
+            )
+        # APPn / COM / anything else: skip
+        pos = seg_end
+
+
+def _decode_scan(data, pos, frame, scan_tbl, qtables, htables,
+                 restart_interval) -> np.ndarray:
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError(f"invalid JPEG dimensions {fw}x{fh}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-fw // mcu_w)
+    mcus_y = -(-fh // mcu_h)
+
+    planes = []
+    meta = []  # (hs, vs, q, dc_table, ac_table, plane)
+    for cid, hs, vs, qid in comps:
+        if cid not in scan_tbl:
+            raise NotImplementedError(
+                "non-interleaved multi-scan streams are not supported"
+            )
+        if qid not in qtables:
+            raise ValueError(f"invalid JPEG: missing DQT table {qid}")
+        td, ta = scan_tbl[cid]
+        dc = htables.get(td)
+        ac = htables.get(0x10 | ta)
+        if dc is None or ac is None:
+            raise ValueError("invalid JPEG: missing DHT table for scan")
+        plane = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        planes.append(plane)
+        meta.append((hs, vs, qtables[qid].astype(np.float64), dc, ac, plane))
+
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.align_to_restart()
+                pred = [0] * len(comps)
+            for ci, (hs, vs, q, dc, ac, plane) in enumerate(meta):
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        sym = _huff_decode(br, dc)
+                        if sym > 11:
+                            raise ValueError(
+                                "invalid JPEG: DC category > 11"
+                            )
+                        diff = _extend(br.receive(sym), sym)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "invalid JPEG: AC run past block end"
+                                )
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        coef = np.empty(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz
+                        block = coef.reshape(8, 8) * q
+                        px = _IDCT @ block @ _DCT + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        plane[y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+
+    # Upsample each component to full frame resolution (replicate).
+    full = []
+    for (hs, vs, _q, _dc, _ac, plane) in meta:
+        if hs != hmax or vs != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(plane[:fh, :fw])
+
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

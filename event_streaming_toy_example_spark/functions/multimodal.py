@@ -163,14 +163,15 @@ def decode_image_stub(payload: bytes, fake: bool) -> dict:
 def decode_image(payload: bytes):
     """THE image-decode dispatch (shared by every real-pixel path —
     feature extraction and perceptual hashing must not each carry
-    their own probe list): PNG/BMP/GIF87a via the in-repo codecs,
-    anything else via Pillow when importable, else a loud
+    their own probe list): PNG/BMP/GIF87a/baseline-JPEG via the in-repo
+    codecs, anything else via Pillow when importable, else a loud
     ``NotImplementedError``.  Returns a uint8 ``(h, w, 3)`` array."""
     import numpy as np
 
     from event_streaming_toy_example_spark.functions import (
         bmp_codec,
         gif_codec,
+        jpeg_codec,
         png_codec,
     )
 
@@ -179,6 +180,7 @@ def decode_image(payload: bytes):
         (png_codec.is_png, png_codec.decode_png),
         (bmp_codec.is_bmp, bmp_codec.decode_bmp),
         (gif_codec.is_gif, gif_codec.decode_gif),
+        (jpeg_codec.is_jpeg, jpeg_codec.decode_jpeg),
     ):
         if probe(payload):
             arr = decode(payload)
@@ -188,9 +190,9 @@ def decode_image(payload: bytes):
             from PIL import Image  # optional; absent in this environment
         except ImportError as exc:
             raise NotImplementedError(
-                "real decode implemented for PNG, BMP, and GIF87a "
-                "(in-repo codecs); other formats need Pillow, which is "
-                "not installed"
+                "real decode implemented for PNG, BMP, GIF87a, and "
+                "baseline JPEG (in-repo codecs); other formats need "
+                "Pillow, which is not installed"
             ) from exc
         import io
 
@@ -374,6 +376,40 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = np.arange(n, dtype=np.int64)
                 s = ((i * (d + 3)) % 65536 - 32768).astype(np.int16)
                 rows.append((d, wav_codec.encode_wav(s, _WAV_RATE)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        op, PNG_PAYLOAD_SCHEMA
+    )
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """JPEG twin of :func:`attach_png_payload`: a REAL (decodable)
+    baseline JFIF JPEG per row, dims derived arithmetically from the id
+    — ``w = 14 + id % 34``, ``h = 7 + id % 17`` (a fourth moduli pair,
+    so any codec mix-up fails the oracle).  JPEG is lossy, so unlike
+    the PNG/BMP/GIF attachers the pixels don't round-trip exactly —
+    but the decoded *dimensions* do, which is what the arithmetic SQL
+    oracle checks; the wrap-free gradient keeps the pixel error bounded
+    (asserted in the codec tests)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import jpeg_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 14 + d % 34, 7 + d % 17
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                arr = ((2 * x + 3 * y + d + 10 * c) % 200 + 20).astype(
+                    np.uint8
+                )
+                rows.append((d, jpeg_codec.encode_jpeg(arr, quality=92)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(

@@ -214,6 +214,10 @@ FAMILY_REP: dict[str, str] = {
     # third real image format (in-repo GIF87a codec, full LZW decoder),
     # same arithmetic-dims oracle with a third moduli pair
     "mm_gif_decode": "mm_png_decode",
+    # fourth real image format (in-repo baseline-JPEG codec: Huffman
+    # entropy decode + IDCT + YCbCr), arithmetic-dims oracle with a
+    # fourth moduli pair; lossy, so pixel bounds live in the codec tests
+    "mm_jpeg_decode": "mm_png_decode",
     # REAL multi-frame sampling (animated GIF, per-frame LZW decode) —
     # the codec-real upgrade of the mm_frame_sample plumbing twin
     "mm_gif_frames": "mm_png_decode",

@@ -246,6 +246,32 @@ FROM documents
 """
 
 
+def q_mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL image decode format (baseline JFIF JPEG, in-repo
+    codec: marker parse, Huffman entropy decode, dequantize + IDCT,
+    YCbCr->RGB): same arithmetic-dims oracle construction as the
+    PNG/BMP/GIF entries, a fourth moduli pair so a codec mix-up fails
+    the hash check.  JPEG is lossy, so the oracle binds the decoded
+    dimensions (exact by construction); pixel-error bounds live in
+    ``tests/test_jpeg_codec.py``."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_jpeg_payload,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_jpeg_payload(docs), fake=False)
+    return feats.select("doc_id", "width", "height")
+
+
+SQL_MM_JPEG_DECODE = """
+SELECT doc_id,
+       CAST(14 + doc_id % 34 AS INT) AS width,
+       CAST(7 + doc_id % 17 AS INT) AS height
+FROM documents
+"""
+
+
 def q_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multi-frame sampling: per-doc animated GIF (1 + id % 4
     frames, each its own dims) -> full per-frame LZW decode -> one row
@@ -433,6 +459,7 @@ EXT8_QUERIES = {
     "sketch_cms_heavy_hitters": q_sketch_cms_heavy_hitters,
     "mm_dhash_dedup": q_mm_dhash_dedup,
     "mm_gif_decode": q_mm_gif_decode,
+    "mm_jpeg_decode": q_mm_jpeg_decode,
     "mm_gif_frames": q_mm_gif_frames,
     "join_bloom_pruned_revenue": q_join_bloom_pruned_revenue,
     "sketch_kmv_setops": q_sketch_kmv_setops,
@@ -443,6 +470,7 @@ EXT8_ORACLES = {
     "sketch_cms_heavy_hitters": _sql_sketch_cms_heavy_hitters(),
     "mm_dhash_dedup": SQL_MM_DHASH_DEDUP,
     "mm_gif_decode": SQL_MM_GIF_DECODE,
+    "mm_jpeg_decode": SQL_MM_JPEG_DECODE,
     "mm_gif_frames": SQL_MM_GIF_FRAMES,
     "join_bloom_pruned_revenue": _sql_join_bloom_pruned_revenue(),
     "sketch_kmv_setops": _sql_sketch_kmv_setops(),
