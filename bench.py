@@ -96,6 +96,9 @@ HEADLINE = [
     "assoc_pairs",
     "graph_triangles",
     "sql_recursive_hierarchy",
+    "mm_jpeg_decode",
+    "text_lm_score",
+    "curate_pii_redact",
 ]
 
 

@@ -102,6 +102,10 @@ from event_streaming_toy_example_spark.plans.queries_ext16 import (
     EXT16_ORACLES,
     EXT16_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext17 import (
+    EXT17_ORACLES,
+    EXT17_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -302,6 +306,12 @@ FAMILY_REP: dict[str, str] = {
     "agg_incremental_merge": "agg_pricing_summary",
     "dq_expectations": "anti_customers_without_orders",
     "window_analytics": "window_top_orders",
+    # tenth wave: the bigram-LM coverage score shares the corpus-bigram
+    # join machinery with the decontamination rep (train-then-score is
+    # its inverse: the "benchmark" set is the corpus's own vocabulary);
+    # PII redaction is the third regexp-scrub surface of the gate rep
+    "text_lm_score": "curate_decontaminate",
+    "curate_pii_redact": "curate_sample_scrub",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -322,6 +332,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT14_QUERIES,
     **EXT15_QUERIES,
     **EXT16_QUERIES,
+    **EXT17_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -342,6 +353,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT14_ORACLES,
     **EXT15_ORACLES,
     **EXT16_ORACLES,
+    **EXT17_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -1,0 +1,226 @@
+"""Round-3 additions (tenth wave): n-gram LM quality scoring and PII
+redaction — the two most common curation filters this engine did not
+yet express.
+
+The reference (a record-at-a-time event pipeline,
+``producer.py:1-173``) has no analogue for either; both are standard
+stages of a web-scale training-data pipeline:
+
+- ``text_lm_score`` — the train-then-score shape of an n-gram language
+  model quality filter (the CCNet/KenLM pattern): learn bigram counts
+  from the corpus itself, then score every document by how much of it
+  the corpus model "recognises".  Floating-point perplexity is not
+  cross-engine hashable, so the emitted signals are the exact integer
+  sufficient statistics a perplexity consumer would divide: bigram
+  count, count of bigrams above a document-frequency floor, and total
+  corpus frequency mass.
+- ``curate_pii_redact`` — regex PII redaction (emails, IPv4 addresses,
+  phone numbers) with per-category match counts and the redacted text
+  bound by md5.  The synthetic corpus contains no PII, so the query
+  PLANTS deterministic id-derived PII spans with the same concat
+  expression on both engines — a zero-match run would verify nothing
+  (the round-2 vacuous-green lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.schemas import load_table
+
+# ------------------------------------------------- bigram LM scoring
+
+#: document-frequency floor: a bigram is "covered" when the corpus
+#: contains it at least this many times (incl. the doc's own uses)
+_LM_MIN_COUNT = 5
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM coverage per document.
+
+    Two-pass train-then-score, all relational:
+
+    1. Bigrams are built ROW-LOCALLY with ``zip_with`` over two shifted
+       ``slice`` views of the token array — no window, no shuffle, the
+       same trick as ``curate_decontaminate``'s shingles.  The exploded
+       ``(doc_id, bigram)`` relation is the single shared input of both
+       passes, persisted so its lineage runs once.
+    2. TRAIN: one hash aggregate on the bigram key (partial map-side
+       combine collapses each task to its distinct bigrams — the
+       vocabulary, not the corpus, crosses the wire).
+    3. SCORE: join the bigram relation back to the counts on the same
+       key, then one per-doc aggregate.  At 100 TB both sides of the
+       join arrive hash-partitioned on the bigram; heavy-hitter bigrams
+       (stopword pairs) are exactly the AQE skew-join case, which the
+       session enables; bucketing the staged bigram relation on the
+       key makes the join shuffle-free on re-score.
+
+    Output columns are exact integers (a float perplexity would never
+    hash-match across engines): ``n_bigrams``, ``covered_bigrams``
+    (corpus count >= ``_LM_MIN_COUNT``), ``freq_mass`` (sum of corpus
+    counts of the doc's bigrams, the numerator of an average-log-count
+    score)."""
+    from event_streaming_toy_example_spark.caching import track
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bigrams = track(
+        docs.select("doc_id", F.explode(pairs).alias("bg")).persist()
+    )
+    corpus = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bigrams.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("cnt") >= _LM_MIN_COUNT).cast("long")).alias(
+                "covered_bigrams"
+            ),
+            F.sum("cnt").alias("freq_mass"),
+        )
+    )
+
+
+SQL_TEXT_LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+), corpus AS (
+  SELECT bg, count(*) AS cnt FROM big GROUP BY bg
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN cnt >= {_LM_MIN_COUNT} THEN 1 ELSE 0 END)
+            AS BIGINT) AS covered_bigrams,
+       CAST(sum(cnt) AS BIGINT) AS freq_mass
+FROM big JOIN corpus USING (bg)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------- PII redaction
+
+#: deliberately simple character-class-only patterns — identical
+#: semantics under Java regex (Spark) and RE2 (DuckDB); no lookaround,
+#: no backreferences, no escapes beyond the literal dot
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "[+][0-9]{7,12}"
+
+
+def _planted_text(doc_id, text):
+    """Deterministic PII spans appended per doc — the SAME expression
+    as the oracle's, so both engines scrub identical inputs.  Three of
+    every four docs get one PII category; the fourth stays clean so
+    zero-count rows are exercised too."""
+    tail = (
+        F.when(
+            doc_id % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(
+            doc_id % 4 == 1,
+            F.concat(
+                F.lit(" from 10."),
+                (doc_id % 256).cast("string"),
+                F.lit(".0."),
+                (doc_id % 100).cast("string"),
+                F.lit(" addr"),
+            ),
+        )
+        .when(
+            doc_id % 4 == 2,
+            F.concat(
+                F.lit(" call +1555"),
+                (1000000 + doc_id % 1000000).cast("string"),
+                F.lit(" ok"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.concat(text, tail)
+
+
+def q_curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the (planted) corpus: count then replace
+    emails, IPv4 addresses, and phone numbers; bind the fully-redacted
+    text by md5 so a pattern that over- or under-matches flips the
+    value hash, not just a counter.
+
+    One pruned scan, every expression codegen'd (regexp count + chained
+    ``regexp_replace``), zero exchanges and zero Python at any scale —
+    the same profile as ``curate_sample_scrub``."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _planted_text(F.col("doc_id"), F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def _sql_planted_text() -> str:
+    return """text || CASE
+      WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@mail.example.com now'
+      WHEN doc_id % 4 = 1 THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || ' addr'
+      WHEN doc_id % 4 = 2 THEN ' call +1555' || (1000000 + doc_id % 1000000) || ' ok'
+      ELSE '' END"""
+
+
+SQL_CURATE_PII_REDACT = f"""
+WITH planted AS (
+  SELECT doc_id, {_sql_planted_text()} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM planted
+"""
+
+
+EXT17_QUERIES = {
+    "text_lm_score": q_text_lm_score,
+    "curate_pii_redact": q_curate_pii_redact,
+}
+
+EXT17_ORACLES = {
+    "text_lm_score": SQL_TEXT_LM_SCORE,
+    "curate_pii_redact": SQL_CURATE_PII_REDACT,
+}
