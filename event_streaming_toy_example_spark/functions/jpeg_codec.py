@@ -166,8 +166,18 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return out[0], out[1]
 
 
+_CODE_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]],
+                  dict[int, tuple[int, int]]] = {}
+
+
 def _build_code_strings(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) per the JPEG canonical code assignment."""
+    """symbol -> (code, length) per the JPEG canonical code assignment.
+    Cached by table content — the encoder always uses the four module
+    constants, so the build runs once per process."""
+    key = (tuple(bits), tuple(vals))
+    cached = _CODE_CACHE.get(key)
+    if cached is not None:
+        return cached
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -177,6 +187,7 @@ def _build_code_strings(bits: list[int], vals: list[int]) -> dict[int, tuple[int
             code += 1
             k += 1
         code <<= 1
+    _CODE_CACHE[key] = codes
     return codes
 
 
@@ -249,33 +260,30 @@ def _box_downsample(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
 def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: list[int], ci: int,
                   dc_codes, ac_codes) -> None:
     tbl = 0 if ci == 0 else 1
-    diff = int(zz[0]) - pred[ci]
-    pred[ci] = int(zz[0])
-    cat, bits = _magnitude(diff)
+    vals = zz.tolist()  # one conversion; per-index numpy scalars are slow
+    dcv = vals[0]
+    cat, bits = _magnitude(dcv - pred[ci])
+    pred[ci] = dcv
     code, length = dc_codes[tbl][cat]
     bw.write(code, length)
     if cat:
         bw.write(bits, cat)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+    ac = ac_codes[tbl]
+    nz = [k for k in range(1, 64) if vals[k]]
+    prev = 0
+    for k in nz:
+        run = k - prev - 1
         while run > 15:
-            code, length = ac_codes[tbl][0xF0]
+            code, length = ac[0xF0]
             bw.write(code, length)
             run -= 16
-        cat, bits = _magnitude(v)
-        code, length = ac_codes[tbl][(run << 4) | cat]
+        cat, bits = _magnitude(vals[k])
+        code, length = ac[(run << 4) | cat]
         bw.write(code, length)
         bw.write(bits, cat)
-        run = 0
-        if k == last_nz:
-            break
-    if last_nz < 63:
-        code, length = ac_codes[tbl][0x00]
+        prev = k
+    if not nz or nz[-1] < 63:
+        code, length = ac[0x00]
         bw.write(code, length)
 
 
@@ -385,6 +393,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # trim already-consumed high bits so acc stays a machine int
+        self.acc &= (1 << self.nbits) - 1
         d = self.data
         if self.pos >= len(d):
             raise ValueError("truncated JPEG: entropy data ended early")
@@ -395,13 +405,12 @@ class _BitReader:
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise ValueError(
-                    "unexpected restart marker inside an entropy run"
-                )
             else:
-                # A real marker (EOI / next segment): per spec the
-                # entropy decoder pads with 1-bits past the segment end.
+                # A real marker (RSTn / EOI / next segment): per spec
+                # the entropy decoder pads with 1-bits past the segment
+                # end — peek16 may legitimately prefetch into the pad
+                # just before a restart boundary, so the marker is NOT
+                # consumed here (align_to_restart / the caller owns it).
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return
@@ -416,11 +425,22 @@ class _BitReader:
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (1-padded past stream end)."""
+        while self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def drop(self, n: int) -> None:
+        self.nbits -= n
+
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def align_to_restart(self) -> None:
         """Discard pad bits and consume one RSTn marker."""
@@ -435,28 +455,39 @@ class _BitReader:
         self.pos += 2
 
 
-def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
+#: (BITS, HUFFVAL) -> flat 2^16 lookup list: peek 16 bits, one index,
+#:  entry = (code_length << 8) | symbol; 0 marks an invalid prefix.
+#: Cached globally — every file reusing the Annex K tables (most files,
+#: including this encoder's) pays the build exactly once per process.
+_LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], list[int]] = {}
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> list[int]:
+    key = (tuple(bits), tuple(vals))
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    arr = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            start = code << (16 - length)
+            arr[start : start + (1 << (16 - length))] = (length << 8) | vals[k]
             code += 1
             k += 1
         code <<= 1
-    return table
+    lut = arr.tolist()
+    _LUT_CACHE[key] = lut
+    return lut
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG: Huffman code longer than 16 bits")
+def _huff_decode(br: _BitReader, lut: list[int]) -> int:
+    entry = lut[br.peek16()]
+    if entry == 0:
+        raise ValueError("invalid JPEG: Huffman code longer than 16 bits")
+    br.drop(entry >> 8)
+    return entry & 0xFF
 
 
 def _extend(v: int, cat: int) -> int:
@@ -572,8 +603,7 @@ def _decode_scan(data, pos, frame, scan_tbl, qtables, htables,
     mcus_x = -(-fw // mcu_w)
     mcus_y = -(-fh // mcu_h)
 
-    planes = []
-    meta = []  # (hs, vs, q, dc_table, ac_table, plane)
+    meta = []  # (hs, vs, q, dc_lut, ac_lut, coefs, n_bx_total)
     for cid, hs, vs, qid in comps:
         if cid not in scan_tbl:
             raise NotImplementedError(
@@ -586,9 +616,14 @@ def _decode_scan(data, pos, frame, scan_tbl, qtables, htables,
         ac = htables.get(0x10 | ta)
         if dc is None or ac is None:
             raise ValueError("invalid JPEG: missing DHT table for scan")
-        plane = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
-        planes.append(plane)
-        meta.append((hs, vs, qtables[qid].astype(np.float64), dc, ac, plane))
+        # zigzag-order coefficients for ALL of this component's blocks,
+        # entropy-decoded sparsely here and transformed in one batch
+        # (unzigzag + dequantize + IDCT) after the scan loop
+        coefs = np.zeros((mcus_y * vs * mcus_x * hs, 64), dtype=np.int32)
+        meta.append(
+            (hs, vs, qtables[qid].astype(np.float64), dc, ac, coefs,
+             mcus_x * hs)
+        )
 
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
@@ -599,46 +634,51 @@ def _decode_scan(data, pos, frame, scan_tbl, qtables, htables,
                     mcu_count % restart_interval == 0:
                 br.align_to_restart()
                 pred = [0] * len(comps)
-            for ci, (hs, vs, q, dc, ac, plane) in enumerate(meta):
+            for ci, (hs, vs, _q, dc, ac, coefs, n_bx) in enumerate(meta):
                 for by in range(vs):
                     for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
+                        bi = (my * vs + by) * n_bx + (mx * hs + bx)
                         sym = _huff_decode(br, dc)
                         if sym > 11:
                             raise ValueError(
                                 "invalid JPEG: DC category > 11"
                             )
-                        diff = _extend(br.receive(sym), sym)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
+                        pred[ci] += _extend(br.receive(sym), sym)
+                        row = coefs[bi]
+                        row[0] = pred[ci]
                         k = 1
                         while k < 64:
                             rs = _huff_decode(br, ac)
-                            r, s = rs >> 4, rs & 0x0F
+                            s = rs & 0x0F
                             if s == 0:
-                                if r == 15:
+                                if rs == 0xF0:
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError(
                                     "invalid JPEG: AC run past block end"
                                 )
-                            zz[k] = _extend(br.receive(s), s)
+                            row[k] = _extend(br.receive(s), s)
                             k += 1
-                        coef = np.empty(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz
-                        block = coef.reshape(8, 8) * q
-                        px = _IDCT @ block @ _DCT + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        plane[y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
 
-    # Upsample each component to full frame resolution (replicate).
+    # Batch transform per component: unzigzag + dequantize + IDCT over
+    # all blocks at once, then stitch the block grid into the plane and
+    # upsample (replicate) to full frame resolution.
     full = []
-    for (hs, vs, _q, _dc, _ac, plane) in meta:
+    for (hs, vs, q, _dc, _ac, coefs, n_bx) in meta:
+        n_by = mcus_y * vs
+        nat = np.zeros_like(coefs, dtype=np.float64)
+        nat[:, _ZIGZAG] = coefs
+        blocks = (nat * q.reshape(1, 64)).reshape(-1, 8, 8)
+        px = np.einsum("ux,nxw,wv->nuv", _IDCT, blocks, _DCT) + 128.0
+        plane = (
+            px.reshape(n_by, n_bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_by * 8, n_bx * 8)
+        )
         if hs != hmax or vs != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1

@@ -56,7 +56,7 @@ def test_dhash_rejects_unknown_format(spark):
     bad = spark.range(1).select(
         F.col("id").alias("doc_id"), F.lit(b"not an image").alias("payload")
     )
-    with pytest.raises(Exception, match="(?i)png, bmp, and gif"):
+    with pytest.raises(Exception, match="(?i)png, bmp, gif"):
         image_dhash(bad).collect()
 
 
