@@ -99,6 +99,7 @@ HEADLINE = [
     "mm_jpeg_decode",
     "text_lm_score",
     "curate_pii_redact",
+    "curate_model_filter",
 ]
 
 

@@ -134,12 +134,16 @@ def bpe_token_counts(
 
     The merge ranks ride into each Arrow batch via the plan (closure
     broadcast); each batch memoizes distinct-word encodings, so the
-    per-row cost is a dict lookup for every repeated word."""
+    per-row cost is a dict lookup for every repeated word.  The token
+    relation is repartitioned to the session parallelism first — a
+    few-file corpus scan would otherwise run the whole Python encode
+    loop in one task (each task rebuilds its own word memo, a fine
+    trade: the memo is per-word work, the encode loop per-token)."""
     ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
     tok_df = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         tokens(normalize_text(F.col(text_col))).alias("ws"),
-    )
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, int] = {}

@@ -312,6 +312,9 @@ FAMILY_REP: dict[str, str] = {
     # PII redaction is the third regexp-scrub surface of the gate rep
     "text_lm_score": "curate_decontaminate",
     "curate_pii_redact": "curate_sample_scrub",
+    # hashing-trick classifier scoring is a quality-signal surface
+    # (trained-weight lookup folded per doc, zero exchanges)
+    "curate_model_filter": "text_quality",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

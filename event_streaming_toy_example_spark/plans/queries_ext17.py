@@ -215,12 +215,77 @@ FROM planted
 """
 
 
+# ------------------------------------------- hashed linear classifier
+
+
+def q_curate_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering via the hashing trick — the
+    fastText-classifier serving shape: score = sum over tokens of the
+    weight at the token's hash bucket, keep iff score >= 0.
+
+    In production the bucket->weight vector is a trained artifact
+    shipped as a broadcast; here the weight is derived from the token's
+    md5 (the repo's portable-hash idiom), which keeps the serving plan
+    IDENTICAL — a per-token lookup folded per document — while letting
+    a SQL oracle recompute every score exactly.
+
+    The token array is materialized as a projected column BEFORE the
+    higher-order fold: lambda arguments re-evaluate per element, so an
+    inlined split would re-split the text once per token (the 9x
+    ``dedup_substring`` lesson, `docs/PLANS.md`).  One pruned scan,
+    zero exchanges, zero Python — at 100 TB the cost is the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("ws"))
+
+    def weight(t):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w:"), t)), 1, 8), 16, 10
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+
+    score = F.aggregate(
+        F.col("ws"), F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
+    )
+    return d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score >= 0).cast("int").alias("keep"),
+    )
+
+
+SQL_CURATE_MODEL_FILTER = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), sc AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         COALESCE(list_sum(list_transform(ws, x ->
+             ('0x' || substr(md5('w:' || x), 1, 8))::BIGINT % 2001 - 1000
+         )), 0) AS score
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score AS BIGINT) AS score,
+       CAST(score >= 0 AS INT) AS keep
+FROM sc
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
+    "curate_model_filter": q_curate_model_filter,
 }
 
 EXT17_ORACLES = {
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "curate_pii_redact": SQL_CURATE_PII_REDACT,
+    "curate_model_filter": SQL_CURATE_MODEL_FILTER,
 }
