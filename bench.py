@@ -100,6 +100,8 @@ HEADLINE = [
     "text_lm_score",
     "curate_pii_redact",
     "curate_model_filter",
+    "dedup_jaccard_prefix",
+    "cep_pattern_match",
 ]
 
 

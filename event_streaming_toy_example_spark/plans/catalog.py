@@ -315,6 +315,13 @@ FAMILY_REP: dict[str, str] = {
     # hashing-trick classifier scoring is a quality-signal surface
     # (trained-weight lookup folded per doc, zero exchanges)
     "curate_model_filter": "text_quality",
+    # prefix-filtered (PPJoin) exact similarity join: the unblocked
+    # scale path of the inverted-index Jaccard rep (same output pairs,
+    # verified against the same naive-all-pairs oracle construction)
+    "dedup_jaccard_prefix": "dedup_ngram_jaccard",
+    # regex pattern scan over sorted per-group event sequences is the
+    # batch MATCH_RECOGNIZE surface of the sessionization family
+    "cep_pattern_match": "stream_session_stateful",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

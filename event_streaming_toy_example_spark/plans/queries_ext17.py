@@ -278,14 +278,115 @@ FROM sc
 """
 
 
+# ------------------------------------- prefix-filtered similarity join
+
+_PFX_THRESHOLD = 0.25
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBLOCKED exact Jaccard near-dup pairs via prefix filtering
+    (the PPJoin/AllPairs scale technique): index only each document's
+    rarest ``|d| - ceil(t|d|) + 1`` shingles, join prefixes, verify
+    candidates exactly with a row-local ``array_intersect``.  The
+    oracle is the naive all-pairs join — a single missed candidate
+    (broken filter bound) or spurious survivor flips the value hash."""
+    from event_streaming_toy_example_spark.functions.minhash import (
+        jaccard_prefix_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, k=3, threshold=_PFX_THRESHOLD)
+
+
+def _sql_dedup_jaccard_prefix() -> str:
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        _sql_shingles,
+        _sql_tokens,
+    )
+
+    jac = (
+        "round(len(list_intersect(l.sh, r.sh)) / "
+        "(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, {_sql_tokens('text')} AS toks FROM documents
+), s AS (
+  SELECT id, {_sql_shingles('toks', 3)} AS sh FROM t
+)
+SELECT l.id AS id_a, r.id AS id_b, {jac} AS jaccard
+FROM s l JOIN s r ON l.id < r.id
+WHERE {jac} >= {_PFX_THRESHOLD}
+"""
+
+
+# --------------------------------------- event-sequence pattern match
+
+
+def q_cep_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern detection: per (user, day),
+    order the events, render the type-initial sequence (the five
+    event types have distinct initials), and count non-overlapping
+    ``view (click|error)* purchase`` matches with a regex — the
+    MATCH_RECOGNIZE shape expressed as sort-within-group + pattern
+    scan.  The md5 of the full sequence is part of the output, so the
+    per-group ORDERING itself is value-hash-checked, not just the
+    match counts.  One shuffle (the group key); the regex scan is
+    row-local codegen.  At 100 TB the group is bounded by a user-day;
+    unbounded keys would move this to the stateful-streaming surface
+    (``stream_session_stateful``)."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs"),
+    )
+    seq = F.array_join(
+        F.transform(F.col("evs"), lambda s: F.substring(s["event_type"], 1, 1)),
+        "",
+    )
+    return grouped.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.size(F.regexp_extract_all(seq, F.lit("v[ce]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_patterns"),
+        F.md5(seq).alias("seq_md5"),
+    )
+
+
+SQL_CEP_PATTERN_MATCH = """
+WITH g AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n_events,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT)
+         AS n_patterns,
+       md5(seq) AS seq_md5
+FROM g
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
     "curate_model_filter": q_curate_model_filter,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "cep_pattern_match": q_cep_pattern_match,
 }
 
 EXT17_ORACLES = {
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "curate_pii_redact": SQL_CURATE_PII_REDACT,
     "curate_model_filter": SQL_CURATE_MODEL_FILTER,
+    "dedup_jaccard_prefix": _sql_dedup_jaccard_prefix(),
+    "cep_pattern_match": SQL_CEP_PATTERN_MATCH,
 }

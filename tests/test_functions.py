@@ -157,6 +157,43 @@ def test_ngram_jaccard_pairs_blocked(spark, docs):
         assert 0.2 <= r["jaccard"] <= 1.0
 
 
+def test_jaccard_prefix_matches_inverted_index(spark, docs):
+    """The prefix filter must find EXACTLY the pairs the inverted-index
+    form finds — no false negatives from the prefix bound, no spurious
+    survivors.  (The pruning itself is structural: only rows with
+    ``rn <= |d| - ceil(t|d|) + 1`` reach the candidate join.)"""
+    from event_streaming_toy_example_spark.functions.minhash import (
+        jaccard_prefix_pairs,
+    )
+
+    sample = docs.limit(120)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_prefix_pairs(sample, k=3, threshold=0.25).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            sample.withColumn("blk", F.lit(1)),
+            block_cols=["blk"],
+            k=3,
+            threshold=0.25,
+        )
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_jaccard_prefix_rejects_bad_threshold(spark, docs):
+    from event_streaming_toy_example_spark.functions.minhash import (
+        jaccard_prefix_pairs,
+    )
+
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_prefix_pairs(docs, threshold=0.0)
+
+
 def test_simhash_properties(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
