@@ -102,6 +102,7 @@ HEADLINE = [
     "curate_model_filter",
     "dedup_jaccard_prefix",
     "cep_pattern_match",
+    "scd2_point_lookup",
 ]
 
 

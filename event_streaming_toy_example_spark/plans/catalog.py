@@ -322,6 +322,9 @@ FAMILY_REP: dict[str, str] = {
     # regex pattern scan over sorted per-group event sequences is the
     # batch MATCH_RECOGNIZE surface of the sessionization family
     "cep_pattern_match": "stream_session_stateful",
+    # the PIT interval lookup is the consuming surface of the SCD2
+    # history built by the table-maintenance family
+    "scd2_point_lookup": "upsert_events_cdc",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

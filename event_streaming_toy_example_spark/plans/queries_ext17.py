@@ -375,12 +375,90 @@ FROM g
 """
 
 
+# ------------------------------------------ point-in-time (PIT) lookup
+
+
+def q_scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 history — the CONSUMING
+    pattern of a versioned dimension: for each order (as-of time from
+    the order/event time-domain bridge, ``plans/queries.py``), find the
+    exactly-one dimension version whose validity interval covers it.
+
+    The join is an equi-join on the dimension key with the interval
+    predicate evaluated as a join filter — correct at any scale because
+    versions-per-key is small by construction (a fact row meets only
+    that key's few versions, never a cross product).  One exchange per
+    side on the key; AQE handles hot keys."""
+    from event_streaming_toy_example_spark.operators.upsert import scd2_history
+    from event_streaming_toy_example_spark.plans.queries import (
+        _ORDER_EVENT_TS_SPARK,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_history(
+        ev, keys=["user_id"], ts_col="ts", attr_cols=["event_type"],
+        tie_col="event_id",
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 150)
+        .withColumn("o_event_ts", F.expr(_ORDER_EVENT_TS_SPARK))
+    )
+    j = orders.join(
+        hist,
+        (orders.o_custkey == hist.user_id)
+        & (hist.valid_from <= orders.o_event_ts)
+        & (hist.valid_to.isNull() | (orders.o_event_ts < hist.valid_to)),
+    )
+    return j.select(
+        "o_orderkey",
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("version_from_us"),
+    )
+
+
+def _sql_scd2_point_lookup() -> str:
+    from event_streaming_toy_example_spark.plans.queries import (
+        _ORDER_EVENT_TS_SQL,
+    )
+
+    return f"""
+WITH v AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+  FROM events
+), keep AS (
+  SELECT user_id, event_type, ts, event_id FROM v
+  WHERE prev_et IS NULL OR event_type IS DISTINCT FROM prev_et
+), hist AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM keep
+), o AS (
+  SELECT o_orderkey, o_custkey, {_ORDER_EVENT_TS_SQL} AS o_event_ts
+  FROM orders WHERE o_custkey < 150
+)
+SELECT o_orderkey, user_id, event_type,
+       CAST(epoch_us(valid_from) AS BIGINT) AS version_from_us
+FROM o JOIN hist
+  ON o_custkey = user_id
+ AND valid_from <= o_event_ts
+ AND (valid_to IS NULL OR o_event_ts < valid_to)
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
     "curate_model_filter": q_curate_model_filter,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "cep_pattern_match": q_cep_pattern_match,
+    "scd2_point_lookup": q_scd2_point_lookup,
 }
 
 EXT17_ORACLES = {
@@ -389,4 +467,5 @@ EXT17_ORACLES = {
     "curate_model_filter": SQL_CURATE_MODEL_FILTER,
     "dedup_jaccard_prefix": _sql_dedup_jaccard_prefix(),
     "cep_pattern_match": SQL_CEP_PATTERN_MATCH,
+    "scd2_point_lookup": _sql_scd2_point_lookup(),
 }
