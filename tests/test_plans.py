@@ -35,7 +35,11 @@ EXPECT = {
     "asof_last_event_before_order": (1, 1),
     "grouped_zscore_outliers": (1, 0),
     "array_surface_embeddings": (0, 0),
-    "mm_resize": (0, 0),
+    # mm entries: the single exchange is the attacher's id round-robin
+    # (multimodal._ids_spread — spreads the per-payload codec work when
+    # the id source is a one-file scan); payload PROCESSING itself
+    # moves nothing
+    "mm_resize": (1, 0),
     "text_quality": (0, 0),
     "unpivot_order_metrics": (1, 0),
     # curation family: the sample+scrub is a pure filter+projection;
@@ -50,15 +54,15 @@ EXPECT = {
     # row-local quality signal and Arrow-batched audio decode: no
     # exchanges at any scale
     "text_repetition": (0, 0),
-    "mm_wav_decode": (0, 0),
+    "mm_wav_decode": (1, 0),
     # count-min: one bounded (d,b) sketch exchange + the two per-key
     # aggregates; the sketch comes back as a BROADCAST on both joins
     # (sketch->keys and est->exact), never an O(data) shuffle join
     "sketch_cms_heavy_hitters": (3, 2),
-    # perceptual dedup: decode+dHash are mapInPandas (no movement);
-    # the only exchange is the per-hash aggregate (countDistinct adds
-    # its expand pass on the same key)
-    "mm_dhash_dedup": (2, 0),
+    # perceptual dedup: decode+dHash are mapInPandas (no data-sized
+    # movement beyond the id spread); plus the per-hash aggregate and
+    # countDistinct's expand pass on the same key
+    "mm_dhash_dedup": (3, 0),
     # bloom-pruned join: FACT ROWS NEVER SHUFFLE — the one-row bloom
     # broadcasts into the scan (BroadcastNestedLoopJoin probe) and the
     # dim broadcasts for the exact join; the three exchanges are all
@@ -88,6 +92,19 @@ EXPECT = {
     "timeseries_gapfill": (2, 1),
     # ranking trio: per-customer aggregate + the O(customers) window
     "window_analytics": (2, 0),
+    # tenth wave — LM scoring: the vocabulary aggregate, the join-back
+    # exchange, and the per-doc aggregate; the aggregated vocab side
+    # broadcasts at toy scale (SMJ on the bigram key at cluster scale)
+    "text_lm_score": (3, 1),
+    # PII scrub and classifier scoring: pure codegen projections —
+    # zero exchanges, zero Python, at any scale the cost IS the scan
+    "curate_pii_redact": (0, 0),
+    "curate_model_filter": (0, 0),
+    # CEP: one group-key exchange; regex scan is row-local
+    "cep_pattern_match": (1, 0),
+    # PIT lookup: the history's key window + the fact join (orders
+    # side broadcasts at toy scale)
+    "scd2_point_lookup": (1, 1),
 }
 
 
