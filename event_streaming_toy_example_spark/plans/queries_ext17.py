@@ -280,15 +280,25 @@ FROM sc
 
 # ------------------------------------- prefix-filtered similarity join
 
-_PFX_THRESHOLD = 0.25
+_PFX_THRESHOLD = 0.8
 
 
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNBLOCKED exact Jaccard near-dup pairs via prefix filtering
     (the PPJoin/AllPairs scale technique): index only each document's
     rarest ``|d| - ceil(t|d|) + 1`` shingles, join prefixes, verify
-    candidates exactly with a row-local ``array_intersect``.  The
-    oracle is the naive all-pairs join — a single missed candidate
+    candidates exactly with a row-local ``array_intersect``.
+
+    The threshold is HIGH (0.8) because that is the regime the
+    technique exists for: at near-dup thresholds the prefix is a small
+    fraction of each document (~|d|/5 here), so candidate generation
+    touches only rare shingles; at low thresholds the prefix
+    approaches the whole set and the filter buys nothing (measured at
+    sf0.1: 11.5 s at t=0.25 vs 4.5 s at t=0.8, where candidates drop
+    to 119k vs the 12.5M all-pairs — use LSH banding for
+    recall-oriented low-threshold sweeps).
+
+    The oracle is the naive all-pairs join — a single missed candidate
     (broken filter bound) or spurious survivor flips the value hash."""
     from event_streaming_toy_example_spark.functions.minhash import (
         jaccard_prefix_pairs,
