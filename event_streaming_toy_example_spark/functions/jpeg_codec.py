@@ -463,6 +463,10 @@ _LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], list[int]] = {}
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> list[int]:
+    if sum(bits) != len(vals):
+        raise ValueError(
+            "invalid JPEG: DHT value count does not match its BITS table"
+        )
     key = (tuple(bits), tuple(vals))
     lut = _LUT_CACHE.get(key)
     if lut is not None:
@@ -472,6 +476,8 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> list[int]:
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("invalid JPEG: DHT code space overflow")
             start = code << (16 - length)
             arr[start : start + (1 << (16 - length))] = (length << 8) | vals[k]
             code += 1
@@ -554,6 +560,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tc_th = data[p]
                 bits = list(data[p + 1:p + 17])
                 nvals = sum(bits)
+                if p + 17 + nvals > seg_end:
+                    raise ValueError(
+                        "truncated JPEG: DHT values overrun the segment"
+                    )
                 vals = list(data[p + 17:p + 17 + nvals])
                 htables[tc_th] = _build_decode_table(bits, vals)
                 p += 17 + nvals

@@ -119,6 +119,55 @@ def test_quality_monotone_size():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
+def test_random_images_roundtrip_dims_and_bounded_error():
+    """Property sweep (seeded, no Spark): arbitrary dims and content
+    must round-trip the exact dimensions in every mode combination,
+    with q=100 error within DCT float rounding."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 40),
+        st.integers(1, 40),
+        st.integers(0, 2**31 - 1),
+        st.booleans(),
+        st.integers(0, 3),
+    )
+    def check(h, w, seed, subsample, restart):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_jpeg(
+            arr, quality=100, subsample=subsample, restart_interval=restart
+        )
+        out = decode_jpeg(data)
+        assert out.shape == (h, w, 3)
+        if not subsample:
+            err = np.abs(out.astype(int) - arr.astype(int))
+            assert err.max() <= 4, err.max()
+
+    check()
+
+
+def test_corrupt_payloads_raise_never_hang():
+    """Fuzz: random corruption of a valid stream must either decode
+    (harmless bit damage) or raise a loud ValueError /
+    NotImplementedError — never crash with an unrelated exception."""
+    rng = np.random.default_rng(3)
+    data = bytearray(encode_jpeg(_smooth(16, 16), quality=90))
+    for _ in range(120):
+        bad = bytearray(data)
+        for _ in range(rng.integers(1, 4)):
+            bad[rng.integers(2, len(bad))] = rng.integers(0, 256)
+        try:
+            out = decode_jpeg(bytes(bad))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+    # pure-garbage prefixes must be rejected by the SOI probe
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(rng.integers(0, 256, 64, dtype=np.uint8)))
+
+
 def test_extract_media_features_real_jpeg(spark):
     """fake=False on real generated JPEGs: width/height must be the
     TRUE decoded dims (arithmetic function of doc_id with the JPEG
