@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "cep_pattern_match",
     "scd2_point_lookup",
+    "search_tfidf_topk",
 ]
 
 

@@ -325,6 +325,10 @@ FAMILY_REP: dict[str, str] = {
     # the PIT interval lookup is the consuming surface of the SCD2
     # history built by the table-maintenance family
     "scd2_point_lookup": "upsert_events_cdc",
+    # integer tf-idf retrieval joins the term-statistics family (its
+    # top-k tail is the TakeOrderedAndProject shape the sort-topk rep
+    # pins)
+    "search_tfidf_topk": "text_token_stats",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

@@ -462,6 +462,83 @@ FROM o JOIN hist
 """
 
 
+# ------------------------------------------------ text retrieval (search)
+
+#: fixed query terms (all present in the synthetic vocabulary) and
+#: result size for the retrieval entry
+_SEARCH_TERMS = ("spark", "query", "table")
+_SEARCH_K = 20
+
+
+def q_search_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval: integer tf-idf scoring + exact top-k.
+
+    The classic search plan re-expressed relationally: tokenize, keep
+    only the query's terms (the filter lands BEFORE any shuffle, so
+    the exploded relation is query-sized, not corpus-sized), per-term
+    document frequencies from the same tiny relation, integer weight
+    ``1_000_000 // df`` (the idf surrogate — exact integers where a
+    float log-idf would never hash across engines), per-doc score sum,
+    then a deterministic top-k (score desc, doc_id asc) that compiles
+    to ``TakeOrderedAndProject`` — partition-local heaps + driver
+    merge, never a global sort.  At 100 TB the posting-list shape is
+    identical; an inverted index staged at write time replaces the
+    tokenize-filter scan."""
+    from event_streaming_toy_example_spark.caching import track
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    hits = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term").isin(*_SEARCH_TERMS))
+    )
+    # tf has one row per (doc, term), so df is a row count per term —
+    # derive it FROM tf (persisted: it feeds both the join and the df
+    # aggregate) instead of re-scanning the corpus for countDistinct
+    tf = track(
+        hits.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(df_t, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.floor(F.lit(1_000_000) / F.col("df_t")).cast("long"))
+            .alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        _SEARCH_K
+    )
+
+
+def _sql_search_tfidf_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH hits AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+         AS t(term)
+  WHERE t.term IN ({terms})
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2
+), df_t AS (
+  SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1
+)
+SELECT doc_id,
+       CAST(sum(tf * (1000000 // df_t)) AS BIGINT) AS score,
+       count(*) AS n_terms_hit
+FROM tf JOIN df_t USING (term)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {_SEARCH_K}
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
@@ -469,6 +546,7 @@ EXT17_QUERIES = {
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "cep_pattern_match": q_cep_pattern_match,
     "scd2_point_lookup": q_scd2_point_lookup,
+    "search_tfidf_topk": q_search_tfidf_topk,
 }
 
 EXT17_ORACLES = {
@@ -478,4 +556,5 @@ EXT17_ORACLES = {
     "dedup_jaccard_prefix": _sql_dedup_jaccard_prefix(),
     "cep_pattern_match": SQL_CEP_PATTERN_MATCH,
     "scd2_point_lookup": _sql_scd2_point_lookup(),
+    "search_tfidf_topk": _sql_search_tfidf_topk(),
 }

@@ -105,6 +105,14 @@ EXPECT = {
     # PIT lookup: the history's key window + the fact join (orders
     # side broadcasts at toy scale)
     "scd2_point_lookup": (1, 1),
+    # retrieval: the persisted tf relation feeds both the df aggregate
+    # and the join; EXECUTED work is one corpus scan + three exchanges
+    # (tf build, df agg, final per-doc agg) — the printed tree inlines
+    # the cached tf subtree under both consumers (the pagerank textual-
+    # inlining gotcha), so the naive string count reads 4/2; the
+    # single-materialization proof is the 2-InMemoryTableScan assert
+    # in test_search_tf_cached_once
+    "search_tfidf_topk": (4, 1),
 }
 
 
@@ -123,6 +131,22 @@ def test_shuffle_and_broadcast_counts(spark, name):
     max_shuffles, want_bcast = EXPECT[name]
     assert shuffles <= max_shuffles, f"{name}: {shuffles} shuffles\n{plan}"
     assert bcast == want_bcast, f"{name}: {bcast} broadcasts\n{plan}"
+
+
+def test_search_topk_uses_take_ordered(spark):
+    """The retrieval entry's top-k must be partition-local heaps +
+    driver merge, not a global sort — and the tf relation must be
+    materialized ONCE (both consumers read the cache, the corpus is
+    scanned once at execution)."""
+    from event_streaming_toy_example_spark.caching import release_caches
+
+    qs = ALL_QUERIES
+    try:
+        plan, _, _ = _counts(qs["search_tfidf_topk"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert plan.count("InMemoryTableScan") == 2, plan
+    finally:
+        release_caches()
 
 
 def test_topk_uses_take_ordered(spark):
