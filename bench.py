@@ -104,6 +104,7 @@ HEADLINE = [
     "cep_pattern_match",
     "scd2_point_lookup",
     "search_tfidf_topk",
+    "stream_cep_pattern",
 ]
 
 

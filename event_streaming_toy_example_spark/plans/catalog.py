@@ -329,6 +329,9 @@ FAMILY_REP: dict[str, str] = {
     # top-k tail is the TakeOrderedAndProject shape the sort-topk rep
     # pins)
     "search_tfidf_topk": "text_token_stats",
+    # the streaming twin of the batch CEP matcher (cross-batch state +
+    # sentinel flush, same oracle) joins the stateful-streaming family
+    "stream_cep_pattern": "stream_session_stateful",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

@@ -539,6 +539,63 @@ LIMIT {_SEARCH_K}
 """
 
 
+# ------------------------------------------ streaming CEP (stateful)
+
+
+def q_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CEP pattern matcher as a REAL stream: file source ->
+    ``applyInPandasWithState`` (per-(user, day) sequence state carried
+    across micro-batches) -> memory sink.  Per-key sentinels (the
+    bounded-replay end-of-key marker, same construction as
+    ``stream_session_stateful``) flush each key exactly once; the
+    emitted rows are byte-identical to the batch ``cep_pattern_match``
+    result, so this entry shares its oracle — the streaming state
+    machinery itself is what is under test."""
+    import uuid as _uuid
+
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_stream_input,
+    )
+    from event_streaming_toy_example_spark.streaming.stateful import (
+        cep_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    sentinels = (
+        ev.groupBy("user_id", "day")
+        .agg(F.max(F.unix_micros("ts")).alias("mx"))
+        .select(
+            "user_id",
+            "day",
+            F.timestamp_micros(F.col("mx") + 1_000_000).alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit("~sentinel").alias("event_type"),
+        )
+    )
+    staged = stage_stream_input(ev.unionAll(sentinels), "cep", sf_dir)
+    stream = spark.readStream.schema(
+        "user_id bigint, day string, ts timestamp, "
+        "event_id bigint, event_type string"
+    ).parquet(staged)
+    name = f"stream_cep_{_uuid.uuid4().hex[:8]}"
+    q = (
+        cep_stateful(stream, day_col="day")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
@@ -547,6 +604,7 @@ EXT17_QUERIES = {
     "cep_pattern_match": q_cep_pattern_match,
     "scd2_point_lookup": q_scd2_point_lookup,
     "search_tfidf_topk": q_search_tfidf_topk,
+    "stream_cep_pattern": q_stream_cep_pattern,
 }
 
 EXT17_ORACLES = {
@@ -557,4 +615,5 @@ EXT17_ORACLES = {
     "cep_pattern_match": SQL_CEP_PATTERN_MATCH,
     "scd2_point_lookup": _sql_scd2_point_lookup(),
     "search_tfidf_topk": _sql_search_tfidf_topk(),
+    "stream_cep_pattern": SQL_CEP_PATTERN_MATCH,
 }

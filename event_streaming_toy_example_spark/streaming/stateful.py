@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -122,6 +123,115 @@ def sessionize_stateful(
         _session_fn_factory(gap_us),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming CEP: cross-batch event-sequence pattern detection
+# --------------------------------------------------------------------------
+
+CEP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_patterns", LongType()),
+        StructField("seq_md5", StringType()),
+    ]
+)
+
+#: the per-key accumulated type-initial sequence tail.
+CEP_STATE_SCHEMA = StructType([StructField("seq", StringType())])
+
+
+def _cep_fn_factory(pattern: str):
+    """Per-(user, day) transition function: append each batch's sorted
+    type initials to the state string; a sentinel row (event_id == -1)
+    closes the key — count non-overlapping regex matches, bind the
+    full sequence by md5, emit once, drop state."""
+    import hashlib
+    import re
+
+    rx = re.compile(pattern)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
+        seq = state.get[0] if state.exists else ""
+        flush = False
+        for eid, et in zip(rows["event_id"], rows["event_type"]):
+            if int(eid) == -1:
+                flush = True
+            else:
+                seq += str(et)[0]
+        if flush:
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        int(key[0]),
+                        str(key[1]),
+                        len(seq),
+                        len(rx.findall(seq)),
+                        hashlib.md5(seq.encode()).hexdigest(),
+                    )
+                ],
+                columns=[f.name for f in CEP_OUTPUT_SCHEMA.fields],
+            )
+        else:
+            state.update((seq,))
+
+    return fn
+
+
+def cep_stateful(
+    events: DataFrame,
+    pattern: str = "v[ce]*p",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    day_col: str | None = None,
+) -> DataFrame:
+    """Streaming complex-event-processing: per (user, day), accumulate
+    the ordered type-initial sequence ACROSS micro-batches and, when
+    the key's sentinel arrives (``event_id == -1``), emit the
+    non-overlapping ``pattern`` match count plus the md5 of the full
+    sequence — byte-identical to the batch ``cep_pattern_match``
+    entry, which is its oracle.
+
+    Scale design: state is one string per active (user, day), bounded
+    by that key's daily activity and dropped at flush — at 100 TB
+    you would carry the pattern DFA's counters plus a rolling hash
+    instead of the raw tail when sequences are long; the string keeps
+    the md5 binding bit-identical to the batch oracle here.  The
+    sentinel is the standard end-of-key marker for bounded replays; an
+    unbounded deployment would use event-time timeouts
+    (``GroupStateTimeout.EventTimeTimeout``) to flush idle keys
+    instead.  ``day_col`` lets callers attach the grouping day
+    explicitly (sentinel rows must key to the SAME day as the events
+    they flush; deriving their day from a bumped timestamp could
+    cross midnight)."""
+    day = (
+        F.col(day_col) if day_col else F.date_format(ts_col, "yyyy-MM-dd")
+    )
+    prepped = events.select(
+        F.col(user_col).alias("user_id"),
+        day.alias("day"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("event_type"),
+    )
+    return prepped.groupBy("user_id", "day").applyInPandasWithState(
+        _cep_fn_factory(pattern),
+        outputStructType=CEP_OUTPUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
