@@ -105,6 +105,8 @@ HEADLINE = [
     "scd2_point_lookup",
     "search_tfidf_topk",
     "stream_cep_pattern",
+    "variant_extract_stats",
+    "pysource_sensor_agg",
 ]
 
 

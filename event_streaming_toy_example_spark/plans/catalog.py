@@ -332,6 +332,12 @@ FAMILY_REP: dict[str, str] = {
     # the streaming twin of the batch CEP matcher (cross-batch state +
     # sentinel flush, same oracle) joins the stateful-streaming family
     "stream_cep_pattern": "stream_session_stateful",
+    # VARIANT typed-path extraction is the Spark-4 surface of the
+    # semi-structured JSON family
+    "variant_extract_stats": "json_props_stats",
+    # Python DataSource API is the custom-SOURCE registration surface
+    # of the synthetic-generator family
+    "pysource_sensor_agg": "gen_events_profile",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

@@ -1,25 +1,29 @@
-"""Round-3 additions (tenth wave): n-gram LM quality scoring and PII
-redaction — the two most common curation filters this engine did not
-yet express.
+"""Round-3 additions (tenth wave): the curation / retrieval /
+temporal / CEP / Spark-4-surface operators the engine did not yet
+express.  The reference (a record-at-a-time event pipeline,
+``producer.py:1-173``) has no analogue for any of them.
 
-The reference (a record-at-a-time event pipeline,
-``producer.py:1-173``) has no analogue for either; both are standard
-stages of a web-scale training-data pipeline:
-
-- ``text_lm_score`` — the train-then-score shape of an n-gram language
-  model quality filter (the CCNet/KenLM pattern): learn bigram counts
-  from the corpus itself, then score every document by how much of it
-  the corpus model "recognises".  Floating-point perplexity is not
-  cross-engine hashable, so the emitted signals are the exact integer
-  sufficient statistics a perplexity consumer would divide: bigram
-  count, count of bigrams above a document-frequency floor, and total
-  corpus frequency mass.
-- ``curate_pii_redact`` — regex PII redaction (emails, IPv4 addresses,
-  phone numbers) with per-category match counts and the redacted text
-  bound by md5.  The synthetic corpus contains no PII, so the query
-  PLANTS deterministic id-derived PII spans with the same concat
-  expression on both engines — a zero-match run would verify nothing
-  (the round-2 vacuous-green lesson).
+- ``text_lm_score`` — train-then-score n-gram LM quality filter (the
+  CCNet/KenLM pattern), emitting exact-integer sufficient statistics
+  instead of a float perplexity so the oracle value-hashes.
+- ``curate_pii_redact`` — regex PII redaction over PLANTED id-derived
+  spans (a zero-match scrub verifies nothing — the round-2
+  vacuous-green lesson), per-category counts + md5-bound text.
+- ``curate_model_filter`` — hashing-trick classifier scoring (the
+  fastText serving shape), zero exchanges, zero Python.
+- ``dedup_jaccard_prefix`` — prefix-filtered (PPJoin) exact
+  similarity self-join, pinned to its high-threshold regime.
+- ``cep_pattern_match`` / ``stream_cep_pattern`` — batch and
+  streaming MATCH_RECOGNIZE-shape pattern detection; the streaming
+  twin shares the batch oracle byte-identically.
+- ``scd2_point_lookup`` — point-in-time lookup against the SCD2
+  history (the versioned-dimension consuming pattern).
+- ``search_tfidf_topk`` — integer tf-idf keyword retrieval with a
+  TakeOrderedAndProject top-k tail.
+- ``variant_extract_stats`` — Spark 4 VARIANT typed-path extraction.
+- ``pysource_sensor_agg`` — a custom Python DataSource (Spark 4 API)
+  whose partition planning and reader contract the oracle rebuilds
+  with ``generate_series``.
 """
 
 from __future__ import annotations
@@ -596,6 +600,105 @@ def q_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------------------------------------- VARIANT (Spark 4 semi-structured)
+
+
+def q_variant_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured payloads: build a
+    nested JSON document per event (from the raw ``props`` plus typed
+    columns), ``parse_json`` it into a VARIANT, extract THREE typed
+    paths with ``variant_get`` (top-level long, nested long, nested
+    string), and aggregate.  VARIANT's binary encoding makes repeated
+    path extraction O(1)-ish per field vs re-parsing the JSON text per
+    path — the modern default for keep-cold-fields-flexible storage.
+
+    The oracle recomputes every extracted field from the base columns
+    directly, so the whole construct -> parse -> typed-extract loop is
+    value-hash-checked (a wrong path, a lossy type mapping, or a
+    VARIANT null-semantics surprise flips the hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.to_json(
+        F.struct(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.concat(
+                    F.lit("u"), (F.col("user_id") % 10).cast("string")
+                ).alias("tag"),
+            ).alias("u"),
+        )
+    )
+    v = F.parse_json(js)
+    rows = ev.select(
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.variant_get(v, "$.u.id", "long").alias("uid"),
+        F.variant_get(v, "$.u.tag", "string").alias("tag"),
+    )
+    return rows.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("uid").alias("max_uid"),
+    )
+
+
+SQL_VARIANT_EXTRACT_STATS = """
+SELECT 'u' || (user_id % 10) AS tag,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       max(user_id) AS max_uid
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------- Python DataSource API (Spark 4)
+
+_SENSOR_PARTS = 8
+_SENSOR_ROWS = 1000
+
+
+def q_pysource_sensor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a CUSTOM Python DataSource (Spark 4
+    ``pyspark.sql.datasource``): the reader declares 8 partitions of
+    deterministic integer rows, the engine plans it like any scan, and
+    the per-sensor aggregate is an ordinary hash aggregate above the
+    Arrow boundary.  The oracle regenerates the identical table with
+    ``generate_series``, so the source's partition planning and reader
+    contract are value-hash-checked — a dropped partition, a
+    double-read, or an off-by-one in the id arithmetic flips the
+    hash."""
+    from event_streaming_toy_example_spark.sources.pysource import (
+        read_sensors,
+    )
+
+    sensors = read_sensors(
+        spark, partitions=_SENSOR_PARTS, rows_per_partition=_SENSOR_ROWS
+    )
+    return sensors.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        F.sum("reading_c").alias("sum_c"),
+        F.min("reading_id").alias("first_reading"),
+        F.max("reading_id").alias("last_reading"),
+    )
+
+
+SQL_PYSOURCE_SENSOR_AGG = f"""
+WITH src AS (
+  SELECT i AS reading_id, i % 97 AS sensor_id,
+         (i * 37) % 200 - 50 AS reading_c
+  FROM generate_series(0, {_SENSOR_PARTS * _SENSOR_ROWS - 1}) AS t(i)
+)
+SELECT sensor_id,
+       count(*) AS n_readings,
+       CAST(sum(reading_c) AS BIGINT) AS sum_c,
+       min(reading_id) AS first_reading,
+       max(reading_id) AS last_reading
+FROM src
+GROUP BY sensor_id
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
@@ -605,6 +708,8 @@ EXT17_QUERIES = {
     "scd2_point_lookup": q_scd2_point_lookup,
     "search_tfidf_topk": q_search_tfidf_topk,
     "stream_cep_pattern": q_stream_cep_pattern,
+    "variant_extract_stats": q_variant_extract_stats,
+    "pysource_sensor_agg": q_pysource_sensor_agg,
 }
 
 EXT17_ORACLES = {
@@ -616,4 +721,6 @@ EXT17_ORACLES = {
     "scd2_point_lookup": _sql_scd2_point_lookup(),
     "search_tfidf_topk": _sql_search_tfidf_topk(),
     "stream_cep_pattern": SQL_CEP_PATTERN_MATCH,
+    "variant_extract_stats": SQL_VARIANT_EXTRACT_STATS,
+    "pysource_sensor_agg": SQL_PYSOURCE_SENSOR_AGG,
 }
