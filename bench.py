@@ -107,6 +107,7 @@ HEADLINE = [
     "stream_cep_pattern",
     "variant_extract_stats",
     "pysource_sensor_agg",
+    "curate_ksample_stratified",
 ]
 
 

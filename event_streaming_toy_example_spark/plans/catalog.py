@@ -338,6 +338,9 @@ FAMILY_REP: dict[str, str] = {
     # Python DataSource API is the custom-SOURCE registration surface
     # of the synthetic-generator family
     "pysource_sensor_agg": "gen_events_profile",
+    # exact-k deterministic per-stratum sampling is the bounded-count
+    # variant of the hash-gate sampling family
+    "curate_ksample_stratified": "curate_sample_scrub",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

@@ -24,6 +24,8 @@ express.  The reference (a record-at-a-time event pipeline,
 - ``pysource_sensor_agg`` — a custom Python DataSource (Spark 4 API)
   whose partition planning and reader contract the oracle rebuilds
   with ``generate_series``.
+- ``curate_ksample_stratified`` — exact-k deterministic per-stratum
+  sampling (md5-rank window), the balanced-subset operator.
 """
 
 from __future__ import annotations
@@ -699,6 +701,68 @@ GROUP BY sensor_id
 """
 
 
+# ------------------------------- exact-k per-stratum sampling
+
+_KSAMPLE_K = 40
+
+
+def q_curate_ksample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-stratum sampling (the balanced-subset operator):
+    keep precisely ``min(k, |stratum|)`` documents per language,
+    chosen by md5 rank — deterministic, repartition/retry-stable, and
+    engine-identical, unlike reservoir sampling (RNG state) or
+    ``df.sample`` (partition-dependent).  One stratum-key exchange;
+    the rank window compiles with ``WindowGroupLimit`` pushed below
+    the exchange wherever Spark can, and at 100 TB the per-stratum
+    sort is bounded by stratum size, not corpus size.
+
+    This complements the hash-GATE sampler (``curate_sample_scrub``):
+    the gate gives an expected rate with zero shuffles; this gives an
+    exact count per stratum at the cost of one."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("ks:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", rk.alias("rk"))
+        .where(F.col("rk") <= _KSAMPLE_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+                )
+            ).alias("ids_md5"),
+        )
+    )
+
+
+SQL_CURATE_KSAMPLE_STRATIFIED = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('ks:' || doc_id), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+FROM ranked WHERE rk <= {_KSAMPLE_K}
+GROUP BY lang
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
@@ -710,6 +774,7 @@ EXT17_QUERIES = {
     "stream_cep_pattern": q_stream_cep_pattern,
     "variant_extract_stats": q_variant_extract_stats,
     "pysource_sensor_agg": q_pysource_sensor_agg,
+    "curate_ksample_stratified": q_curate_ksample_stratified,
 }
 
 EXT17_ORACLES = {
@@ -723,4 +788,5 @@ EXT17_ORACLES = {
     "stream_cep_pattern": SQL_CEP_PATTERN_MATCH,
     "variant_extract_stats": SQL_VARIANT_EXTRACT_STATS,
     "pysource_sensor_agg": SQL_PYSOURCE_SENSOR_AGG,
+    "curate_ksample_stratified": SQL_CURATE_KSAMPLE_STRATIFIED,
 }
