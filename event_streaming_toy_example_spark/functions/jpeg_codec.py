@@ -461,6 +461,11 @@ class _BitReader:
 #: including this encoder's) pays the build exactly once per process.
 _LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], list[int]] = {}
 
+#: each cached LUT is ~0.5 MB of Python ints; files with optimized
+#: per-image Huffman tables (mozjpeg etc.) would otherwise grow the
+#: cache without bound in a long-lived executor — FIFO-evict instead
+_LUT_CACHE_MAX = 16
+
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> list[int]:
     if sum(bits) != len(vals):
@@ -484,6 +489,8 @@ def _build_decode_table(bits: list[int], vals: list[int]) -> list[int]:
             k += 1
         code <<= 1
     lut = arr.tolist()
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = lut
     return lut
 
@@ -534,9 +541,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"only baseline sequential DCT (SOF0) is supported; "
                 f"got SOF marker 0xFF{marker:02X}"
             )
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG: marker length missing")
         seg_len = struct.unpack_from(">H", data, pos)[0]
         seg_end = pos + seg_len
-        if seg_end > n:
+        if seg_len < 2 or seg_end > n:
             raise ValueError("truncated JPEG: segment overruns payload")
         body_pos = pos + 2
 
@@ -547,6 +556,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if pq != 0:
                     raise NotImplementedError(
                         "16-bit quantization tables are not supported"
+                    )
+                if p + 65 > seg_end:
+                    raise ValueError(
+                        "truncated JPEG: DQT table overruns the segment"
                     )
                 zz = np.frombuffer(data, dtype=np.uint8, count=64,
                                    offset=p + 1).astype(np.int64)
@@ -568,6 +581,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 htables[tc_th] = _build_decode_table(bits, vals)
                 p += 17 + nvals
         elif marker == 0xC0:  # SOF0
+            if body_pos + 6 > seg_end:
+                raise ValueError("truncated JPEG: SOF0 header too short")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", data, body_pos)
             if prec != 8:
                 raise NotImplementedError(
@@ -577,17 +592,29 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"only 1- or 3-component frames supported, got {nc}"
                 )
+            if body_pos + 6 + 3 * nc > seg_end:
+                raise ValueError("truncated JPEG: SOF0 components cut off")
             comps = []
             for i in range(nc):
                 cid, hv, qid = data[body_pos + 6 + 3 * i:body_pos + 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0x0F, qid))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"invalid JPEG: sampling factors {hs}x{vs} out of "
+                        "the spec range 1..4"
+                    )
+                comps.append((cid, hs, vs, qid))
             frame = (fh, fw, comps)
         elif marker == 0xDD:  # DRI
+            if body_pos + 2 > seg_end:
+                raise ValueError("truncated JPEG: DRI segment too short")
             restart_interval = struct.unpack_from(">H", data, body_pos)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("invalid JPEG: SOS before SOF0")
             ns = data[body_pos]
+            if body_pos + 1 + 2 * ns > seg_end:
+                raise ValueError("truncated JPEG: SOS components cut off")
             scan_tbl = {}
             for i in range(ns):
                 cid = data[body_pos + 1 + 2 * i]

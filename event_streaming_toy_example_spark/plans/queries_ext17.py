@@ -70,10 +70,14 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
-    n = F.size(toks)
+    # greatest(..., 0) guards empty/one-token docs: slice length must be
+    # >= 0 or Spark raises at runtime, while the oracle's
+    # generate_series(1, -1) silently yields nothing (same guard as
+    # minhash.token_shingles)
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(toks, F.lit(1), n - 1),
-        F.slice(toks, F.lit(2), n - 1),
+        F.slice(toks, F.lit(1), n),
+        F.slice(toks, F.lit(2), n),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     bigrams = track(
