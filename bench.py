@@ -108,6 +108,8 @@ HEADLINE = [
     "variant_extract_stats",
     "pysource_sensor_agg",
     "curate_ksample_stratified",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -276,6 +276,12 @@ FAMILY_REP: dict[str, str] = {
     "tpch_q18_large_orders": "orders_above_cust_avg",
     "tpch_q14_promo_share": "join_revenue_by_nation",
     "tpch_q22_idle_balances": "anti_customers_without_orders",
+    # Q2 joins the decorrelated-subquery family (per-group min + join
+    # back); Q21's aggregate rewrite of double EXISTS joins the
+    # existence-join family — its oracle runs the literal
+    # EXISTS/NOT EXISTS form, so the rewrite equivalence is checked
+    "tpch_q2_min_cost_supplier": "orders_above_cust_avg",
+    "tpch_q21_waiting_suppliers": "anti_customers_without_orders",
     # fourth wave: the outer join is the stateful sibling of the inner
     # stream-stream rep; IVF-PQ extends the ANN family whose
     # driver-checked exact baseline is the brute-force entry

@@ -18,7 +18,11 @@ random projection, and TPC-H-shape decorrelation queries.
   engine at all — ``toy_glue.py:1-75`` is a fixed four-step script)
   with the canonical plans a warehouse must get right: aggregate
   twice vs correlate (q17), having-filter then semi-join (q18),
-  conditional aggregation (q14), scalar subquery + anti join (q22).
+  conditional aggregation (q14), scalar subquery + anti join (q22),
+  per-group-min decorrelation with tie preservation (q2), and the
+  aggregate rewrite of double correlated EXISTS (q21 — whose oracle
+  runs the literal EXISTS/NOT EXISTS form, so the rewrite's
+  equivalence is itself hash-checked).
 """
 
 from __future__ import annotations
@@ -295,6 +299,133 @@ GROUP BY 1
 """
 
 
+# ----------------------------------------------------- Q2 / Q21 shapes
+
+_Q21_LATE_DAYS = 90
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (min-cost supplier per part): the correlated
+    ``cost = (SELECT min(cost) ... WHERE partkey = p.partkey)``
+    subquery, decorrelated into one per-(part, supplier) aggregate, a
+    per-part min, and an equi-join back — never a per-row subquery.
+    The testdata carries no partsupp table, so the part-supplier cost
+    relation derives from lineitem (min extended price in cents per
+    (part, supplier) — exact integers).  Ties on the minimum cost keep
+    every tying supplier, exactly like the real Q2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    cost_cc = F.expr("CAST(round(l_extendedprice * 100) AS LONG)")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cost_cc).alias("cost_cc")
+    )
+    mn = costs.groupBy("l_partkey").agg(F.min("cost_cc").alias("min_cc"))
+    best = costs.join(mn, "l_partkey").where(
+        F.col("cost_cc") == F.col("min_cc")
+    )
+    return best.join(
+        F.broadcast(supp.select("s_suppkey", "s_name")),
+        best["l_suppkey"] == F.col("s_suppkey"),
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
+        "s_name",
+        F.col("min_cc").alias("min_cost_cc"),
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cc
+  FROM lineitem GROUP BY 1, 2
+), mn AS (
+  SELECT l_partkey, min(cost_cc) AS min_cc FROM costs GROUP BY 1
+)
+SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey, s.s_name,
+       mn.min_cc AS min_cost_cc
+FROM costs c
+JOIN mn ON mn.l_partkey = c.l_partkey AND c.cost_cc = mn.min_cc
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+"""
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who kept orders waiting): the double
+    correlated-EXISTS query — a supplier's late lineitem counts iff
+    ANOTHER supplier shipped in the same order (EXISTS) and NO other
+    supplier was late in it (NOT EXISTS).
+
+    Spark runs the scalable aggregate REWRITE: one per-order aggregate
+    (distinct suppliers, distinct LATE suppliers) replaces both
+    correlated subqueries — ``n_supps > 1 AND n_late = 1`` is exactly
+    EXISTS(other) AND NOT EXISTS(other late) for a late row.  The
+    DuckDB oracle runs the literal EXISTS/NOT EXISTS form, so the
+    driver hash checks the rewrite's equivalence itself.  Lateness is
+    ``l_shipdate > o_orderdate + 90 days`` (the testdata carries no
+    receipt/commit dates); the same expression runs on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS)
+        ).alias("late"),
+    )
+    agg = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    qualifying = (
+        lo.where("late")
+        .join(agg, "l_orderkey")
+        .where((F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        qualifying.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+SQL_TPCH_Q21 = f"""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+           AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), qualifying AS (
+  SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+  FROM lo l1
+  WHERE l1.late
+    AND EXISTS (SELECT 1 FROM lo l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lo l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.late)
+)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM qualifying q JOIN supplier s ON s.s_suppkey = q.l_suppkey
+GROUP BY 1, 2
+"""
+
+
 EXT10_QUERIES = {
     "mm_audio_dsp": q_mm_audio_dsp,
     "rp_project": q_rp_project,
@@ -302,6 +433,8 @@ EXT10_QUERIES = {
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q14_promo_share": q_tpch_q14_promo_share,
     "tpch_q22_idle_balances": q_tpch_q22_idle_balances,
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
 }
 
 EXT10_ORACLES = {
@@ -311,4 +444,6 @@ EXT10_ORACLES = {
     "tpch_q18_large_orders": SQL_TPCH_Q18,
     "tpch_q14_promo_share": SQL_TPCH_Q14,
     "tpch_q22_idle_balances": SQL_TPCH_Q22,
+    "tpch_q2_min_cost_supplier": SQL_TPCH_Q2,
+    "tpch_q21_waiting_suppliers": SQL_TPCH_Q21,
 }
