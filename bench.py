@@ -110,6 +110,7 @@ HEADLINE = [
     "curate_ksample_stratified",
     "tpch_q2_min_cost_supplier",
     "tpch_q21_waiting_suppliers",
+    "privacy_k_anonymity",
 ]
 
 

@@ -347,6 +347,9 @@ FAMILY_REP: dict[str, str] = {
     # exact-k deterministic per-stratum sampling is the bounded-count
     # variant of the hash-gate sampling family
     "curate_ksample_stratified": "curate_sample_scrub",
+    # the k-anonymity audit is the release-gating sibling of the PII
+    # scrub inside the privacy/curation family
+    "privacy_k_anonymity": "curate_sample_scrub",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

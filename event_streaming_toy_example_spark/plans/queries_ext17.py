@@ -767,6 +767,57 @@ GROUP BY lang
 """
 
 
+# ------------------------------------------------ privacy: k-anonymity
+
+_KANON_K = 5
+
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers: group the customer
+    table by its quasi-identifier tuple (nation, market segment,
+    balance sign — the columns an attacker could link externally) and
+    report, per equivalence-class size bucket, how many classes and
+    records fall below the k=5 re-identification floor.  The
+    RELEASE-gating operator of a privacy pipeline: classes under k must
+    be suppressed or generalized before data leaves.
+
+    One hash aggregate on the quasi-id tuple, one tiny re-aggregation
+    of the class sizes — at 100 TB the class-size relation is bounded
+    by the quasi-id domain, not the table."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") < 0).alias("negative_bal"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy(
+            (F.col("class_size") < _KANON_K).alias("below_k")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_records"),
+            F.min("class_size").alias("min_class"),
+            F.max("class_size").alias("max_class"),
+        )
+    )
+
+
+SQL_PRIVACY_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, c_acctbal < 0 AS negative_bal,
+         count(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT class_size < {_KANON_K} AS below_k,
+       count(*) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_records,
+       min(class_size) AS min_class,
+       max(class_size) AS max_class
+FROM classes GROUP BY 1
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
@@ -779,6 +830,7 @@ EXT17_QUERIES = {
     "variant_extract_stats": q_variant_extract_stats,
     "pysource_sensor_agg": q_pysource_sensor_agg,
     "curate_ksample_stratified": q_curate_ksample_stratified,
+    "privacy_k_anonymity": q_privacy_k_anonymity,
 }
 
 EXT17_ORACLES = {
@@ -793,4 +845,5 @@ EXT17_ORACLES = {
     "variant_extract_stats": SQL_VARIANT_EXTRACT_STATS,
     "pysource_sensor_agg": SQL_PYSOURCE_SENSOR_AGG,
     "curate_ksample_stratified": SQL_CURATE_KSAMPLE_STRATIFIED,
+    "privacy_k_anonymity": SQL_PRIVACY_K_ANONYMITY,
 }
