@@ -175,6 +175,13 @@ def main() -> None:
         spark.catalog.clearCache()
     from event_streaming_toy_example_spark.caching import release_caches
 
+    # Ingest is measured BEFORE the query loop: its number used to sit
+    # at the end and decayed with headline length purely from
+    # accumulated JVM/GC pressure (49.9k ev/s after 28 queries in one
+    # round, 27k after 76 in another — same code path).  Position
+    # independence makes it comparable across rounds.
+    ingest = _ingest_throughput(spark)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -183,9 +190,16 @@ def main() -> None:
         fn(spark, SF_DIR).count()
         dt = round(time.perf_counter() - t0, 3)
         release_caches()  # drop per-query persisted intermediates
+        # untimed JVM GC between queries (JMH-style): without it a
+        # query's measurement includes collections triggered by its
+        # predecessors' garbage (measured 2-3x inflation deep into the
+        # loop, docs/PLANS.md bench-context variance note)
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         timings[name] = dt
         total += dt
-    ingest = _ingest_throughput(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
