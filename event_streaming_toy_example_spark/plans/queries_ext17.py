@@ -34,6 +34,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from event_streaming_toy_example_spark.schemas import load_table
 
+
+def _space_tokens(col: str = "text"):
+    """Non-empty space-split tokens — deliberately NOT the normalizing
+    ``functions.text.tokens`` chain: the documents corpus is already
+    lowercase space-separated, and the oracle twin
+    (``_SQL_SPACE_TOKENS``) must stay expression-identical."""
+    return F.filter(F.split(F.col(col), " "), lambda t: t != F.lit(""))
+
+
+_SQL_SPACE_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
 # ------------------------------------------------- bigram LM scoring
 
 #: document-frequency floor: a bigram is "covered" when the corpus
@@ -69,7 +80,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_toy_example_spark.caching import track
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    toks = _space_tokens()
     # greatest(..., 0) guards empty/one-token docs: slice length must be
     # >= 0 or Spark raises at runtime, while the oracle's
     # generate_series(1, -1) silently yields nothing (same guard as
@@ -100,7 +111,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_LM_SCORE = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS t
+         {_SQL_SPACE_TOKENS} AS t
   FROM documents
 ), big AS (
   SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
@@ -245,7 +256,7 @@ def q_curate_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_substring`` lesson, `docs/PLANS.md`).  One pruned scan,
     zero exchanges, zero Python — at 100 TB the cost is the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    toks = _space_tokens()
     d = docs.select("doc_id", toks.alias("ws"))
 
     def weight(t):
@@ -268,10 +279,10 @@ def q_curate_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CURATE_MODEL_FILTER = """
+SQL_CURATE_MODEL_FILTER = f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         {_SQL_SPACE_TOKENS} AS ws
   FROM documents
 ), sc AS (
   SELECT doc_id, len(ws) AS n_tokens,
@@ -497,7 +508,7 @@ def q_search_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_toy_example_spark.caching import track
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    toks = _space_tokens()
     hits = (
         docs.select("doc_id", F.explode(toks).alias("term"))
         .where(F.col("term").isin(*_SEARCH_TERMS))
@@ -531,7 +542,7 @@ def _sql_search_tfidf_topk() -> str:
 WITH hits AS (
   SELECT doc_id, t.term
   FROM documents,
-       unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       unnest({_SQL_SPACE_TOKENS})
          AS t(term)
   WHERE t.term IN ({terms})
 ), tf AS (

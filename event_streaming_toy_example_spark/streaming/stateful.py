@@ -164,12 +164,11 @@ def _cep_fn_factory(pattern: str):
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
         seq = state.get[0] if state.exists else ""
-        flush = False
-        for eid, et in zip(rows["event_id"], rows["event_type"]):
-            if int(eid) == -1:
-                flush = True
-            else:
-                seq += str(et)[0]
+        real = rows["event_id"] != -1
+        flush = bool((~real).any())
+        # vectorized: the sentinel sorts last (max ts), so appending all
+        # real initials in sorted order is exactly the per-row walk
+        seq += "".join(rows.loc[real, "event_type"].str[0])
         if flush:
             state.remove()
             yield pd.DataFrame(
