@@ -111,6 +111,7 @@ HEADLINE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q21_waiting_suppliers",
     "privacy_k_anonymity",
+    "stream_watermark_flush",
 ]
 
 

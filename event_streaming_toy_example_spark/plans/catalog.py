@@ -350,6 +350,9 @@ FAMILY_REP: dict[str, str] = {
     # the k-anonymity audit is the release-gating sibling of the PII
     # scrub inside the privacy/curation family
     "privacy_k_anonymity": "curate_sample_scrub",
+    # the watermark-timeout flush is the unbounded-stream close path of
+    # the stateful-streaming family (its siblings flush via sentinels)
+    "stream_watermark_flush": "stream_session_stateful",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

@@ -829,6 +829,124 @@ FROM classes GROUP BY 1
 """
 
 
+# -------------------------------- watermark-timeout flush (streaming)
+
+
+def _stage_wm_input(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the watermark-flush input: the events table as data files,
+    SPLIT BY EVENT TIME into two files (first half-window, second
+    half-window — an arbitrary split would make the second batch late
+    against the first batch's watermark and silently drop rows), then
+    TWO single-row watermark-advancing sentinel files (user_id=-1,
+    far-future ts).  Modification times are bumped so the file source
+    (oldest-first by mtime, ``maxFilesPerTrigger=1``) delivers:
+    early-data batch -> late-data batch -> sentinel batch (watermark
+    jumps past every day boundary) -> second sentinel batch (the armed
+    event-time timeouts fire against that watermark).  Same
+    once-per-content contract as ``stage_once``."""
+    import glob
+    import hashlib as _hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        _source_fingerprint,
+    )
+
+    h = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fp = _source_fingerprint(sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stage", f"wmflush_{h}_{fp}"
+    )
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "value"
+        )
+        split = ev.agg(
+            F.timestamp_micros(
+                (
+                    (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+                    / 2
+                ).cast("long")
+            ).alias("m")
+        ).collect()[0]["m"]
+        far = ev.sparkSession.createDataFrame(
+            [(-1,)], "user_id long"
+        ).select(
+            "user_id",
+            F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        waves = [
+            ev.where(F.col("ts") < F.lit(split)),
+            ev.where(F.col("ts") >= F.lit(split)),
+            far,
+            far,
+        ]
+        seen: set[str] = set()
+        mode = "overwrite"
+        for i, wave in enumerate(waves):
+            wave.coalesce(1).write.mode(mode).parquet(tmp)
+            mode = "append"
+            new = set(glob.glob(f"{tmp}/part-*")) - seen
+            base = os.path.getmtime(tmp)
+            for f in new:
+                os.utime(f, (base + 60 * i, base + 60 * i))
+            seen |= new
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q_stream_watermark_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) streaming aggregation closed by WATERMARK
+    TIMEOUT (``GroupStateTimeout.EventTimeTimeout``) — the
+    unbounded-stream flush path, with no per-key sentinels: each group
+    emits when the watermark passes its day boundary.  The staged
+    input's two trailing watermark-advancing rows stand in for the
+    endless stream that keeps a real deployment's watermark moving.
+    The oracle is the plain batch aggregate, so the driver hash checks
+    that timeout flushing loses and duplicates nothing."""
+    import uuid as _uuid
+
+    from event_streaming_toy_example_spark.streaming.stateful import (
+        daily_counts_watermark_flush,
+    )
+
+    in_path = _stage_wm_input(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_path)
+    )
+    name = f"stream_wm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        daily_counts_watermark_flush(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SQL_STREAM_WATERMARK_FLUSH = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cc
+FROM events
+GROUP BY 1, 2
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
@@ -842,6 +960,7 @@ EXT17_QUERIES = {
     "pysource_sensor_agg": q_pysource_sensor_agg,
     "curate_ksample_stratified": q_curate_ksample_stratified,
     "privacy_k_anonymity": q_privacy_k_anonymity,
+    "stream_watermark_flush": q_stream_watermark_flush,
 }
 
 EXT17_ORACLES = {
@@ -857,4 +976,5 @@ EXT17_ORACLES = {
     "pysource_sensor_agg": SQL_PYSOURCE_SENSOR_AGG,
     "curate_ksample_stratified": SQL_CURATE_KSAMPLE_STRATIFIED,
     "privacy_k_anonymity": SQL_PRIVACY_K_ANONYMITY,
+    "stream_watermark_flush": SQL_STREAM_WATERMARK_FLUSH,
 }

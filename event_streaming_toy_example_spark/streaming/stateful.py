@@ -237,6 +237,108 @@ def cep_stateful(
 
 
 # --------------------------------------------------------------------------
+# Watermark-timeout flush: the UNBOUNDED-stream close path
+# --------------------------------------------------------------------------
+
+WM_COUNT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_cc", LongType()),
+    ]
+)
+
+#: (n_events, sum_value_cc) — one fixed-width row per open (user, day).
+WM_COUNT_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value_cc", LongType()),
+    ]
+)
+
+_DAY_MS = 86_400_000
+
+
+def _wm_count_fn(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-(user, day) accumulation flushed by EVENT-TIME TIMEOUT: the
+    group emits when the watermark passes the end of its day — no
+    sentinel rows, the way an unbounded deployment closes keys."""
+    import datetime as _dt
+
+    if state.hasTimedOut:
+        n, sv = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(int(key[0]), str(key[1]), n, sv)],
+            columns=[f.name for f in WM_COUNT_OUTPUT_SCHEMA.fields],
+        )
+        return
+    n, sv = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        sv += int(pdf["value_cc"].sum())
+    state.update((n, sv))
+    day_start = _dt.datetime.strptime(str(key[1]), "%Y-%m-%d").replace(
+        tzinfo=_dt.timezone.utc
+    )
+    day_end_ms = int(day_start.timestamp() * 1000) + _DAY_MS
+    # the timeout must sit strictly beyond the current watermark; a
+    # group whose day already closed flushes on the next batch
+    state.setTimeoutTimestamp(
+        max(day_end_ms, state.getCurrentWatermarkMs() + 1)
+    )
+
+
+def daily_counts_watermark_flush(
+    events: DataFrame,
+    delay: str = "1 second",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(user, day) event counts + value sums over a stream, closed
+    by WATERMARK rather than sentinels: each group times out when the
+    event-time watermark passes its day boundary
+    (``GroupStateTimeout.EventTimeTimeout``), which is how an
+    unbounded deployment flushes — late data within ``delay`` still
+    lands; anything later is dropped by the watermark operator.
+
+    Scale design: state is one fixed-width row per OPEN (user, day) —
+    the timeout bounds state lifetime to the day length plus the
+    watermark delay, so state never accumulates dormant keys (the
+    principled fix for the reference's forever-growing Redis set,
+    ``toy_lambda_function.py:48-52``, applied to windowed aggregation
+    state)."""
+    prepped = events.withWatermark(ts_col, delay).select(
+        F.col(user_col).alias("user_id"),
+        F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+        F.round(F.col(value_col) * 100).cast("long").alias("value_cc"),
+        # the watermark column must reach the stateful operator or
+        # Spark rejects EventTimeTimeout at analysis time
+        F.col(ts_col).alias("ts"),
+    )
+    out = prepped.groupBy("user_id", "day").applyInPandasWithState(
+        _wm_count_fn,
+        outputStructType=WM_COUNT_OUTPUT_SCHEMA,
+        stateStructType=WM_COUNT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    # watermark-advancing rows (user_id < 0) must NOT be filtered
+    # before the watermark operator — Catalyst pushes such a filter
+    # into the scan, and the sentinel then never advances the
+    # watermark (measured: the last day's groups never flush).  They
+    # flow through as their own group, whose far-future day never
+    # times out inside the run, and are dropped at the OUTPUT.
+    return out.where(F.col("user_id") >= 0)
+
+
+# --------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4 state-v2 API)
 # --------------------------------------------------------------------------
 
