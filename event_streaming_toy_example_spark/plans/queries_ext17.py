@@ -26,6 +26,11 @@ express.  The reference (a record-at-a-time event pipeline,
   with ``generate_series``.
 - ``curate_ksample_stratified`` — exact-k deterministic per-stratum
   sampling (md5-rank window), the balanced-subset operator.
+- ``privacy_k_anonymity`` — quasi-identifier equivalence-class audit
+  against the k=5 re-identification floor (release gating).
+- ``stream_watermark_flush`` — per-(user, day) aggregation closed by
+  event-time TIMEOUT when the watermark passes the day boundary (the
+  unbounded-stream flush path; no per-key sentinels).
 """
 
 from __future__ import annotations
