@@ -837,18 +837,26 @@ FROM classes GROUP BY 1
 # -------------------------------- watermark-timeout flush (streaming)
 
 
+#: bounded user subset: the entry isolates TIMEOUT-flush semantics —
+#: per-group Python cost scales with (user x day) key count, and the
+#: full-rate no-Python windowed aggregation path is the built-in
+#: ``stream_hourly_counts`` entry
+_WM_USER_CAP = 100
+
+
 def _stage_wm_input(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the watermark-flush input: the events table as data files,
-    SPLIT BY EVENT TIME into two files (first half-window, second
-    half-window — an arbitrary split would make the second batch late
-    against the first batch's watermark and silently drop rows), then
-    TWO single-row watermark-advancing sentinel files (user_id=-1,
-    far-future ts).  Modification times are bumped so the file source
-    (oldest-first by mtime, ``maxFilesPerTrigger=1``) delivers:
-    early-data batch -> late-data batch -> sentinel batch (watermark
-    jumps past every day boundary) -> second sentinel batch (the armed
-    event-time timeouts fire against that watermark).  Same
-    once-per-content contract as ``stage_once``."""
+    """Stage the watermark-flush input: one data file (the bounded
+    user subset, all rows — arriving before any watermark advances, so
+    nothing is late), then TWO single-row watermark-advancing sentinel
+    files (user_id=-1, far-future ts).  Modification times are bumped
+    so the file source (oldest-first by mtime, ``maxFilesPerTrigger=1``)
+    delivers: data batch -> sentinel batch (watermark jumps past every
+    day boundary) -> second sentinel batch (the armed event-time
+    timeouts fire against that watermark).  Cross-batch ACCUMULATION
+    is ``stream_cep_pattern``'s job; this entry isolates the timeout
+    mechanism, so the data travels in one batch and the per-group
+    Python pass is paid once.  Same once-per-content contract as
+    ``stage_once``."""
     import glob
     import hashlib as _hashlib
     import os
@@ -863,21 +871,15 @@ def _stage_wm_input(spark: SparkSession, sf_dir: str) -> str:
     h = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     fp = _source_fingerprint(sf_dir)
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stage", f"wmflush_{h}_{fp}"
+        tempfile.gettempdir(), "spark_graft_stage", f"wmflush2_{h}_{fp}"
     )
     if not os.path.isdir(path):
         tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
-        ev = load_table(spark, sf_dir, "events").select(
-            "user_id", "ts", "value"
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id") < _WM_USER_CAP)
+            .select("user_id", "ts", "value")
         )
-        split = ev.agg(
-            F.timestamp_micros(
-                (
-                    (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
-                    / 2
-                ).cast("long")
-            ).alias("m")
-        ).collect()[0]["m"]
         far = ev.sparkSession.createDataFrame(
             [(-1,)], "user_id long"
         ).select(
@@ -885,12 +887,7 @@ def _stage_wm_input(spark: SparkSession, sf_dir: str) -> str:
             F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
             F.lit(0.0).alias("value"),
         )
-        waves = [
-            ev.where(F.col("ts") < F.lit(split)),
-            ev.where(F.col("ts") >= F.lit(split)),
-            far,
-            far,
-        ]
+        waves = [ev, far, far]
         seen: set[str] = set()
         mode = "overwrite"
         for i, wave in enumerate(waves):
@@ -942,12 +939,13 @@ def q_stream_watermark_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-SQL_STREAM_WATERMARK_FLUSH = """
+SQL_STREAM_WATERMARK_FLUSH = f"""
 SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS sum_value_cc
 FROM events
+WHERE user_id < {_WM_USER_CAP}
 GROUP BY 1, 2
 """
 
