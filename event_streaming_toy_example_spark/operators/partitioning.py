@@ -53,8 +53,9 @@ def write_processed_parquet(
       prefixed with the Hive partition columns: the file writer
       requires rows grouped by partition values and would otherwise
       re-sort on them alone, discarding the clustering;
-    - ``compression`` picks the codec (e.g. ``zstd`` for cold data,
-      default snappy for hot).
+    - ``compression`` overrides the codec per sink; the session default
+      is zstd (``session.py`` — measured 32-40% smaller than snappy at
+      equal write time on this workload, ``docs/PLANS.md``).
     """
     out = with_time_partitions(df)
     if num_files_per_partition and repartition_keys:

@@ -658,18 +658,20 @@ def _source_fingerprint(sf_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
 
 
-def stage_once(build, key: str, sf_dir: str) -> str:
-    """Materialize a derived-artifact dir once per
+def stage_dir_once(build_dir, key: str, sf_dir: str) -> str:
+    """Materialize a derived-artifact DIRECTORY once per
     (key, sf_dir, source-content) per machine and return its path.
 
-    ``build`` is a zero-arg callable returning the DataFrame to
-    materialize; it only runs on a cache miss. Content is deterministic
-    in (key, sf_dir), so a completed staging dir means reuse; writes go
-    to a unique temp dir and are published with an atomic rename, so
-    concurrent stagers cannot interleave partial output (the rename
-    loser discards its identical copy). The fingerprint covers source
-    file names/sizes/mtimes, so staged artifacts invalidate when the
-    testdata at the same path changes."""
+    ``build_dir(tmp_path)`` populates a private temp dir however it
+    likes (multiple writes, mtime adjustments, side files); it only
+    runs on a cache miss. Content must be deterministic in
+    (key, sf_dir), so a completed staging dir means reuse; the temp
+    dir is published with an atomic rename, so concurrent stagers
+    cannot interleave partial output (the rename loser discards its
+    identical copy). The fingerprint covers source file
+    names/sizes/mtimes, so staged artifacts invalidate when the
+    testdata at the same path changes.  Parameters that change the
+    staged CONTENT must be part of ``key``."""
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     fp = _source_fingerprint(sf_dir)
     path = os.path.join(
@@ -677,13 +679,28 @@ def stage_once(build, key: str, sf_dir: str) -> str:
     )
     if not os.path.isdir(path):
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        build().write.mode("overwrite").parquet(tmp)
+        build_dir(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
             # lost the publish race — the winner's content is identical
             shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def stage_once(build, key: str, sf_dir: str) -> str:
+    """Materialize a derived-artifact dir once per
+    (key, sf_dir, source-content) per machine and return its path.
+
+    ``build`` is a zero-arg callable returning the DataFrame to
+    materialize; it only runs on a cache miss.  The single-DataFrame
+    convenience form of :func:`stage_dir_once`, which owns the
+    fingerprint/key/atomic-publish machinery."""
+    return stage_dir_once(
+        lambda tmp: build().write.mode("overwrite").parquet(tmp),
+        key,
+        sf_dir,
+    )
 
 
 def stage_stream_input(df: DataFrame, key: str, sf_dir: str) -> str:

@@ -373,9 +373,12 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_suppkey",
+        # timestamp-preserving arithmetic: date_add would truncate the
+        # order timestamp to a date, diverging from the oracle's
+        # '+ INTERVAL 90 DAY' if order dates ever carry a time-of-day
         (
             F.col("l_shipdate")
-            > F.date_add(F.col("o_orderdate"), _Q21_LATE_DAYS)
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
         ).alias("late"),
     )
     agg = lo.groupBy("l_orderkey").agg(

@@ -858,23 +858,13 @@ def _stage_wm_input(spark: SparkSession, sf_dir: str) -> str:
     Python pass is paid once.  Same once-per-content contract as
     ``stage_once``."""
     import glob
-    import hashlib as _hashlib
     import os
-    import shutil
-    import tempfile
-    import uuid as _uuid
 
     from event_streaming_toy_example_spark.plans.queries_ext import (
-        _source_fingerprint,
+        stage_dir_once,
     )
 
-    h = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    fp = _source_fingerprint(sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_stage", f"wmflush2_{h}_{fp}"
-    )
-    if not os.path.isdir(path):
-        tmp = f"{path}.tmp-{_uuid.uuid4().hex[:8]}"
+    def build_dir(tmp: str) -> None:
         ev = (
             load_table(spark, sf_dir, "events")
             .where(F.col("user_id") < _WM_USER_CAP)
@@ -887,10 +877,9 @@ def _stage_wm_input(spark: SparkSession, sf_dir: str) -> str:
             F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
             F.lit(0.0).alias("value"),
         )
-        waves = [ev, far, far]
         seen: set[str] = set()
         mode = "overwrite"
-        for i, wave in enumerate(waves):
+        for i, wave in enumerate([ev, far, far]):
             wave.coalesce(1).write.mode(mode).parquet(tmp)
             mode = "append"
             new = set(glob.glob(f"{tmp}/part-*")) - seen
@@ -898,11 +887,9 @@ def _stage_wm_input(spark: SparkSession, sf_dir: str) -> str:
             for f in new:
                 os.utime(f, (base + 60 * i, base + 60 * i))
             seen |= new
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    return path
+
+    # the cap changes the staged CONTENT, so it is part of the key
+    return stage_dir_once(build_dir, f"wmflush_u{_WM_USER_CAP}", sf_dir)
 
 
 def q_stream_watermark_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,7 +922,9 @@ def q_stream_watermark_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_watermark_flush did not finish in 300s")
     return spark.table(name)
 
 

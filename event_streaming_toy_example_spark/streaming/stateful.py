@@ -268,8 +268,6 @@ def _wm_count_fn(
     """Per-(user, day) accumulation flushed by EVENT-TIME TIMEOUT: the
     group emits when the watermark passes the end of its day — no
     sentinel rows, the way an unbounded deployment closes keys."""
-    import datetime as _dt
-
     if state.hasTimedOut:
         n, sv = state.get
         state.remove()
@@ -279,14 +277,16 @@ def _wm_count_fn(
         )
         return
     n, sv = state.get if state.exists else (0, 0)
+    day_end_ms = 0
     for pdf in pdf_iter:
         n += len(pdf)
         sv += int(pdf["value_cc"].sum())
+        # constant within the group: the planner computed it from the
+        # SAME session-timezone day the group key carries (re-deriving
+        # it here as UTC midnight would flush at the wrong boundary in
+        # any non-UTC session)
+        day_end_ms = int(pdf["day_end_ms"].iloc[0])
     state.update((n, sv))
-    day_start = _dt.datetime.strptime(str(key[1]), "%Y-%m-%d").replace(
-        tzinfo=_dt.timezone.utc
-    )
-    day_end_ms = int(day_start.timestamp() * 1000) + _DAY_MS
     # the timeout must sit strictly beyond the current watermark; a
     # group whose day already closed flushes on the next batch
     state.setTimeoutTimestamp(
@@ -318,6 +318,10 @@ def daily_counts_watermark_flush(
         F.col(user_col).alias("user_id"),
         F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
         F.round(F.col(value_col) * 100).cast("long").alias("value_cc"),
+        # the day boundary in the SESSION timezone — the same calendar
+        # the day label uses; executors must not re-derive it as UTC
+        (F.unix_millis(F.date_trunc("DAY", F.col(ts_col))) + _DAY_MS)
+        .alias("day_end_ms"),
         # the watermark column must reach the stateful operator or
         # Spark rejects EventTimeTimeout at analysis time
         F.col(ts_col).alias("ts"),
