@@ -1,0 +1,71 @@
+"""Schema evolution for append-mode parquet tables.
+
+The reference hard-codes one inferred schema forever (``toy_glue.py:36``
+— SURVEY.md §8.6 shows the enrichment columns being silently dropped
+because the imposed schema predates them).  A long-lived table's schema
+DOES drift: new event fields appear, old ones stop being written.  The
+lakehouse answer is additive evolution — appends may introduce new
+nullable columns, readers reconcile per-file schemas
+(``mergeSchema``), and history rows surface the new columns as NULL.
+
+``evolving_append`` enforces the safe subset of that contract at write
+time instead of letting arbitrary drift through:
+
+- NEW columns are allowed (additive evolution);
+- MISSING columns are tolerated (filled as typed NULLs so the writer
+  never silently narrows the table);
+- TYPE CHANGES on an existing column are refused loudly — a
+  same-name-different-type append would poison the table for every
+  reader (parquet merge fails or silently coerces depending on the
+  engine), which must be a deliberate migration, not an append.
+
+``read_evolved`` is the matching reader: ``mergeSchema`` reconciles
+the per-file schemas into the union schema.
+
+Scale notes: the schema check reads FOOTERS only (one read of the
+existing table's merged schema — Spark caches per-path listings), and
+appends stay ordinary parquet appends; no rewrite of history ever
+happens.  At 100 TB prefer a table format with a transactional schema
+registry (the ``stream_upsert_sink`` generation-pointer pattern);
+this operator is the plain-directory form of the same contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def evolving_append(df: DataFrame, path: str) -> None:
+    """Append ``df`` to the parquet table at ``path`` under the
+    additive-evolution contract (see module docstring).  First write
+    creates the table."""
+    spark = df.sparkSession
+    try:
+        existing = (
+            spark.read.option("mergeSchema", "true").parquet(path).schema
+        )
+    except Exception:
+        df.write.mode("overwrite").parquet(path)
+        return
+    by_name = {f.name: f for f in existing}
+    for f in df.schema:
+        old = by_name.get(f.name)
+        if old is not None and old.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution refused: column '{f.name}' changes "
+                f"type {old.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()}; type migrations must "
+                "rewrite, not append"
+            )
+    # fill columns the new batch is missing as typed NULLs, so the
+    # writer cannot silently narrow the table
+    for name, f in by_name.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(f.dataType))
+    df.write.mode("append").parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read an evolving table: per-file schemas reconciled to their
+    union; rows from before a column existed surface it as NULL."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
