@@ -112,6 +112,7 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "privacy_k_anonymity",
     "stream_watermark_flush",
+    "map_surface_events",
 ]
 
 

@@ -353,6 +353,9 @@ FAMILY_REP: dict[str, str] = {
     # the watermark-timeout flush is the unbounded-stream close path of
     # the stateful-streaming family (its siblings flush via sentinels)
     "stream_watermark_flush": "stream_session_stateful",
+    # the map complex-type surface joins the semi-structured family
+    # (array/struct/VARIANT twins all map to existing reps)
+    "map_surface_events": "json_props_stats",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

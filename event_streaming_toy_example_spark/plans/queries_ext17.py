@@ -31,6 +31,8 @@ express.  The reference (a record-at-a-time event pipeline,
 - ``stream_watermark_flush`` — per-(user, day) aggregation closed by
   event-time TIMEOUT when the watermark passes the day boundary (the
   unbounded-stream flush path; no per-key sentinels).
+- ``map_surface_events`` — the MAP complex-type surface (create_map /
+  map_concat / element_at / entry explosion).
 """
 
 from __future__ import annotations
@@ -939,6 +941,59 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------ map-column surface
+
+
+def q_map_surface_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP complex-type surface (arrays, structs, and VARIANT have
+    their own entries): build a ``map<string,string>`` per event with
+    ``create_map``, extend it with ``map_concat``, read one key with
+    ``element_at``, then ``explode`` the entries and aggregate per
+    (key, value) — the attribute-bag shape semi-structured event
+    properties take when the key set is open-ended.
+
+    The oracle reconstructs every entry from base columns (a UNION ALL
+    per map key), so construction, concat, lookup, and the entry
+    explosion are all value-hash-checked.  One shuffle (the final
+    aggregate); the map machinery is row-local codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.create_map(
+            F.lit("type"),
+            F.col("event_type"),
+            F.lit("uid_bucket"),
+            F.concat(F.lit("b"), (F.col("user_id") % 7).cast("string")),
+        ),
+        F.create_map(
+            F.lit("has_value"),
+            (F.col("value") > 50).cast("string"),
+        ),
+    )
+    rows = ev.select(
+        F.explode(m).alias("key", "value"),
+        F.element_at(m, "type").alias("etype"),
+    )
+    return rows.groupBy("key", "value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("etype").alias("n_types"),
+    )
+
+
+SQL_MAP_SURFACE_EVENTS = """
+WITH entries AS (
+  SELECT 'type' AS key, event_type AS value, event_type AS etype
+  FROM events
+  UNION ALL
+  SELECT 'uid_bucket', 'b' || (user_id % 7), event_type FROM events
+  UNION ALL
+  SELECT 'has_value', CAST(value > 50 AS VARCHAR), event_type FROM events
+)
+SELECT key, value, count(*) AS n,
+       CAST(count(DISTINCT etype) AS BIGINT) AS n_types
+FROM entries GROUP BY 1, 2
+"""
+
+
 EXT17_QUERIES = {
     "text_lm_score": q_text_lm_score,
     "curate_pii_redact": q_curate_pii_redact,
@@ -953,6 +1008,7 @@ EXT17_QUERIES = {
     "curate_ksample_stratified": q_curate_ksample_stratified,
     "privacy_k_anonymity": q_privacy_k_anonymity,
     "stream_watermark_flush": q_stream_watermark_flush,
+    "map_surface_events": q_map_surface_events,
 }
 
 EXT17_ORACLES = {
@@ -969,4 +1025,5 @@ EXT17_ORACLES = {
     "curate_ksample_stratified": SQL_CURATE_KSAMPLE_STRATIFIED,
     "privacy_k_anonymity": SQL_PRIVACY_K_ANONYMITY,
     "stream_watermark_flush": SQL_STREAM_WATERMARK_FLUSH,
+    "map_surface_events": SQL_MAP_SURFACE_EVENTS,
 }
