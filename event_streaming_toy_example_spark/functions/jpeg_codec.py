@@ -604,6 +604,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         "the spec range 1..4"
                     )
                 comps.append((cid, hs, vs, qid))
+            # replicate upsampling divides hmax/vmax by each
+            # component's factor — non-integral ratios (e.g. 3 and 2,
+            # both inside the 1..4 spec range) would yield undersized
+            # planes and die later in np.stack with a generic shape
+            # mismatch; reject them here, loudly, by name
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            bad = [
+                (cid, hs, vs)
+                for cid, hs, vs, _ in comps
+                if hmax % hs or vmax % vs
+            ]
+            if bad:
+                raise NotImplementedError(
+                    "non-integral chroma sampling ratios are not "
+                    f"supported: components {bad} vs max {hmax}x{vmax}"
+                )
             frame = (fh, fw, comps)
         elif marker == 0xDD:  # DRI
             if body_pos + 2 > seg_end:

@@ -78,6 +78,48 @@ def brute_force_topk(
     )
 
 
+def topk_recall_contract(
+    ann: DataFrame, exact: DataFrame, k: int, floor_ppm: int
+) -> DataFrame:
+    """Driver-verifiable contract for approximate top-k.
+
+    An ANN result has no exact oracle — the neighbor set depends on the
+    engine's hash tables / centroids — but the *recall relation* does:
+    join the ANN answer against the exact brute-force top-k (which a
+    SQL oracle CAN compute) and emit, per query, whether recall@k
+    cleared an integer ppm floor.  The oracle then asserts the expected
+    relation (``recall_ok = 1`` for every query), so a recall
+    regression below the floor flips the driver's value hash red
+    instead of hiding behind a rows-only check.
+
+    Both inputs must carry ``query_id``/``neighbor_id``.  Output is one
+    row per exact-side query: ``(query_id, k, recall_floor_ppm,
+    recall_ok)`` — all integers, hash-stable across engines.
+    """
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).cast("int").alias("k"),
+            F.lit(floor_ppm).cast("int").alias("recall_floor_ppm"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) * F.lit(1_000_000)
+                >= F.lit(floor_ppm) * F.lit(k)
+            )
+            .cast("int")
+            .alias("recall_ok"),
+        )
+    )
+
+
 def _plane_matrix(dim: int, bits: int, seed: int) -> list[list[float]]:
     """Deterministic ±1 plane coefficients, materialized ONCE driver-side.
 

@@ -35,18 +35,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on the table's filesystem.  Checked via
+    the Hadoop FS API (not a read attempt) so that a FAILED read of an
+    EXISTING table — corrupt/partial file from an interrupted append,
+    transient FS or permission error — can never be mistaken for
+    "table not created yet"."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def evolving_append(df: DataFrame, path: str) -> None:
     """Append ``df`` to the parquet table at ``path`` under the
     additive-evolution contract (see module docstring).  First write
-    creates the table."""
+    creates the table.
+
+    The create path is taken ONLY when the path genuinely does not
+    exist; any failure reading an existing table's schema re-raises.
+    (An earlier version caught bare ``Exception`` around the schema
+    read and fell back to ``overwrite`` — which would have silently
+    REPLACED the whole table with the new batch on any transient read
+    failure, data loss in the one operator whose contract is that
+    history is never rewritten.)"""
     spark = df.sparkSession
-    try:
-        existing = (
-            spark.read.option("mergeSchema", "true").parquet(path).schema
-        )
-    except Exception:
-        df.write.mode("overwrite").parquet(path)
+    if not _table_exists(spark, path):
+        # errorifexists: if someone creates the path between the check
+        # and the write, fail loudly rather than clobber their data
+        df.write.mode("errorifexists").parquet(path)
         return
+    existing = spark.read.option("mergeSchema", "true").parquet(path).schema
     by_name = {f.name: f for f in existing}
     for f in df.schema:
         old = by_name.get(f.name)

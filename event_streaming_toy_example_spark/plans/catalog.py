@@ -134,13 +134,16 @@ FAMILY_REP: dict[str, str] = {
     "left_join_order_counts": "full_outer_type_days",
     # broadcast-dim revenue rollup family
     "join_supplier_revenue": "join_revenue_by_nation",
-    # fingerprint family: rolled into the token-stats rep for round 3 —
-    # text_fingerprint and text_langid are TEMPORARILY demoted (both
-    # hash-passed rounds 1-2 and stay locally replayed) to free two
-    # driver slots for the orders_above_cust_avg column bisect below
+    # the TPC-H Q5 shape (multi-dim broadcast star join + revenue
+    # rollup) is a wider surface of the same family — demoted in round
+    # 4 (hash-passed rounds 1-3) to free a driver slot for the
+    # approx-sketch family's own value-hash verdict below
+    "join_local_supplier_volume": "join_revenue_by_nation",
+    # fingerprint family: the rolling-hash variant folds into the
+    # token-stats rep; text_fingerprint and text_langid returned to
+    # PRIMARY in round 4 (the round-3 bisect that borrowed their slots
+    # resolved — oracle HUGEINT cast, queries_ext2.py)
     "text_fingerprint_rolling": "text_token_stats",
-    "text_fingerprint": "text_token_stats",
-    "text_langid": "text_quality",
     # sessionization family: stateful streaming form is the rep
     "session_window_users": "stream_session_stateful",
     # time-window agg family: streaming tumbling-window rep
@@ -164,12 +167,6 @@ FAMILY_REP: dict[str, str] = {
     "curate_strip_boilerplate": "curate_sample_scrub",
     # SQL-surface twin of the DataFrame decorrelated form
     "sql_above_avg_orders": "orders_above_cust_avg",
-    # round-3 driver-hash bisect: the PRIMARY entry emits keys only and
-    # two sibling probes add price_cc / cust_avg_cc separately (locally
-    # bit-exact for two rounds, driver hash_match=false — one driver run
-    # pins the column). The full 4-column operator stays here, replayed
-    # bit-exactly by tests/test_oracle_parity.py.
-    "orders_above_cust_avg_full": "orders_above_cust_avg",
     # deliberately-naive applyInPandas surface twin
     "zscore_grouped_map": "grouped_zscore_outliers",
     # weighted aggregate is a scan+agg surface variant
@@ -185,15 +182,25 @@ FAMILY_REP: dict[str, str] = {
     "sketch_quantiles_price": "percentiles_by_priority",
     # LSH-blocked scale path of the label-blocked exact near-dup rep
     "sim_embedding_near_dup_lsh": "sim_embedding_near_dup",
-    # decode-features family: the REAL PNG decode (in-repo codec,
-    # arithmetically-oracle-checked dims) is the rep; the fake-decode
-    # plumbing twin moves to EXTENDED
-    "mm_media_features": "mm_png_decode",
+    # raw ANN neighbor lists (engine-specific by design, rows-only);
+    # the PRIMARY reps hash-check the recall-vs-exact contract the
+    # oracle CAN predict (round 4)
+    "sim_lsh_topk_neighbors": "sim_lsh_topk",
+    "sim_ivf_topk_neighbors": "sim_ivf_topk",
+    # decode-features family: round 4 hands the driver row to the
+    # HARDEST codec — the in-repo baseline JPEG decoder (Huffman
+    # entropy decode + IDCT + YCbCr, arithmetic-dims oracle) — and the
+    # simpler real codecs (PNG/BMP/GIF/WAV) plus the plumbing twins
+    # become its EXTENDED family
+    "mm_media_features": "mm_jpeg_decode",
     # audio twin of the real-decode rep (in-repo WAV codec)
-    "mm_wav_decode": "mm_png_decode",
+    "mm_wav_decode": "mm_jpeg_decode",
+    # first real image format (in-repo zlib-inflate PNG codec) — held
+    # the family's driver row rounds 2-3, all green
+    "mm_png_decode": "mm_jpeg_decode",
     # second real image format (in-repo 24-bit BMP codec), same
     # arithmetic-dims oracle construction with different moduli
-    "mm_bmp_decode": "mm_png_decode",
+    "mm_bmp_decode": "mm_jpeg_decode",
     # repetition ratio is a quality-signal surface of the text rep
     "text_repetition": "text_quality",
     # round-2 demotions freeing driver slots for the curation family:
@@ -207,24 +214,14 @@ FAMILY_REP: dict[str, str] = {
     # incremental dedup subsumes the content-hash survivor grouping and
     # adds the cross-snapshot anti-join
     "dedup_exact_docs": "dedup_incremental",
-    # round-3 additions land in EXTENDED while the two bisect probes
-    # hold their PRIMARY slots (all three are value-hash-replayed by
-    # tests/test_oracle_parity.py; promote once the bisect resolves):
-    # frequency sketch joins the HLL in the approx-sketch family, whose
-    # hash-checked rep is the exact distinct-count twin
-    "sketch_cms_heavy_hitters": "distinct_users_daily",
     # perceptual image dedup consumes the real-decode rep's codec path
-    "mm_dhash_dedup": "mm_png_decode",
+    "mm_dhash_dedup": "mm_jpeg_decode",
     # third real image format (in-repo GIF87a codec, full LZW decoder),
     # same arithmetic-dims oracle with a third moduli pair
-    "mm_gif_decode": "mm_png_decode",
-    # fourth real image format (in-repo baseline-JPEG codec: Huffman
-    # entropy decode + IDCT + YCbCr), arithmetic-dims oracle with a
-    # fourth moduli pair; lossy, so pixel bounds live in the codec tests
-    "mm_jpeg_decode": "mm_png_decode",
+    "mm_gif_decode": "mm_jpeg_decode",
     # REAL multi-frame sampling (animated GIF, per-frame LZW decode) —
     # the codec-real upgrade of the mm_frame_sample plumbing twin
-    "mm_gif_frames": "mm_png_decode",
+    "mm_gif_frames": "mm_jpeg_decode",
     # ninth wave: the spatial grid-blocked proximity join shares the
     # blocked-candidate-generation family with the deletion-
     # neighborhood fuzzy rep (same verification construction: the
@@ -259,8 +256,8 @@ FAMILY_REP: dict[str, str] = {
     # real-decode rep's family (both hash-passed rounds 1-2 and stay
     # locally value-replayed); the other two newcomers join existing
     # families:
-    "mm_frame_sample": "mm_png_decode",
-    "mm_resize": "mm_png_decode",
+    "mm_frame_sample": "mm_jpeg_decode",
+    "mm_resize": "mm_jpeg_decode",
     # Gopher rules are quality signals over the same token pipeline
     "curate_gopher_rules": "text_quality",
     # span-level window dedup shares the shingle/window machinery with
@@ -270,7 +267,7 @@ FAMILY_REP: dict[str, str] = {
     # projection is an embedding-column surface like the array-stats
     # twin; the TPC-H shapes are SQL-analytics surfaces of the
     # decorrelated-subquery and broadcast-join families
-    "mm_audio_dsp": "mm_png_decode",
+    "mm_audio_dsp": "mm_jpeg_decode",
     "rp_project": "sim_topk_bruteforce",
     "tpch_q17_small_qty_revenue": "orders_above_cust_avg",
     "tpch_q18_large_orders": "orders_above_cust_avg",

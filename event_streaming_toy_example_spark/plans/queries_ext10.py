@@ -179,7 +179,8 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q18 = f"""
 WITH big AS (
-  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
   FROM lineitem GROUP BY 1 HAVING total_qty > {_Q18_MIN_QTY}
 )
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
@@ -235,11 +236,11 @@ WITH j AS (
   WHERE l.l_shipdate >= TIMESTAMP '{_Q14_MONTH[0]}'
     AND l.l_shipdate < TIMESTAMP '{_Q14_MONTH[1]}'
 )
-SELECT sum(CASE WHEN p_type = '{_Q14_PROMO_TYPE}' THEN cc ELSE 0 END)
-           AS promo_cc,
-       sum(cc) AS total_cc,
-       sum(CASE WHEN p_type = '{_Q14_PROMO_TYPE}' THEN cc ELSE 0 END)
-           * 10000 // sum(cc) AS promo_bp
+SELECT CAST(sum(CASE WHEN p_type = '{_Q14_PROMO_TYPE}' THEN cc ELSE 0 END)
+            AS BIGINT) AS promo_cc,
+       CAST(sum(cc) AS BIGINT) AS total_cc,
+       CAST(sum(CASE WHEN p_type = '{_Q14_PROMO_TYPE}' THEN cc ELSE 0 END)
+            * 10000 // sum(cc) AS BIGINT) AS promo_bp
 FROM j
 """
 

@@ -620,7 +620,12 @@ def q_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # a timed-out stream would leave the memory sink partially filled —
+    # raise instead of silently returning incomplete rows (same
+    # contract as q_stream_watermark_flush below)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_cep_pattern did not finish in 300 s")
     return spark.table(name)
 
 

@@ -343,41 +343,16 @@ def _orders_above_cust_avg_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-3 bisect instrumentation: this query is bit-identical to its
-# oracle in every local replay (r2: 7540 rows, 0 value diffs at sf0.01)
-# yet the driver has reported hash_match=false in two straight rounds.
-# To pin WHICH column the driver's canonicalization disagrees on, the
-# PRIMARY entry emits only the join keys this round and two sibling
-# PRIMARY entries add price_cc / cust_avg_cc separately — one driver run
-# partitions the suspects. The full 4-column form stays in EXTENDED
-# (locally bit-exact-replayed, tests/test_oracle_parity.py).
-# Local replay environment for the record: duckdb 1.0.0, pyspark 4.1.2.
+# The round-3 driver bisect resolved: probes emitting only raw BIGINT
+# columns passed, the probe adding the derived cust_avg_cc failed, and
+# the mechanism turned out to be the ORACLE's type (DuckDB HUGEINT →
+# float64 in a pandas-path fetch; see the CAST note below).  The fix is
+# in the SQL, so the full 4-column operator holds the PRIMARY slot
+# again and the probe entries are retired.
 
 
 def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect probe 0: keys only."""
-    return _orders_above_cust_avg_base(spark, sf_dir).select(
-        "o_orderkey", "o_custkey"
-    )
-
-
-def q_orders_above_cust_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect probe 1: keys + the row's own price in integer cents."""
-    return _orders_above_cust_avg_base(spark, sf_dir).select(
-        "o_orderkey", "o_custkey", "price_cc"
-    )
-
-
-def q_orders_above_cust_avg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect probe 2: keys + the customer-average in integer cents."""
-    return _orders_above_cust_avg_base(spark, sf_dir).select(
-        "o_orderkey", "o_custkey", "cust_avg_cc"
-    )
-
-
-def q_orders_above_cust_avg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real operator (all four columns) — EXTENDED while the driver
-    bisect runs."""
+    """Orders above their customer's average price (all four columns)."""
     return _orders_above_cust_avg_base(spark, sf_dir)
 
 
@@ -392,27 +367,20 @@ WITH c AS (
 )
 """
 
+# NOTE the outer CAST on cust_avg_cc: DuckDB's windowed sum(BIGINT) is
+# HUGEINT, and HUGEINT survives `* 100` and `//` — so without the CAST
+# the derived average comes back HUGEINT, which a pandas-path fetch
+# (fetchdf) coerces to float64 while Spark emits LongType: the driver's
+# value hash then sees 2377788856.0 vs 2377788856 and fails even though
+# fetchall() (what the local replay uses) returns exact ints.
+# Root-caused in round 3 — every derived expression over a sum() must be
+# CAST back to BIGINT (enforced repo-wide by
+# tests/test_oracle_parity.py::test_no_hugeint_oracle_columns).
 SQL_ORDERS_ABOVE_CUST_AVG = (
     _SQL_ABOVE_AVG_CTE
-    + "SELECT o_orderkey, o_custkey FROM c WHERE cents * n > sum_cents"
-)
-
-SQL_ORDERS_ABOVE_CUST_AVG_PRICE = (
-    _SQL_ABOVE_AVG_CTE
-    + "SELECT o_orderkey, o_custkey, cents AS price_cc "
-    "FROM c WHERE cents * n > sum_cents"
-)
-
-SQL_ORDERS_ABOVE_CUST_AVG_AVG = (
-    _SQL_ABOVE_AVG_CTE
-    + "SELECT o_orderkey, o_custkey, (sum_cents * 100) // n AS cust_avg_cc "
-    "FROM c WHERE cents * n > sum_cents"
-)
-
-SQL_ORDERS_ABOVE_CUST_AVG_FULL = (
-    _SQL_ABOVE_AVG_CTE
     + "SELECT o_orderkey, o_custkey, cents AS price_cc, "
-    "(sum_cents * 100) // n AS cust_avg_cc FROM c WHERE cents * n > sum_cents"
+    "CAST((sum_cents * 100) // n AS BIGINT) AS cust_avg_cc "
+    "FROM c WHERE cents * n > sum_cents"
 )
 
 
@@ -624,9 +592,6 @@ EXT2_QUERIES = {
     "range_join_order_activity": q_range_join_order_activity,
     "percentiles_by_priority": q_percentiles_by_priority,
     "orders_above_cust_avg": q_orders_above_cust_avg,
-    "orders_above_cust_avg_price": q_orders_above_cust_avg_price,
-    "orders_above_cust_avg_avg": q_orders_above_cust_avg_avg,
-    "orders_above_cust_avg_full": q_orders_above_cust_avg_full,
     "text_fingerprint_rolling": q_text_fingerprint_rolling,
 }
 
@@ -643,8 +608,5 @@ EXT2_ORACLES = {
     "range_join_order_activity": SQL_RANGE_JOIN_ORDER_ACTIVITY,
     "percentiles_by_priority": SQL_PERCENTILES_BY_PRIORITY,
     "orders_above_cust_avg": SQL_ORDERS_ABOVE_CUST_AVG,
-    "orders_above_cust_avg_price": SQL_ORDERS_ABOVE_CUST_AVG_PRICE,
-    "orders_above_cust_avg_avg": SQL_ORDERS_ABOVE_CUST_AVG_AVG,
-    "orders_above_cust_avg_full": SQL_ORDERS_ABOVE_CUST_AVG_FULL,
     "text_fingerprint_rolling": SQL_TEXT_FINGERPRINT_ROLLING,
 }

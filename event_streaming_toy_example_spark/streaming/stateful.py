@@ -257,7 +257,6 @@ WM_COUNT_STATE_SCHEMA = StructType(
     ]
 )
 
-_DAY_MS = 86_400_000
 
 
 def _wm_count_fn(
@@ -319,9 +318,15 @@ def daily_counts_watermark_flush(
         F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
         F.round(F.col(value_col) * 100).cast("long").alias("value_cc"),
         # the day boundary in the SESSION timezone — the same calendar
-        # the day label uses; executors must not re-derive it as UTC
-        (F.unix_millis(F.date_trunc("DAY", F.col(ts_col))) + _DAY_MS)
-        .alias("day_end_ms"),
+        # the day label uses; executors must not re-derive it as UTC.
+        # The boundary is the CALENDAR's next midnight (+ INTERVAL 1
+        # DAY), not start-of-day + a fixed 86.4M ms: on DST-shifted
+        # days in non-UTC session timezones a 25-hour day would arm
+        # the timeout an hour early, letting a still-open (user, day)
+        # group flush and then re-open — duplicate rows in append mode.
+        F.unix_millis(
+            F.date_trunc("DAY", F.col(ts_col)) + F.expr("INTERVAL 1 DAY")
+        ).alias("day_end_ms"),
         # the watermark column must reach the stateful operator or
         # Spark rejects EventTimeTimeout at analysis time
         F.col(ts_col).alias("ts"),

@@ -67,3 +67,23 @@ def test_first_write_creates_table(spark, tmp_path):
     path = str(tmp_path / "fresh")
     evolving_append(_v1(spark), path)
     assert read_evolved(spark, path).count() == 3
+
+
+def test_unreadable_existing_table_raises_not_overwrites(spark, tmp_path):
+    """A read failure on an EXISTING table must re-raise, never fall
+    back to the create path: the old bare-except fallback would have
+    silently replaced the whole table with the new batch (data loss in
+    the operator whose contract is 'history is never rewritten')."""
+    path = str(tmp_path / "tbl")
+    evolving_append(_v1(spark), path)
+    # corrupt the table: truncate every parquet file to garbage bytes
+    import pathlib
+
+    files = list(pathlib.Path(path).glob("*.parquet"))
+    assert files
+    for f in files:
+        f.write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        evolving_append(_v1(spark), path)
+    # the corrupt table was NOT overwritten by the failed append
+    assert files[0].read_bytes() == b"not a parquet file"

@@ -106,6 +106,27 @@ def test_rejects_non_jpeg_truncated_and_unsupported():
         decode_jpeg(bytes(bad))
 
 
+def test_rejects_non_integral_sampling_ratios():
+    """Sampling factors 3 and 2 are each inside the 1..4 spec range,
+    but 3/2 replicate upsampling is non-integral — the decoder must
+    reject it by name at SOF0 parse, not die later in np.stack with a
+    generic shape mismatch."""
+    arr = _smooth(16, 16)
+    data = bytearray(encode_jpeg(arr, subsample=True))
+    i = bytes(data).find(bytes([0xFF, 0xC0]))
+    assert i >= 0
+    # SOF0 layout: FF C0 len(2) prec(1) h(2) w(2) nc(1) then per
+    # component (cid, hv, qid); patch Y to 3x2 and Cb to 2x2 so Cb's
+    # horizontal upsample ratio is hmax/hs = 3/2 — non-integral
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert data[hv_off] == 0x22
+    data[hv_off] = 0x32
+    assert data[hv_off + 3] == 0x11
+    data[hv_off + 3] = 0x22
+    with pytest.raises(NotImplementedError, match="non-integral"):
+        decode_jpeg(bytes(data))
+
+
 def test_quality_range_validated():
     with pytest.raises(ValueError, match="quality"):
         encode_jpeg(_smooth(4, 4), quality=0)

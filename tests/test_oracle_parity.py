@@ -131,6 +131,26 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: value mismatches {mismatches}"
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_no_hugeint_oracle_columns(duck, name):
+    """No oracle may emit HUGEINT: DuckDB widens sum(BIGINT) (and any
+    arithmetic derived from it) to HUGEINT, which a pandas-path fetch
+    (fetchdf) silently coerces to float64 while Spark emits LongType —
+    so the driver's value hash fails even though fetchall() (what the
+    local replay uses) returns exact ints.  That exact mechanism cost
+    three rounds on orders_above_cust_avg (queries_ext2.py); this pins
+    the repo-wide rule: CAST every sum()-derived column back to BIGINT.
+    DECIMAL is banned for the same reason (fetchdf -> float64/object
+    depending on scale, unlike Spark's exact Decimal)."""
+    types = duck.execute(f"DESCRIBE {ALL_ORACLES[name]}").fetchall()
+    bad = [
+        (col, typ)
+        for col, typ, *_ in types
+        if "HUGEINT" in typ.upper()
+    ]
+    assert not bad, f"{name}: oracle columns widen to HUGEINT: {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(set(ALL_NAMES) - set(ORACLE_NAMES)))
 def test_rows_only_queries_run(spark, name):
     """Queries without an oracle still must run and return rows."""
