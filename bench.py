@@ -122,6 +122,9 @@ HEADLINE = [
     "privacy_k_anonymity",
     "stream_watermark_flush",
     "map_surface_events",
+    # round-4 additions (appended; pre-existing names unchanged)
+    "layout_compact_invariance",
+    "stream_running_stats",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -139,6 +142,7 @@ PRESTAGE = [
     "sim_ivfpq_topk",
     "text_bpe_tokens",
     "cluster_embeddings",
+    "stream_running_stats",
 ]
 
 

@@ -106,6 +106,10 @@ from event_streaming_toy_example_spark.plans.queries_ext17 import (
     EXT17_ORACLES,
     EXT17_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext18 import (
+    EXT18_ORACLES,
+    EXT18_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -353,6 +357,16 @@ FAMILY_REP: dict[str, str] = {
     # the map complex-type surface joins the semi-structured family
     # (array/struct/VARIANT twins all map to existing reps)
     "map_surface_events": "json_props_stats",
+    # round 4: small-file compaction (third layout operator) — layout
+    # ops are local-measured (bucketing/Z-order have no driver rows);
+    # this one's row-content-invariance contract IS oracle-expressible,
+    # so it joins the partition-derivation family's rep in EXTENDED
+    "layout_compact_invariance": "pipe_hourly_partitions",
+    # round 4: transformWithStateInPandas (state-v2) unlocked by the
+    # protobuf fallback runtime + RocksDB provider — joins the
+    # stateful-streaming family, sharing the batch-aggregate oracle
+    # construction of its siblings
+    "stream_running_stats": "stream_session_stateful",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -374,6 +388,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT15_QUERIES,
     **EXT16_QUERIES,
     **EXT17_QUERIES,
+    **EXT18_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -395,6 +410,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT15_ORACLES,
     **EXT16_ORACLES,
     **EXT17_ORACLES,
+    **EXT18_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -754,6 +754,16 @@ def stage_once(build, key: str, sf_dir: str) -> str:
     )
 
 
+def await_or_raise(q, label: str, timeout: int = 300) -> None:
+    """Block until the streaming query finishes; a timed-out stream
+    would leave its memory sink partially filled, so raise instead of
+    letting the caller read incomplete rows (uniform contract for
+    every available-now memory-sink query in the catalog)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"{label} did not finish in {timeout} s")
+
+
 def stage_stream_input(df: DataFrame, key: str, sf_dir: str) -> str:
     """Materialize a streaming-source input dir once per
     (key, sf_dir, source-content) per machine: streaming demos need a
@@ -782,7 +792,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "stream_dedup")
     return spark.table(name).select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
@@ -826,7 +836,7 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "stream_hourly_counts")
     return spark.table(name).select(
         F.unix_micros(F.col("w.start")).alias("hour_start_us"),
         "event_type",

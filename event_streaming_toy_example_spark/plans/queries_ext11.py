@@ -23,6 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from event_streaming_toy_example_spark.plans.queries_ext import (
+    await_or_raise,
     stage_once,
     stage_stream_input,
 )
@@ -100,7 +101,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "stream_join_outer")
     return spark.table(name)
 
 

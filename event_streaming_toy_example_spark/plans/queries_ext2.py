@@ -95,6 +95,7 @@ def q_stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as the built-in session_window query.
     """
     from event_streaming_toy_example_spark.plans.queries_ext import (
+        await_or_raise,
         stage_stream_input,
     )
 
@@ -122,7 +123,7 @@ def q_stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "stream_session_stateful")
     return spark.table(name)
 
 

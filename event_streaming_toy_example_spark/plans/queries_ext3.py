@@ -187,6 +187,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
     from event_streaming_toy_example_spark.plans.queries_ext import (
+        await_or_raise,
         stage_stream_input,
     )
 
@@ -227,7 +228,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, "stream_stream_join")
     return spark.table(name)
 
 

@@ -43,6 +43,17 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
 
+    # state-v2 (transformWithStateInPandas) needs google.protobuf in
+    # the Python WORKERS, which inherit $PYTHONPATH from the JVM's
+    # environment — so the fallback-runtime discovery must run before
+    # the JVM starts.  Best-effort: sessions work fully without it,
+    # minus the state-v2 operators (their gate stays loud).
+    from event_streaming_toy_example_spark.streaming.stateful import (
+        ensure_state_v2_runtime,
+    )
+
+    ensure_state_v2_runtime()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

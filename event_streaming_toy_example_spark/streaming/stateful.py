@@ -17,6 +17,7 @@ per-group sort is bounded by a micro-batch's rows for that key.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Iterator
 from typing import Any
@@ -351,6 +352,72 @@ def daily_counts_watermark_flush(
 # transformWithStateInPandas (Spark 4 state-v2 API)
 # --------------------------------------------------------------------------
 
+#: Known locations of a pure-Python ``google.protobuf`` runtime to fall
+#: back on when the package is not pip-installed.  The Google Cloud SDK
+#: bundles one (public protobuf, BSD-licensed) under its App Engine
+#: tooling — a dev-container convenience only; production installs
+#: protobuf normally.  ``SPARK_GRAFT_PROTOBUF_PATH`` prepends a
+#: caller-supplied location.
+_PROTOBUF_FALLBACK_PATHS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_state_v2_runtime() -> bool:
+    """Make ``google.protobuf`` importable for the state-v2 Python
+    runner, returning whether it is available.
+
+    Besides the normal import this tries known fallback locations of a
+    pure-Python protobuf runtime, adding them to BOTH ``sys.path`` (this
+    process) and ``$PYTHONPATH`` (so Spark's Python *workers*, which the
+    JVM launches with the inherited environment, can import it too —
+    which is why callers that need workers to see it must run this
+    BEFORE the SparkSession's JVM starts; ``session.get_spark`` does).
+
+    The fallback runtime may trail pyspark's generated proto gencode by
+    a minor version (observed: runtime 6.32 vs gencode 6.33, which are
+    wire-compatible); protobuf's own documented escape hatch
+    ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` waives the strict
+    check for exactly that case.  The state-v2 integration test
+    (``tests/test_streaming.py``) exercises the full path end-to-end,
+    so an actually-incompatible runtime fails visibly there, not
+    silently."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    candidates = [
+        p
+        for p in (
+            os.environ.get("SPARK_GRAFT_PROTOBUF_PATH"),
+            *_PROTOBUF_FALLBACK_PATHS,
+        )
+        if p
+    ]
+    for cand in candidates:
+        if not os.path.isdir(os.path.join(cand, "google", "protobuf")):
+            continue
+        if cand not in sys.path:
+            sys.path.insert(0, cand)
+        existing = os.environ.get("PYTHONPATH", "")
+        if cand not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                cand + (os.pathsep + existing if existing else "")
+            )
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            continue
+    return False
+
+
 USER_STATS_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -397,16 +464,16 @@ def running_user_stats(
     # the state-v2 Python runner speaks protobuf to the JVM; fail at
     # plan-build time with a clear message instead of a mid-query
     # worker crash when the dependency is missing (this container
-    # ships pyspark without protobuf)
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:
+    # ships pyspark without protobuf — ensure_state_v2_runtime can
+    # discover a local pure-Python runtime as a fallback)
+    if not ensure_state_v2_runtime():
         raise RuntimeError(
             "running_user_stats requires transformWithStateInPandas, whose "
             "Python worker needs the 'protobuf' package (google.protobuf); "
-            "install protobuf, or use sessionize_stateful "
+            "install protobuf (or point SPARK_GRAFT_PROTOBUF_PATH at a "
+            "pure-Python runtime), or use sessionize_stateful "
             "(applyInPandasWithState) which has no such dependency."
-        ) from e
+        )
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

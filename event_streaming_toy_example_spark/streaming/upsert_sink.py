@@ -41,23 +41,59 @@ _PTR = "CURRENT"
 _LOG = "COMMITS"
 
 
-def _commit_log(state_dir: str) -> list[str]:
-    """Committed generation names, oldest first; only entries whose
-    directory still exists (older ones may be retention-pruned)."""
-    log = os.path.join(state_dir, _LOG)
-    if not os.path.exists(log):
-        return []
-    with open(log) as f:
-        gens = [line.strip() for line in f if line.strip()]
-    return [g for g in gens if os.path.isdir(os.path.join(state_dir, g))]
-
-
-def _current_gen(state_dir: str) -> str | None:
+def _pointer_name(state_dir: str) -> str | None:
+    """Raw generation name the pointer designates, or None.  The
+    atomic pointer swap IS the commit point — a generation is
+    committed iff the pointer has ever designated it."""
     ptr = os.path.join(state_dir, _PTR)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
         gen = f.read().strip()
+    return gen or None
+
+
+def _commit_log(state_dir: str) -> list[str]:
+    """Committed generation names, oldest first; only entries whose
+    directory still exists (older ones may be retention-pruned).
+
+    The pointer is the commit point and the log is appended AFTER the
+    swap, so a crash between the two leaves the newest commit out of
+    the log file — the union below makes that torn window invisible to
+    readers (time travel stays consistent with ``read_state(None)``),
+    and the next successful merge persists the missing entry
+    (``_heal_log``)."""
+    log = os.path.join(state_dir, _LOG)
+    gens: list[str] = []
+    if os.path.exists(log):
+        with open(log) as f:
+            gens = [line.strip() for line in f if line.strip()]
+    ptr = _pointer_name(state_dir)
+    if ptr is not None and ptr not in gens:
+        gens.append(ptr)
+    return [g for g in gens if os.path.isdir(os.path.join(state_dir, g))]
+
+
+def _heal_log(state_dir: str) -> None:
+    """Persist a pointer-committed generation the log file missed (a
+    crash landed between pointer swap and log append)."""
+    ptr = _pointer_name(state_dir)
+    if ptr is None:
+        return
+    log = os.path.join(state_dir, _LOG)
+    on_disk: list[str] = []
+    if os.path.exists(log):
+        with open(log) as f:
+            on_disk = [line.strip() for line in f if line.strip()]
+    if ptr not in on_disk:
+        with open(log, "a") as f:
+            f.write(ptr + "\n")
+
+
+def _current_gen(state_dir: str) -> str | None:
+    gen = _pointer_name(state_dir)
+    if gen is None:
+        return None
     path = os.path.join(state_dir, gen)
     return path if os.path.isdir(path) else None
 
@@ -93,6 +129,79 @@ def list_versions(state_dir: str) -> list[str]:
     return _commit_log(state_dir)
 
 
+def _swap_pointer(state_dir: str, gen: str) -> None:
+    """Atomic commit point: write-new + rename.  Module-level so
+    failure-injection tests can crash exactly here."""
+    tmp = os.path.join(state_dir, f".{_PTR}.tmp")
+    with open(tmp, "w") as f:
+        f.write(gen)
+    os.replace(tmp, os.path.join(state_dir, _PTR))
+
+
+def _append_log(state_dir: str, gen: str) -> None:
+    """Append the committed generation to the time-travel index.
+    Module-level so failure-injection tests can crash exactly here."""
+    with open(os.path.join(state_dir, _LOG), "a") as f:
+        f.write(gen + "\n")
+
+
+def apply_merge_batch(
+    spark: SparkSession,
+    state_dir: str,
+    batch_df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    keep_generations: int = 1,
+    batch_id: int = 0,
+) -> str:
+    """MERGE one batch into the snapshot and commit a new generation;
+    returns the committed generation name.
+
+    Crash-window contract (exercised by the failure-injection tests in
+    ``tests/test_upsert.py``):
+
+    - crash BETWEEN parquet write and pointer swap -> the pointer
+      still designates the previous generation, readers see the old
+      committed snapshot, and the orphan directory (in no log, never
+      pointed at) is pruned by a later successful commit;
+    - crash BETWEEN pointer swap and log append -> the pointer IS the
+      commit, readers see the new snapshot immediately, the log's
+      missing tail entry is reconstructed in-memory by ``_commit_log``
+      (time travel stays consistent) and persisted by the
+      ``_heal_log`` pass of the next merge;
+    - a REPLAYED batch re-merges into whatever state was committed —
+      newest-per-key of ``state ∪ same-rows`` is ``state``, so replay
+      converges to the same snapshot content.
+    """
+    _heal_log(state_dir)
+    state = read_state(spark, state_dir)
+    merged = (
+        upsert_snapshot(state, batch_df, keys, order_by)
+        if state is not None
+        else upsert_snapshot(batch_df.limit(0), batch_df, keys, order_by)
+    )
+    # every attempt writes a FRESH generation: a retried batch must
+    # never overwrite the directory its own read side is scanning
+    # (Spark deletes target files before the lazy read runs —
+    # overwrite-in-place guts the committed state).  Re-merging an
+    # already-applied batch is a semantic no-op (newest-per-key of
+    # state ∪ same-rows = state), so retry idempotence comes from
+    # the MERGE, and crash safety from write-new-then-swap.
+    gen = f"gen_{batch_id}_{uuid.uuid4().hex[:8]}"
+    out = os.path.join(state_dir, gen)
+    merged.write.mode("overwrite").parquet(out)
+    _swap_pointer(state_dir, gen)
+    _append_log(state_dir, gen)
+    # retention: keep the newest `keep_generations` committed
+    # snapshots readable (time travel), prune everything older —
+    # including orphan directories from crashes before the swap
+    keep = set(_commit_log(state_dir)[-keep_generations:]) | {gen}
+    for d in os.listdir(state_dir):
+        if d.startswith("gen_") and d not in keep:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+    return gen
+
+
 def start_upsert_stream(
     changes: DataFrame,
     state_dir: str,
@@ -115,36 +224,15 @@ def start_upsert_stream(
     spark = changes.sparkSession
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        state = read_state(spark, state_dir)
-        merged = (
-            upsert_snapshot(state, batch_df, keys, order_by)
-            if state is not None
-            else upsert_snapshot(
-                batch_df.limit(0), batch_df, keys, order_by
-            )
+        apply_merge_batch(
+            spark,
+            state_dir,
+            batch_df,
+            keys,
+            order_by,
+            keep_generations=keep_generations,
+            batch_id=batch_id,
         )
-        # every attempt writes a FRESH generation: a retried batch must
-        # never overwrite the directory its own read side is scanning
-        # (Spark deletes target files before the lazy read runs —
-        # overwrite-in-place guts the committed state).  Re-merging an
-        # already-applied batch is a semantic no-op (newest-per-key of
-        # state ∪ same-rows = state), so retry idempotence comes from
-        # the MERGE, and crash safety from write-new-then-swap.
-        gen = f"gen_{batch_id}_{uuid.uuid4().hex[:8]}"
-        out = os.path.join(state_dir, gen)
-        merged.write.mode("overwrite").parquet(out)
-        tmp = os.path.join(state_dir, f".{_PTR}.tmp")
-        with open(tmp, "w") as f:
-            f.write(gen)
-        os.replace(tmp, os.path.join(state_dir, _PTR))
-        with open(os.path.join(state_dir, _LOG), "a") as f:
-            f.write(gen + "\n")
-        # retention: keep the newest `keep_generations` committed
-        # snapshots readable (time travel), prune everything older
-        keep = set(_commit_log(state_dir)[-keep_generations:]) | {gen}
-        for d in os.listdir(state_dir):
-            if d.startswith("gen_") and d not in keep:
-                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
     writer = changes.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

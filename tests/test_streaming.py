@@ -298,44 +298,52 @@ def test_running_user_stats_gate_or_run(spark):
         "user_id bigint, ts_s string, value double",
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        has_protobuf = True
-    except ImportError:
-        has_protobuf = False
+    from event_streaming_toy_example_spark.streaming.stateful import (
+        ensure_state_v2_runtime,
+    )
 
-    if not has_protobuf:
+    if not ensure_state_v2_runtime():
         with pytest.raises(RuntimeError, match="protobuf"):
             running_user_stats(ev)
         return
 
+    import shutil
     import tempfile
 
     d = tempfile.mkdtemp()
     ev.write.mode("overwrite").parquet(d)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    stream = spark.readStream.schema(
-        "user_id bigint, ts timestamp, value double"
-    ).parquet(d)
-    name = f"tws_{uuid.uuid4().hex[:6]}"
-    q = (
-        running_user_stats(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = {
-        r.user_id: (r.n_events, r.sum_value_cc)
-        for r in spark.table(name).collect()
-    }
-    assert got == {1: (2, 375), 2: (1, 300)}
+    try:
+        stream = spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double"
+        ).parquet(d)
+        name = f"tws_{uuid.uuid4().hex[:6]}"
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            r.user_id: (r.n_events, r.sum_value_cc)
+            for r in spark.table(name).collect()
+        }
+        assert got == {1: (2, 375), 2: (1, 300)}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_upsert_sink_replay_and_checkpoint_idempotence(spark, tmp_path):
@@ -482,3 +490,73 @@ def test_upsert_sink_rejects_zero_retention(spark, tmp_path):
             order_by=["ts"],
             keep_generations=0,
         )
+
+
+def test_running_user_stats_multibatch_state_carries(spark, tmp_path):
+    """State must CARRY across micro-batches: two files processed as
+    two batches accumulate into one running total per user, and the
+    newest update row per user equals the all-data batch aggregate."""
+    import uuid
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.streaming.stateful import (
+        ensure_state_v2_runtime,
+        running_user_stats,
+    )
+
+    if not ensure_state_v2_runtime():
+        pytest.skip("no protobuf runtime available for state-v2")
+
+    def _ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id bigint, ts_s string, value double"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+
+    d = str(tmp_path / "in")
+    _ev([(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:30:00", 2.0)]
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+    _ev([(1, "2024-01-01 01:00:00", 4.0)]
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)  # force one batch per file
+            .parquet(d)
+        )
+        name = f"tws_mb_{uuid.uuid4().hex[:6]}"
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = spark.table(name).collect()
+        # user 1 appears in two batches -> two update rows, running
+        latest = {}
+        for r in rows:
+            cur = latest.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                latest[r.user_id] = (r.n_events, r.sum_value_cc, r.last_ts_us)
+        assert latest[1] == (2, 500, 1704070800000000)
+        assert latest[2] == (1, 200, 1704069000000000)
+        assert sum(1 for r in rows if r.user_id == 1) == 2
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
