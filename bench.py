@@ -125,6 +125,10 @@ HEADLINE = [
     # round-4 additions (appended; pre-existing names unchanged)
     "layout_compact_invariance",
     "stream_running_stats",
+    "timeseries_ohlc",
+    "source_orc_roundtrip",
+    "source_csv_malformed",
+    "graph_khop_reach",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -143,6 +147,8 @@ PRESTAGE = [
     "text_bpe_tokens",
     "cluster_embeddings",
     "stream_running_stats",
+    "source_orc_roundtrip",
+    "source_csv_malformed",
 ]
 
 

@@ -367,6 +367,16 @@ FAMILY_REP: dict[str, str] = {
     # stateful-streaming family, sharing the batch-aggregate oracle
     # construction of its siblings
     "stream_running_stats": "stream_session_stateful",
+    # round-4 second wave: OHLC bars are a scan+agg surface (min_by/
+    # max_by with a deterministic tie-break key); the ORC roundtrip is
+    # a FORMAT surface of the pipeline family whose parquet path the
+    # dedup-batch rep checks; CSV corrupt-row handling is the
+    # source-level sibling of the dead-letter rep; k-hop BFS joins the
+    # graph family
+    "timeseries_ohlc": "agg_pricing_summary",
+    "source_orc_roundtrip": "pipe_dedup_batch",
+    "source_csv_malformed": "pipe_deadletter_split",
+    "graph_khop_reach": "graph_pagerank_nations",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

@@ -171,12 +171,278 @@ FROM events GROUP BY user_id
 """
 
 
+# ------------------------------------------------- OHLC downsampling
+
+
+def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (event_type, day),
+    open/high/low/close of the value series plus the row count — the
+    resample operator every metrics/trading pipeline needs.
+
+    open/close use ``min_by``/``max_by`` (one hash aggregate, no window
+    and no second shuffle — the naive form is a row_number window PLUS
+    a groupBy).  The order key is a zero-padded sortable string of
+    ``(ts_us, event_id)`` so ties on the timestamp are broken
+    deterministically — ``min_by`` on a tied key is otherwise
+    partition-order dependent, which can never be hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    value_cc = F.round(F.col("value") * 100).cast("long")
+    okey = F.format_string(
+        "%020d|%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            value_cc.alias("value_cc"),
+            okey.alias("okey"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value_cc", "okey").alias("open_cc"),
+            F.max("value_cc").alias("high_cc"),
+            F.min("value_cc").alias("low_cc"),
+            F.max_by("value_cc", "okey").alias("close_cc"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+SQL_TIMESERIES_OHLC = """
+WITH pts AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(round(value * 100) AS BIGINT) AS value_cc,
+         printf('%020d|%020d', epoch_us(ts), event_id) AS okey
+  FROM events
+)
+SELECT event_type, day,
+       arg_min(value_cc, okey) AS open_cc,
+       CAST(max(value_cc) AS BIGINT) AS high_cc,
+       CAST(min(value_cc) AS BIGINT) AS low_cc,
+       arg_max(value_cc, okey) AS close_cc,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM pts GROUP BY event_type, day
+"""
+
+
+# ------------------------------------------------- ORC format roundtrip
+
+
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar store format: write the orders table
+    as ORC (zlib, Spark's columnar writer), read it back, aggregate.
+    The oracle computes the same aggregate from the parquet base table,
+    so the WHOLE roundtrip — type mapping, compression, reader — is
+    value-hash-checked (DuckDB cannot read ORC; it never needs to).
+
+    Staged once per (sf_dir, content): like any layout artifact the
+    conversion is pay-once; the measured query is the ORC scan."""
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_dir_once,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = stage_dir_once(
+        lambda tmp: orders.write.mode("overwrite").orc(tmp),
+        "orders_orc",
+        sf_dir,
+    )
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_price_cc"
+            ),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+SQL_SOURCE_ORC_ROUNDTRIP = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cc,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------- CSV with malformed rows
+
+
+def q_source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with corrupt-row handling: a staged CSV copy of
+    the orders keys with every 10th row deliberately mangled is read
+    in PERMISSIVE mode with ``columnNameOfCorruptRecord`` — the
+    malformed rows surface as typed NULLs + the raw line instead of
+    failing the scan or silently disappearing (the two failure modes
+    of naive ingestion).  Output: per-status counts + checksum of the
+    parsed keys; the oracle reconstructs both from the base table.
+
+    At scale this is the dead-letter pattern at the SOURCE level
+    (the pipeline-level DLQ twin is ``pipe_deadletter_split``)."""
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_dir_once,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _write_csv(tmp: str) -> None:
+        # every 10th key becomes a non-numeric token -> unparseable as
+        # BIGINT under the imposed schema
+        (
+            orders.select(
+                F.when(
+                    F.col("o_orderkey") % 10 == 0,
+                    F.concat(F.lit("BAD|"), F.col("o_orderkey")),
+                )
+                .otherwise(F.col("o_orderkey").cast("string"))
+                .alias("o_orderkey"),
+                F.col("o_custkey").cast("string"),
+            ).write.mode("overwrite").option("header", "false").csv(tmp)
+        )
+
+    path = stage_dir_once(_write_csv, "orders_csv_bad", sf_dir)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    # cache: PERMISSIVE corrupt-record columns may not be observed in
+    # isolation of the fields that failed to parse; aggregate once
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_parsed"),
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+SQL_SOURCE_CSV_MALFORMED = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_parsed,
+       CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_corrupt,
+       CAST(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_orderkey END)
+            AS BIGINT) AS key_sum
+FROM orders
+"""
+
+
+# ------------------------------------------------- k-hop reachability
+
+
+_KHOP_K = 3
+
+#: frontier seed: nations whose key is divisible by 5
+_KHOP_SEED_MOD = 5
+
+
+def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop reachability over the nation trade graph (the same
+    customer-nation -> supplier-nation edge list the PageRank entry
+    uses): BFS by k rounds of frontier ∪ edge equi-join + distinct.
+
+    Scale design: the frontier relation stays O(|nations|); each hop
+    is one equi-join against the (cached) edge list — the iterative
+    frontier-expansion shape of any distributed BFS.  k is a fixed
+    small constant so the loop unrolls into one DAG (no driver-side
+    convergence check needed, unlike PageRank's fixed-iteration loop
+    which the cache-per-iteration test pins)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = edges.persist()
+    frontier = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") % _KHOP_SEED_MOD == 0)
+        .distinct()
+        .withColumn("hop", F.lit(0))
+    )
+    reached = frontier
+    for hop in range(1, _KHOP_K + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("hop", F.lit(hop))
+        )
+        # keep the MINIMUM hop per node: drop nodes already reached
+        nxt = nxt.join(
+            reached.select("node"), "node", "left_anti"
+        )
+        reached = reached.unionByName(nxt)
+        frontier = nxt
+    out = reached.groupBy("hop").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node").alias("node_sum"),
+    )
+    rows = out.collect()  # bounded: <= k+1 rows
+    edges.unpersist()
+    return spark.createDataFrame(
+        [(r["hop"], r["n_nodes"], r["node_sum"]) for r in rows],
+        "hop int, n_nodes bigint, node_sum bigint",
+    )
+
+
+SQL_GRAPH_KHOP_REACH = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+), walk AS (
+  SELECT DISTINCT src AS node, 0 AS hop FROM edges
+  WHERE src % {_KHOP_SEED_MOD} = 0
+  UNION ALL
+  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON w.node = e.src
+  WHERE w.hop < {_KHOP_K}
+), best AS (
+  SELECT node, min(hop) AS hop FROM walk GROUP BY node
+)
+SELECT CAST(hop AS INT) AS hop,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM best GROUP BY hop
+"""
+
+
 EXT18_QUERIES = {
     "layout_compact_invariance": q_layout_compact_invariance,
     "stream_running_stats": q_stream_running_stats,
+    "timeseries_ohlc": q_timeseries_ohlc,
+    "source_orc_roundtrip": q_source_orc_roundtrip,
+    "source_csv_malformed": q_source_csv_malformed,
+    "graph_khop_reach": q_graph_khop_reach,
 }
 
 EXT18_ORACLES = {
     "layout_compact_invariance": SQL_LAYOUT_COMPACT_INVARIANCE,
     "stream_running_stats": SQL_STREAM_RUNNING_STATS,
+    "timeseries_ohlc": SQL_TIMESERIES_OHLC,
+    "source_orc_roundtrip": SQL_SOURCE_ORC_ROUNDTRIP,
+    "source_csv_malformed": SQL_SOURCE_CSV_MALFORMED,
+    "graph_khop_reach": SQL_GRAPH_KHOP_REACH,
 }

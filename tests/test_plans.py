@@ -113,6 +113,11 @@ EXPECT = {
     # single-materialization proof is the 2-InMemoryTableScan assert
     # in test_search_tf_cached_once
     "search_tfidf_topk": (4, 1),
+    # round 4 — OHLC bars: ONE hash aggregate (min_by/max_by carry
+    # open/close), never a window shuffle + groupBy pair
+    "timeseries_ohlc": (1, 0),
+    # ORC roundtrip: the group aggregate + countDistinct's expand pass
+    "source_orc_roundtrip": (2, 0),
 }
 
 
