@@ -125,6 +125,7 @@ HEADLINE = [
     # round-4 additions (appended; pre-existing names unchanged)
     "layout_compact_invariance",
     "stream_running_stats",
+    "mm_jpeg_progressive",
     "timeseries_ohlc",
     "source_orc_roundtrip",
     "source_csv_malformed",

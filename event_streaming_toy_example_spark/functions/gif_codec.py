@@ -13,13 +13,14 @@ Output is deterministic and byte-stable, which the oracle-checked
 catalog entries require; it trades ~12% size for never exercising the
 encoder-side dictionary.
 
-Scope (documented, asserted): GIF87a/89a, global color table,
-non-interlaced frames, no transparency.  Multi-frame streams are
-supported (``encode_gif_frames`` / ``decode_gif_frames`` — the real
-video-like frame-sampling substrate); interlaced frames and local
-color tables raise ``NotImplementedError`` with the unsupported
-feature named; truncated or corrupt streams raise ``ValueError``
-naming the offending structure.
+Scope (documented, asserted): GIF87a/89a; global AND local color
+tables (a frame's local table overrides the global one, and a stream
+with no global table is legal when every frame carries its own);
+interlaced frames (4-pass row order, decode and encode); no
+transparency.  Multi-frame streams are supported
+(``encode_gif_frames`` / ``decode_gif_frames`` — the real video-like
+frame-sampling substrate); truncated or corrupt streams raise
+``ValueError`` naming the offending structure.
 
 Codec boundary only — the Spark-side plumbing (Arrow batches,
 ``mapInPandas`` signatures, schemas) lives in
@@ -100,16 +101,45 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     return np.asarray(out, dtype=np.uint8)
 
 
+def _interlace_order(h: int) -> np.ndarray:
+    """Row storage order of a GIF interlaced image: four passes
+    starting at rows 0/4/2/1 with strides 8/8/4/2 (GIF89a spec
+    appendix E)."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
 def _decode_frame(
-    payload: bytes, pos: int, palette: np.ndarray, gct_len: int
+    payload: bytes, pos: int, palette: np.ndarray | None, gct_len: int
 ) -> tuple[np.ndarray, int]:
-    """Decode one image block starting at its descriptor body."""
+    """Decode one image block starting at its descriptor body.
+
+    ``palette`` is the global color table (None if the stream has
+    none); a local color table on the frame (descriptor bit 0x80)
+    overrides it, as the spec requires."""
     _left, _top, w, h, ipacked = _IMG.unpack_from(payload, pos)
     pos += _IMG.size
-    if ipacked & 0x80:
-        raise NotImplementedError("GIF local color tables not supported")
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF not supported")
+    if ipacked & 0x80:  # local color table overrides the global one
+        lct_len = 2 << (ipacked & 0x07)
+        lct_end = pos + 3 * lct_len
+        if len(payload) < lct_end:
+            raise ValueError("truncated GIF: local color table cut short")
+        palette = np.frombuffer(
+            payload, np.uint8, 3 * lct_len, pos
+        ).reshape(lct_len, 3)
+        gct_len = lct_len
+        pos = lct_end
+    if palette is None:
+        raise ValueError(
+            "corrupt GIF: frame has neither a local nor a global color table"
+        )
+    interlaced = bool(ipacked & 0x40)
     if w == 0 or h == 0:
         raise ValueError(f"corrupt GIF: zero image dimension {w}x{h}")
     if pos >= len(payload):
@@ -133,7 +163,12 @@ def _decode_frame(
     idx = _lzw_decode(b"".join(chunks), min_code_size, w * h)
     if int(idx.max(initial=0)) >= gct_len:
         raise ValueError("corrupt GIF: pixel index outside the color table")
-    return palette[idx].reshape(h, w, 3).copy(), pos
+    rows = idx.reshape(h, w)
+    if interlaced:
+        deinterlaced = np.empty_like(rows)
+        deinterlaced[_interlace_order(h)] = rows
+        rows = deinterlaced
+    return palette[rows].copy(), pos
 
 
 def decode_gif_frames(
@@ -151,16 +186,19 @@ def decode_gif_frames(
         raise ValueError(f"GIF too short: {len(payload)} bytes")
     _sw, _sh, packed, _bg, _aspect = _LSD.unpack_from(payload, 6)
     pos = 6 + _LSD.size
-    if not packed & 0x80:
-        raise NotImplementedError("GIF without a global color table")
-    gct_len = 2 << (packed & 0x07)
-    gct_end = pos + 3 * gct_len
-    if len(payload) < gct_end:
-        raise ValueError("truncated GIF: global color table cut short")
-    palette = np.frombuffer(payload, np.uint8, 3 * gct_len, pos).reshape(
-        gct_len, 3
-    )
-    pos = gct_end
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        gct_end = pos + 3 * gct_len
+        if len(payload) < gct_end:
+            raise ValueError("truncated GIF: global color table cut short")
+        palette = np.frombuffer(payload, np.uint8, 3 * gct_len, pos).reshape(
+            gct_len, 3
+        )
+        pos = gct_end
+    else:
+        # legal when every frame carries a local color table; the frame
+        # decoder raises if one has neither
+        palette, gct_len = None, 0
     frames: list[np.ndarray] = []
     while True:
         if pos >= len(payload):
@@ -240,41 +278,86 @@ def _literal_lzw_body(idx: np.ndarray) -> bytes:
     return bytes(body)
 
 
-def encode_gif_frames(frames: list[np.ndarray]) -> bytes:
+def _frame_palette(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(colors, indices) for one flattened (n, 3) pixel block."""
+    if (flat[:, 0] == flat[:, 1]).all() and (flat[:, 1] == flat[:, 2]).all():
+        vals = np.unique(flat[:, 0])
+        return np.repeat(vals[:, None], 3, axis=1), np.searchsorted(
+            vals, flat[:, 0]
+        )
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    return colors, inverse
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray],
+    interlace: bool = False,
+    local_tables: bool = False,
+) -> bytes:
     """Encode one or more frames (8-bit RGB (h, w, 3) or grayscale
-    (h, w), possibly different sizes) as a multi-frame GIF87a sharing
-    one global color table — the union of all frames' colors must fit
-    in 256 entries."""
+    (h, w), possibly different sizes) as a multi-frame GIF87a.
+
+    Default: one global color table — the union of all frames' colors
+    must fit in 256 entries.  ``local_tables=True`` gives every frame
+    its own 256-entry color table instead (no global table at all), so
+    an animation's total palette may exceed 256 as long as each frame
+    fits.  ``interlace=True`` stores each frame's rows in the 4-pass
+    GIF interlace order and sets the descriptor flag."""
     if not frames:
         raise ValueError("encode_gif_frames needs at least one frame")
     rgb = [_rgb(f) for f in frames]
     flats = [a.reshape(-1, 3) for a in rgb]
-    allpx = np.concatenate(flats, axis=0)
-    if (allpx[:, 0] == allpx[:, 1]).all() and (
-        allpx[:, 1] == allpx[:, 2]
-    ).all():
-        # grayscale fast path: unique over one uint8 channel instead of
-        # the row-sorting unique(axis=0) (~3x cheaper per call)
-        vals = np.unique(allpx[:, 0])
-        colors = np.repeat(vals[:, None], 3, axis=1)
-        idxs = [np.searchsorted(vals, f[:, 0]) for f in flats]
+    if local_tables:
+        per_frame = [_frame_palette(f) for f in flats]
+        for colors, _ in per_frame:
+            if len(colors) > 256:
+                raise ValueError(
+                    f"GIF frame needs <=256 distinct colors, got {len(colors)}"
+                )
+        idxs = [idx for _, idx in per_frame]
     else:
-        colors, inverse = np.unique(allpx, axis=0, return_inverse=True)
-        offsets = np.cumsum([len(f) for f in flats])[:-1]
-        idxs = np.split(inverse, offsets)
-    if len(colors) > 256:
-        raise ValueError(f"GIF needs <=256 distinct colors, got {len(colors)}")
-    palette = np.zeros((256, 3), dtype=np.uint8)
-    palette[: len(colors)] = colors
+        allpx = np.concatenate(flats, axis=0)
+        if (allpx[:, 0] == allpx[:, 1]).all() and (
+            allpx[:, 1] == allpx[:, 2]
+        ).all():
+            # grayscale fast path: unique over one uint8 channel instead
+            # of the row-sorting unique(axis=0) (~3x cheaper per call)
+            vals = np.unique(allpx[:, 0])
+            colors = np.repeat(vals[:, None], 3, axis=1)
+            idxs = [np.searchsorted(vals, f[:, 0]) for f in flats]
+        else:
+            colors, inverse = np.unique(allpx, axis=0, return_inverse=True)
+            offsets = np.cumsum([len(f) for f in flats])[:-1]
+            idxs = np.split(inverse, offsets)
+        if len(colors) > 256:
+            raise ValueError(
+                f"GIF needs <=256 distinct colors, got {len(colors)}"
+            )
+        palette = np.zeros((256, 3), dtype=np.uint8)
+        palette[: len(colors)] = colors
     # logical screen must contain every frame (conforming decoders
     # clip/reject images that extend past it)
     sw = max(a.shape[1] for a in rgb)
     sh = max(a.shape[0] for a in rgb)
-    parts = [b"GIF87a" + _LSD.pack(sw, sh, 0x80 | 0x07, 0, 0)]
-    parts.append(palette.tobytes())
-    for a, idx in zip(rgb, idxs):
+    lsd_packed = 0x07 if local_tables else (0x80 | 0x07)
+    parts = [b"GIF87a" + _LSD.pack(sw, sh, lsd_packed, 0, 0)]
+    if not local_tables:
+        parts.append(palette.tobytes())
+    for fi, (a, idx) in enumerate(zip(rgb, idxs)):
         h, w, _ = a.shape
-        parts.append(b"\x2c" + _IMG.pack(0, 0, w, h, 0))
+        ipacked = 0
+        if local_tables:
+            ipacked |= 0x80 | 0x07  # 256-entry local table
+        if interlace:
+            ipacked |= 0x40
+        parts.append(b"\x2c" + _IMG.pack(0, 0, w, h, ipacked))
+        if local_tables:
+            lct = np.zeros((256, 3), dtype=np.uint8)
+            colors_f = per_frame[fi][0]
+            lct[: len(colors_f)] = colors_f
+            parts.append(lct.tobytes())
+        if interlace:
+            idx = idx.reshape(h, w)[_interlace_order(h)].reshape(-1)
         parts.append(_literal_lzw_body(idx))
     parts.append(b"\x3b")
     return b"".join(parts)

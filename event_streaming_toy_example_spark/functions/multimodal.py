@@ -391,15 +391,22 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _ids_spread(df, id_col).mapInPandas(op, PNG_PAYLOAD_SCHEMA)
 
 
-def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_jpeg_payload(
+    df: DataFrame, id_col: str = "doc_id", progressive: bool = False
+) -> DataFrame:
     """JPEG twin of :func:`attach_png_payload`: a REAL (decodable)
-    baseline JFIF JPEG per row, dims derived arithmetically from the id
+    JFIF JPEG per row, dims derived arithmetically from the id
     — ``w = 14 + id % 34``, ``h = 7 + id % 17`` (a fourth moduli pair,
     so any codec mix-up fails the oracle).  JPEG is lossy, so unlike
     the PNG/BMP/GIF attachers the pixels don't round-trip exactly —
     but the decoded *dimensions* do, which is what the arithmetic SQL
     oracle checks; the wrap-free gradient keeps the pixel error bounded
-    (asserted in the codec tests)."""
+    (asserted in the codec tests).
+
+    ``progressive=True`` emits SOF2 multi-scan streams (the 10-scan
+    successive-approximation script) instead of baseline — same image,
+    same dims, so the SAME oracle verifies the progressive decode
+    path end-to-end."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -417,7 +424,14 @@ def attach_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 arr = ((2 * x + 3 * y + d + 10 * c) % 200 + 20).astype(
                     np.uint8
                 )
-                rows.append((d, jpeg_codec.encode_jpeg(arr, quality=92)))
+                rows.append(
+                    (
+                        d,
+                        jpeg_codec.encode_jpeg(
+                            arr, quality=92, progressive=progressive
+                        ),
+                    )
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return _ids_spread(df, id_col).mapInPandas(op, PNG_PAYLOAD_SCHEMA)

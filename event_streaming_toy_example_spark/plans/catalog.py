@@ -374,6 +374,10 @@ FAMILY_REP: dict[str, str] = {
     # source-level sibling of the dead-letter rep; k-hop BFS joins the
     # graph family
     "timeseries_ohlc": "agg_pricing_summary",
+    # progressive-JPEG (SOF2) decode twin of the mm family rep — same
+    # arithmetic-dims oracle over the 10-scan successive-approximation
+    # stream (round 4)
+    "mm_jpeg_progressive": "mm_jpeg_decode",
     "source_orc_roundtrip": "pipe_dedup_batch",
     "source_csv_malformed": "pipe_deadletter_split",
     "graph_khop_reach": "graph_pagerank_nations",

@@ -171,6 +171,38 @@ FROM events GROUP BY user_id
 """
 
 
+# ------------------------------------------------- progressive JPEG
+
+
+def q_mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG (SOF2) twin of ``mm_jpeg_decode``: the SAME
+    per-id image is encoded with the 10-scan successive-approximation
+    script and decoded through the full progressive path (DC/AC first
+    and refinement scans, EOBRUN, correction bits) — the arithmetic
+    dims oracle is identical, so a slip anywhere in the progressive
+    machinery fails the hash.  Codec: ``functions/jpeg_codec.py``
+    (round 4); pixel-identity with the baseline encoding is pinned in
+    ``tests/test_jpeg_codec.py``."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_jpeg_payload,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(
+        attach_jpeg_payload(docs, progressive=True), fake=False
+    )
+    return feats.select("doc_id", "width", "height")
+
+
+SQL_MM_JPEG_PROGRESSIVE = """
+SELECT doc_id,
+       CAST(14 + doc_id % 34 AS INT) AS width,
+       CAST(7 + doc_id % 17 AS INT) AS height
+FROM documents
+"""
+
+
 # ------------------------------------------------- OHLC downsampling
 
 
@@ -432,6 +464,7 @@ FROM best GROUP BY hop
 EXT18_QUERIES = {
     "layout_compact_invariance": q_layout_compact_invariance,
     "stream_running_stats": q_stream_running_stats,
+    "mm_jpeg_progressive": q_mm_jpeg_progressive,
     "timeseries_ohlc": q_timeseries_ohlc,
     "source_orc_roundtrip": q_source_orc_roundtrip,
     "source_csv_malformed": q_source_csv_malformed,
@@ -441,6 +474,7 @@ EXT18_QUERIES = {
 EXT18_ORACLES = {
     "layout_compact_invariance": SQL_LAYOUT_COMPACT_INVARIANCE,
     "stream_running_stats": SQL_STREAM_RUNNING_STATS,
+    "mm_jpeg_progressive": SQL_MM_JPEG_PROGRESSIVE,
     "timeseries_ohlc": SQL_TIMESERIES_OHLC,
     "source_orc_roundtrip": SQL_SOURCE_ORC_ROUNDTRIP,
     "source_csv_malformed": SQL_SOURCE_CSV_MALFORMED,

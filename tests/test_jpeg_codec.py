@@ -101,8 +101,8 @@ def test_rejects_non_jpeg_truncated_and_unsupported():
         decode_jpeg(data[:-30])
     bad = bytearray(data)
     i = bytes(bad).find(bytes([0xFF, 0xC0]))
-    bad[i + 1] = 0xC2  # pretend progressive
-    with pytest.raises(NotImplementedError, match="SOF0"):
+    bad[i + 1] = 0xC3  # pretend lossless sequential
+    with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(bad))
 
 
@@ -208,3 +208,103 @@ def test_extract_media_features_real_jpeg(spark):
         assert r["width"] == 14 + d % 34
         assert r["height"] == 7 + d % 17
         assert r["n_bytes"] == payload_sizes[d]
+
+
+# ----------------------------------------------- progressive (SOF2)
+
+
+def _color_grad(h, w):
+    y = np.arange(h)[:, None] + np.zeros((1, w), int)
+    x = np.arange(w)[None, :] + np.zeros((h, 1), int)
+    return np.stack(
+        [(3 * x + 2 * y) % 256, (x * 5) % 256, (y * 7) % 256], axis=2
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(8, 8), (17, 19), (64, 48)])
+@pytest.mark.parametrize("quality", [50, 90])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_decodes_pixel_identical_to_baseline(h, w, quality,
+                                                         subsample):
+    """The 10-scan progressive script carries exactly the same quantized
+    coefficients as the baseline encoding, so the decodes must be
+    PIXEL-IDENTICAL — any slip anywhere in the successive-approximation
+    chain (EOBRUN, ZRL, correction bits, DC refinement, non-interleaved
+    grids) breaks the equality."""
+    arr = _color_grad(h, w)
+    base = decode_jpeg(encode_jpeg(arr, quality=quality, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg(arr, quality=quality, subsample=subsample,
+                    progressive=True)
+    )
+    assert (base == prog).all()
+
+
+def test_progressive_noise_and_flat_images_identical():
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (33, 29, 3)).astype(np.uint8)
+    flat = np.full((24, 40, 3), 77, dtype=np.uint8)  # long EOB runs
+    for arr in (noise, flat):
+        b = decode_jpeg(encode_jpeg(arr, quality=90))
+        p = decode_jpeg(encode_jpeg(arr, quality=90, progressive=True))
+        assert (b == p).all()
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    data = encode_jpeg(_color_grad(16, 16), progressive=True)
+    assert bytes([0xFF, 0xC2]) in data  # SOF2
+    assert data.count(bytes([0xFF, 0xDA])) == 10  # the 10-scan script
+
+
+def test_progressive_truncation_raises():
+    data = encode_jpeg(_color_grad(32, 32), progressive=True)
+    for cut in (len(data) // 4, len(data) // 2, len(data) - 10):
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:cut])
+
+
+def test_progressive_rejects_restart_combination():
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(_color_grad(16, 16), progressive=True,
+                    restart_interval=4)
+
+
+def test_progressive_partial_scan_prefix_is_viewable():
+    """The point of progressive: a prefix of scans already renders a
+    coarse image.  Decode a stream truncated AT a scan boundary (keep
+    the first 5 scans + EOI) and check it approximates the full image."""
+    arr = _color_grad(48, 40)
+    data = bytearray(encode_jpeg(arr, quality=90, progressive=True))
+    # find the 6th SOS and cut there, appending EOI
+    offs = []
+    j = 0
+    while True:
+        j = bytes(data).find(bytes([0xFF, 0xDA]), j + 1)
+        if j < 0:
+            break
+        offs.append(j)
+    cut = bytes(data[: offs[5]]) + b"\xff\xd9"
+    coarse = decode_jpeg(cut)
+    full = decode_jpeg(bytes(data))
+    assert coarse.shape == full.shape
+    err = np.abs(coarse.astype(int) - full.astype(int)).mean()
+    assert 0 < err < 24, err  # coarse but recognizable
+
+
+def test_progressive_corrupt_payloads_raise_never_hang():
+    """Fuzz the progressive marker/scan machinery the same way the
+    baseline fuzz does: corruption decodes or raises loudly, never an
+    unrelated exception or a hang."""
+    rng = np.random.default_rng(5)
+    data = bytearray(
+        encode_jpeg(_color_grad(16, 16), quality=90, progressive=True)
+    )
+    for _ in range(600):
+        bad = bytearray(data)
+        for _ in range(rng.integers(1, 4)):
+            bad[rng.integers(2, len(bad))] = rng.integers(0, 256)
+        try:
+            out = decode_jpeg(bytes(bad))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
