@@ -212,6 +212,17 @@ def main() -> None:
             except Exception:
                 pass
         spark.catalog.clearCache()
+    from event_streaming_toy_example_spark.caching import release_caches
+
+    # Ingest is measured right after the tiny warm-up, BEFORE the
+    # target-SF pre-staging and the query loop: its number used to sit
+    # at the end and decayed with headline length purely from
+    # accumulated JVM/GC pressure (49.9k ev/s after 28 queries in one
+    # round, 27k after 76 in another, 44k after prestage moved in front
+    # of it in an early round-4 run — same code path every time).
+    # Position independence makes it comparable across rounds.
+    ingest = _ingest_throughput(spark)
+
     # artifact pre-staging at the TARGET SF: these entries build
     # stage_once artifacts (streaming input dirs, IVF/PQ centroids and
     # codebooks, KMeans centroids, BPE merge tables) keyed per
@@ -227,14 +238,6 @@ def main() -> None:
         except Exception:
             pass
     spark.catalog.clearCache()
-    from event_streaming_toy_example_spark.caching import release_caches
-
-    # Ingest is measured BEFORE the query loop: its number used to sit
-    # at the end and decayed with headline length purely from
-    # accumulated JVM/GC pressure (49.9k ev/s after 28 queries in one
-    # round, 27k after 76 in another — same code path).  Position
-    # independence makes it comparable across rounds.
-    ingest = _ingest_throughput(spark)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -542,12 +542,17 @@ def q_sim_ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_path = stage_once(
         lambda: train_ivf_centroids(embs, n_cells=16), "ivf_cent16", sf_dir
     )
+    # n_probe=8 (was 6): at sf0.1 one query's true neighbors spread
+    # over more cells and probe-6 recall fell to 2/5, below the 0.6
+    # contract floor — measured probe-8 minimum is 3/5 at BOTH sf0.01
+    # and sf0.1, so the contract holds across the driver's and the
+    # bench's scale factors (docs/PLANS.md round-4 notes)
     return ivf_topk(
         embs,
         embs.where(F.col("vec_id") < 5),
         k=5,
         n_cells=16,
-        n_probe=6,
+        n_probe=8,
         centroids=spark.read.parquet(cent_path),
     )
 
