@@ -130,6 +130,11 @@ HEADLINE = [
     "source_orc_roundtrip",
     "source_csv_malformed",
     "graph_khop_reach",
+    "stream_static_enrich",
+    "window_range_frame",
+    "sql_grouping_sets",
+    "join_null_safe",
+    "setop_union_by_name",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -150,6 +155,7 @@ PRESTAGE = [
     "stream_running_stats",
     "source_orc_roundtrip",
     "source_csv_malformed",
+    "stream_static_enrich",
 ]
 
 

@@ -110,6 +110,10 @@ from event_streaming_toy_example_spark.plans.queries_ext18 import (
     EXT18_ORACLES,
     EXT18_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext19 import (
+    EXT19_ORACLES,
+    EXT19_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -381,6 +385,16 @@ FAMILY_REP: dict[str, str] = {
     "source_orc_roundtrip": "pipe_dedup_batch",
     "source_csv_malformed": "pipe_deadletter_split",
     "graph_khop_reach": "graph_pagerank_nations",
+    # round-4 twelfth wave: the stream-static join is the third join
+    # topology of the streaming family; the RANGE frame joins the
+    # window family; GROUPING SETS is the general lattice the rollup
+    # rep abbreviates; the null-safe equi-join is an existence/join
+    # semantics surface; union-by-name is the schema-drift set-op
+    "stream_static_enrich": "stream_stream_join",
+    "window_range_frame": "window_top_orders",
+    "sql_grouping_sets": "rollup_lineitem",
+    "join_null_safe": "full_outer_type_days",
+    "setop_union_by_name": "setop_purchase_and_error_users",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -403,6 +417,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT16_QUERIES,
     **EXT17_QUERIES,
     **EXT18_QUERIES,
+    **EXT19_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -425,6 +440,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT16_ORACLES,
     **EXT17_ORACLES,
     **EXT18_ORACLES,
+    **EXT19_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

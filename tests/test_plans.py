@@ -118,7 +118,23 @@ EXPECT = {
     "timeseries_ohlc": (1, 0),
     # ORC roundtrip: the group aggregate + countDistinct's expand pass
     "source_orc_roundtrip": (2, 0),
+    # RANGE frame: the daily aggregate + the per-type window sort
+    "window_range_frame": (2, 0),
+    # null-safe equi-join: EqualNullSafe is an ordinary hash-join key —
+    # two group aggregates + a broadcast join at toy scale, NEVER a
+    # cartesian/nested-loop (asserted below)
+    "join_null_safe": (2, 1),
+    # union-by-name: pure scan-side projection alignment, no movement
+    "setop_union_by_name": (0, 0),
 }
+
+
+def test_null_safe_join_is_hash_join_never_cartesian(spark):
+    """EqualNullSafe must plan as an equi-join (hash/sort-merge or
+    broadcast-hash), not BroadcastNestedLoop/Cartesian — the null
+    bucket is just one more join key."""
+    plan, _, _ = _counts(ALL_QUERIES["join_null_safe"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
 
 
 def test_table_stats_single_scan(spark):
