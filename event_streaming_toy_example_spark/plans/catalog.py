@@ -114,6 +114,10 @@ from event_streaming_toy_example_spark.plans.queries_ext19 import (
     EXT19_ORACLES,
     EXT19_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext20 import (
+    EXT20_ORACLES,
+    EXT20_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -395,6 +399,28 @@ FAMILY_REP: dict[str, str] = {
     "sql_grouping_sets": "rollup_lineitem",
     "join_null_safe": "full_outer_type_days",
     "setop_union_by_name": "setop_purchase_and_error_users",
+    # round-4 thirteenth wave: the remaining twelve TPC-H shapes,
+    # completing the 22-query sweep.  Family mapping follows the tenth
+    # wave's rule — each query joins the family whose PRIMARY rep
+    # pins its core plan construction:
+    #   existence / correlated-EXISTS family:
+    "tpch_q4_order_priority": "anti_customers_without_orders",
+    "tpch_q20_promotion_suppliers": "anti_customers_without_orders",
+    #   pure scan+aggregate family:
+    "tpch_q6_forecast_revenue": "agg_pricing_summary",
+    #   broadcast star-join revenue-rollup family:
+    "tpch_q7_volume_shipping": "join_revenue_by_nation",
+    "tpch_q8_market_share": "join_revenue_by_nation",
+    "tpch_q9_product_profit": "join_revenue_by_nation",
+    "tpch_q12_late_priority": "join_revenue_by_nation",
+    "tpch_q19_disjunctive_revenue": "join_revenue_by_nation",
+    #   top-k ordering family (TakeOrderedAndProject tail):
+    "tpch_q10_returned_items": "window_top_orders",
+    #   global-scalar / decorrelated-subquery family:
+    "tpch_q11_important_stock": "orders_above_cust_avg",
+    "tpch_q15_top_supplier": "orders_above_cust_avg",
+    #   distinct-count family:
+    "tpch_q16_supplier_part_counts": "distinct_users_daily",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -418,6 +444,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT17_QUERIES,
     **EXT18_QUERIES,
     **EXT19_QUERIES,
+    **EXT20_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -441,6 +468,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT17_ORACLES,
     **EXT18_ORACLES,
     **EXT19_ORACLES,
+    **EXT20_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {
