@@ -135,6 +135,19 @@ HEADLINE = [
     "sql_grouping_sets",
     "join_null_safe",
     "setop_union_by_name",
+    # round-4 thirteenth wave: the remaining TPC-H shapes
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

@@ -126,6 +126,43 @@ EXPECT = {
     "join_null_safe": (2, 1),
     # union-by-name: pure scan-side projection alignment, no movement
     "setop_union_by_name": (0, 0),
+    # round-4 thirteenth wave (TPC-H sweep completion) — counts taken
+    # at the test SF where AQE broadcasts orders/customer; at warehouse
+    # SF those become shuffle joins by design (the dims that must
+    # ALWAYS broadcast — nation/region/supplier/part — are explicit
+    # F.broadcast hints in the queries):
+    # Q4: quarter-filtered orders ⋈ lineitem compound-condition semi
+    # (broadcast at toy SF) + the priority aggregate
+    "tpch_q4_order_priority": (1, 1),
+    # Q6: the pure scan-aggregate — one partial+final exchange, no joins
+    "tpch_q6_forecast_revenue": (1, 0),
+    # Q7: both dimension chains broadcast; one volume aggregate
+    "tpch_q7_volume_shipping": (1, 5),
+    # Q8: the lineitem ⋈ orders big-big pair + the year aggregate
+    "tpch_q8_market_share": (3, 5),
+    # Q9: part + supplier chains broadcast; one profit aggregate
+    "tpch_q9_product_profit": (1, 3),
+    # Q10: revenue aggregate feeding TakeOrderedAndProject (asserted
+    # separately), dims broadcast
+    "tpch_q10_returned_items": (1, 3),
+    # Q11: per-part value agg + global-total agg + the single-row
+    # broadcast threshold probe (BroadcastNestedLoopJoin on ONE row —
+    # the Q22 scalar construction, not a data-sized cartesian)
+    "tpch_q11_important_stock": (3, 3),
+    # Q12: the late-line ⋈ orders join (broadcast at toy SF) + the
+    # linestatus aggregate
+    "tpch_q12_late_priority": (1, 1),
+    # Q15: quarter revenue agg + its own max agg + the tie-keeping
+    # filter join; supplier dim broadcasts
+    "tpch_q15_top_supplier": (3, 2),
+    # Q16: anti join against the excluded-supplier set (broadcast) +
+    # the distinct-count expand pair
+    "tpch_q16_supplier_part_counts": (2, 2),
+    # Q19: ONE broadcast hash join keyed on partkey with the
+    # three-branch OR as residual (asserted separately) + final agg
+    "tpch_q19_disjunctive_revenue": (1, 1),
+    # Q20: per-(supp,part) qty aggregate + two broadcast semi-joins
+    "tpch_q20_promotion_suppliers": (1, 2),
 }
 
 
@@ -135,6 +172,30 @@ def test_null_safe_join_is_hash_join_never_cartesian(spark):
     bucket is just one more join key."""
     plan, _, _ = _counts(ALL_QUERIES["join_null_safe"](spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_q19_keeps_equi_key_out_of_disjunction(spark):
+    """Q19's OR-of-conjuncts spans both join sides; the planner must
+    still join on the partkey EQUALITY (hash join) and evaluate the
+    three-branch OR as a residual — never demote to nested-loop over
+    the disjunction."""
+    plan, _, _ = _counts(
+        ALL_QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoop" not in plan
+    ), plan
+
+
+def test_q10_topk_uses_take_ordered(spark):
+    """Q10's top-20 must be partition-local heaps + driver merge
+    (TakeOrderedAndProject), never a global sort of all customers."""
+    plan, _, _ = _counts(
+        ALL_QUERIES["tpch_q10_returned_items"](spark, SF_DIR)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_table_stats_single_scan(spark):
