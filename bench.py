@@ -148,6 +148,9 @@ HEADLINE = [
     "tpch_q16_supplier_part_counts",
     "tpch_q19_disjunctive_revenue",
     "tpch_q20_promotion_suppliers",
+    # round-4 fourteenth wave: chunking + segment dedup/rebuild
+    "text_chunk_windows",
+    "dedup_segments_rebuild",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

@@ -118,6 +118,10 @@ from event_streaming_toy_example_spark.plans.queries_ext20 import (
     EXT20_ORACLES,
     EXT20_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext21 import (
+    EXT21_ORACLES,
+    EXT21_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -421,6 +425,11 @@ FAMILY_REP: dict[str, str] = {
     "tpch_q15_top_supplier": "orders_above_cust_avg",
     #   distinct-count family:
     "tpch_q16_supplier_part_counts": "distinct_users_daily",
+    # round-4 fourteenth wave: chunking cuts WITHIN docs for training
+    # contexts (curation-stage family); segment dedup+rebuild is the
+    # reassembling sibling of the span-dedup window machinery
+    "text_chunk_windows": "curate_sample_scrub",
+    "dedup_segments_rebuild": "dedup_ngram_jaccard",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -445,6 +454,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT18_QUERIES,
     **EXT19_QUERIES,
     **EXT20_QUERIES,
+    **EXT21_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -469,6 +479,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT18_ORACLES,
     **EXT19_ORACLES,
     **EXT20_ORACLES,
+    **EXT21_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

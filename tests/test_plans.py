@@ -163,6 +163,14 @@ EXPECT = {
     "tpch_q19_disjunctive_revenue": (1, 1),
     # Q20: per-(supp,part) qty aggregate + two broadcast semi-joins
     "tpch_q20_promotion_suppliers": (1, 2),
+    # fourteenth wave — chunking is scan -> project -> explode: NO
+    # data movement at any scale
+    "text_chunk_windows": (0, 0),
+    # segment dedup+rebuild: the md5-keyed frequency aggregate, the
+    # per-doc totals aggregate, the rebuild aggregate, and the final
+    # doc-key join; the aggregated hot-segment set broadcasts at toy
+    # SF (SMJ on the hash key at cluster scale)
+    "dedup_segments_rebuild": (4, 2),
 }
 
 
