@@ -151,6 +151,9 @@ HEADLINE = [
     # round-4 fourteenth wave: chunking + segment dedup/rebuild
     "text_chunk_windows",
     "dedup_segments_rebuild",
+    # round-4 fifteenth wave: native XML + binaryFile sources
+    "source_xml_roundtrip",
+    "source_binaryfile_ingest",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -172,6 +175,8 @@ PRESTAGE = [
     "source_orc_roundtrip",
     "source_csv_malformed",
     "stream_static_enrich",
+    "source_xml_roundtrip",
+    "source_binaryfile_ingest",
 ]
 
 

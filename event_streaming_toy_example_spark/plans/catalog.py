@@ -122,6 +122,10 @@ from event_streaming_toy_example_spark.plans.queries_ext21 import (
     EXT21_ORACLES,
     EXT21_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext22 import (
+    EXT22_ORACLES,
+    EXT22_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -430,6 +434,11 @@ FAMILY_REP: dict[str, str] = {
     # reassembling sibling of the span-dedup window machinery
     "text_chunk_windows": "curate_sample_scrub",
     "dedup_segments_rebuild": "dedup_ngram_jaccard",
+    # round-4 fifteenth wave: native-XML roundtrip joins the FORMAT
+    # family of its ORC sibling; binaryFile ingestion is the raw-asset
+    # source feeding the multimodal decode family
+    "source_xml_roundtrip": "pipe_dedup_batch",
+    "source_binaryfile_ingest": "mm_jpeg_decode",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -455,6 +464,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT19_QUERIES,
     **EXT20_QUERIES,
     **EXT21_QUERIES,
+    **EXT22_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -480,6 +490,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT19_ORACLES,
     **EXT20_ORACLES,
     **EXT21_ORACLES,
+    **EXT22_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -171,6 +171,11 @@ EXPECT = {
     # doc-key join; the aggregated hot-segment set broadcasts at toy
     # SF (SMJ on the hash key at cluster scale)
     "dedup_segments_rebuild": (4, 2),
+    # fifteenth wave — XML roundtrip: group aggregate + countDistinct
+    # expand (same pair as its ORC sibling); binaryFile ingest: the
+    # checksum fold rides the file scan, zero movement
+    "source_xml_roundtrip": (2, 0),
+    "source_binaryfile_ingest": (0, 0),
 }
 
 
