@@ -154,6 +154,9 @@ HEADLINE = [
     # round-4 fifteenth wave: native XML + binaryFile sources
     "source_xml_roundtrip",
     "source_binaryfile_ingest",
+    # round-4 sixteenth wave: join-IVM + streaming Python source
+    "ivm_join_delta",
+    "pysource_stream_agg",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -177,6 +180,7 @@ PRESTAGE = [
     "stream_static_enrich",
     "source_xml_roundtrip",
     "source_binaryfile_ingest",
+    "ivm_join_delta",
 ]
 
 

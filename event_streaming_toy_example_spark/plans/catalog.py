@@ -126,6 +126,10 @@ from event_streaming_toy_example_spark.plans.queries_ext22 import (
     EXT22_ORACLES,
     EXT22_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext23 import (
+    EXT23_ORACLES,
+    EXT23_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -439,6 +443,11 @@ FAMILY_REP: dict[str, str] = {
     # source feeding the multimodal decode family
     "source_xml_roundtrip": "pipe_dedup_batch",
     "source_binaryfile_ingest": "mm_jpeg_decode",
+    # round-4 sixteenth wave: join-IVM joins the partial-aggregate
+    # maintenance family; the streaming Python source is the second
+    # registration surface of the synthetic-generator family
+    "ivm_join_delta": "agg_pricing_summary",
+    "pysource_stream_agg": "gen_events_profile",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -465,6 +474,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT20_QUERIES,
     **EXT21_QUERIES,
     **EXT22_QUERIES,
+    **EXT23_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -491,6 +501,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT20_ORACLES,
     **EXT21_ORACLES,
     **EXT22_ORACLES,
+    **EXT23_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

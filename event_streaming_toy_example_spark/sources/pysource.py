@@ -77,6 +77,77 @@ def register_sensor_source(spark: SparkSession) -> None:
     spark.dataSource.register(SensorDataSource)
 
 
+# ----------------------------------------------- streaming variant
+
+try:  # SimpleDataSourceStreamReader: Spark 4 streaming half of the API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - older runtime
+    SimpleDataSourceStreamReader = None  # type: ignore[assignment]
+
+
+if SimpleDataSourceStreamReader is not None:
+
+    class SensorStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked micro-batch delivery of the same
+        deterministic generator: offsets are plain row counts, each
+        ``read`` advances by ``step`` until ``total`` rows have been
+        emitted, and ``readBetweenOffsets`` replays any committed
+        range exactly — the contract a custom protocol reader must
+        honor for exactly-once recovery."""
+
+        def __init__(self, options: dict) -> None:
+            self.total = int(options.get("total", "8000"))
+            self.step = int(options.get("step", "1500"))
+
+        def initialOffset(self) -> dict:
+            return {"offset": 0}
+
+        def read(self, start: dict):
+            s = int(start["offset"])
+            if s >= self.total:
+                return iter([]), start
+            e = min(s + self.step, self.total)
+            return self._rows(s, e), {"offset": e}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._rows(int(start["offset"]), int(end["offset"]))
+
+        @staticmethod
+        def _rows(s: int, e: int):
+            # a LIST, not a generator: the simple-reader API prefetches
+            # rows driver-side and pickles them to executors
+            return [
+                (rid, rid % 97, (rid * 37) % 200 - 50)
+                for rid in range(s, e)
+            ]
+
+    class SensorStreamDataSource(DataSource):
+        """``spark.readStream.format("synthetic_sensor_stream")`` —
+        options: ``total`` (rows before the stream idles), ``step``
+        (rows per micro-batch)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_sensor_stream"
+
+        def schema(self) -> str:
+            return SENSOR_SCHEMA
+
+        def simpleStreamReader(self, schema) -> "SensorStreamReader":
+            return SensorStreamReader(self.options)
+
+
+def register_sensor_stream_source(spark: SparkSession) -> None:
+    """Idempotent registration of the streaming format; raises a named
+    error if the runtime lacks the streaming half of the API."""
+    if SimpleDataSourceStreamReader is None:  # pragma: no cover
+        raise NotImplementedError(
+            "pyspark.sql.datasource.SimpleDataSourceStreamReader "
+            "unavailable in this runtime"
+        )
+    spark.dataSource.register(SensorStreamDataSource)
+
+
 def read_sensors(
     spark: SparkSession, partitions: int = 8, rows_per_partition: int = _ROWS_PER_PART
 ) -> DataFrame:

@@ -176,6 +176,11 @@ EXPECT = {
     # checksum fold rides the file scan, zero movement
     "source_xml_roundtrip": (2, 0),
     "source_binaryfile_ingest": (0, 0),
+    # sixteenth wave — join-IVM: three delta-term aggregates (the
+    # customer side broadcasts into each) + the O(groups) merge; the
+    # staged prior contributes a tiny parquet scan, never a rescan of
+    # history
+    "ivm_join_delta": (4, 3),
 }
 
 
