@@ -157,6 +157,8 @@ HEADLINE = [
     # round-4 sixteenth wave: join-IVM + streaming Python source
     "ivm_join_delta",
     "pysource_stream_agg",
+    # round-4 seventeenth wave: cogrouped-map as-of merge
+    "cogroup_asof_counts",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

@@ -130,6 +130,10 @@ from event_streaming_toy_example_spark.plans.queries_ext23 import (
     EXT23_ORACLES,
     EXT23_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext24 import (
+    EXT24_ORACLES,
+    EXT24_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -448,6 +452,9 @@ FAMILY_REP: dict[str, str] = {
     # registration surface of the synthetic-generator family
     "ivm_join_delta": "agg_pricing_summary",
     "pysource_stream_agg": "gen_events_profile",
+    # round-4 seventeenth wave: the cogrouped-map API is the pandas
+    # twin of the join-based as-of rep
+    "cogroup_asof_counts": "asof_last_event_before_order",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -475,6 +482,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT21_QUERIES,
     **EXT22_QUERIES,
     **EXT23_QUERIES,
+    **EXT24_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -502,6 +510,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT21_ORACLES,
     **EXT22_ORACLES,
     **EXT23_ORACLES,
+    **EXT24_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -1,0 +1,90 @@
+"""Round-4 additions (seventeenth wave): the cogrouped-map API
+surface — ``groupBy().cogroup().applyInPandas``.
+
+``cogroup_asof_counts`` merges two keyed relations per key in one
+Arrow-batched Python function: for every order, how many of the same
+user's events happened at or before the order date (the classic
+as-of/merge-asof shape, computed with one ``np.searchsorted`` per
+key over the sorted event timestamps).  This is the ONLY grouped API
+that hands BOTH sides of a key to user code at once — the pandas twin
+of the join-based ``asof_last_event_before_order`` rep, covering the
+API the way ``zscore_grouped_map`` covers grouped-map.
+
+Timestamps compare as exact epoch microseconds on both engines, so
+the boundary (``ts <= orderdate``) cannot wobble.
+
+Scale notes (100 TB): cogroup shuffles both sides by the key once
+(same movement as a shuffle join) and streams each key's two Arrow
+batches through Python — the right tool when per-key logic genuinely
+needs both relations materialized (complex reconciliation, per-entity
+merges); when a join can express it, the join is the fast path (the
+rep entry demonstrates exactly that).  Per-key work here is
+O(E log E + O log E), vectorized numpy.
+
+Reference parity: no analogue — engine-surface extension (SURVEY
+§2.8), like the grouped-map and grouped-agg twins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.schemas import load_table
+
+
+def _asof_counts(odf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+    ts = np.sort(edf["ts_us"].to_numpy(dtype=np.int64))
+    out = pd.DataFrame(
+        {
+            "o_orderkey": odf["o_orderkey"].to_numpy(dtype=np.int64),
+            "n_events_before": np.searchsorted(
+                ts, odf["od_us"].to_numpy(dtype=np.int64), side="right"
+            ).astype(np.int64),
+        }
+    )
+    return out
+
+
+def q_cogroup_asof_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per order: count of the user's events at or before the order
+    date, via a cogrouped pandas merge (see module docstring).  Users
+    with no events cogroup against an empty frame -> count 0."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros("o_orderdate").alias("od_us"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(
+            _asof_counts, "o_orderkey long, n_events_before long"
+        )
+    )
+
+
+SQL_COGROUP_ASOF_COUNTS = """
+SELECT o.o_orderkey,
+       CAST((SELECT count(*) FROM events e
+             WHERE e.user_id = o.o_custkey
+               AND e.ts <= o.o_orderdate) AS BIGINT) AS n_events_before
+FROM orders o
+"""
+
+# ------------------------------------------------------------ exports
+
+EXT24_QUERIES = {
+    "cogroup_asof_counts": q_cogroup_asof_counts,
+}
+
+EXT24_ORACLES = {
+    "cogroup_asof_counts": SQL_COGROUP_ASOF_COUNTS,
+}

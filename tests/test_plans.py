@@ -181,6 +181,9 @@ EXPECT = {
     # staged prior contributes a tiny parquet scan, never a rescan of
     # history
     "ivm_join_delta": (4, 3),
+    # seventeenth wave — cogroup: exactly the two key shuffles a
+    # shuffle join would pay (one per side), then per-key Arrow batches
+    "cogroup_asof_counts": (2, 0),
 }
 
 
