@@ -57,22 +57,24 @@ _CHUNK_W = 32  # window (chunk) size, tokens
 _CHUNK_S = 24  # stride; overlap = W - S = 8 tokens
 
 
-def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping W-token training chunks on an S-token stride; the
-    final chunk of a doc may be short (kept — training pipelines pad
-    it).  Chunk starts are 1, 1+S, 1+2S, ... while <= n_tokens, so a
-    doc shorter than W still yields its one (short) chunk."""
-    docs = load_table(spark, sf_dir, "documents")
+def chunk_windows(
+    docs: DataFrame, w: int = _CHUNK_W, s: int = _CHUNK_S
+) -> DataFrame:
+    """Overlapping w-token chunks on an s-token stride over any
+    (doc_id, text) frame; the final chunk of a doc may be short
+    (kept — training pipelines pad it).  Chunk starts are 1, 1+s,
+    1+2s, ... while <= n_tokens, so a doc shorter than w still yields
+    its one (short) chunk."""
     tok = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("w")
     )
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(_CHUNK_S)
+        F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(s)
     )
     chunked = tok.select(
         "doc_id",
         F.posexplode(
-            F.transform(starts, lambda i: F.slice(F.col("w"), i, _CHUNK_W))
+            F.transform(starts, lambda i: F.slice(F.col("w"), i, w))
         ).alias("chunk_idx", "toks"),
     )
     return chunked.select(
@@ -81,6 +83,11 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("toks", " ").alias("chunk_text"),
         F.size("toks").cast("long").alias("n_tokens"),
     )
+
+
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: :func:`chunk_windows` over the documents table."""
+    return chunk_windows(load_table(spark, sf_dir, "documents"))
 
 
 SQL_TEXT_CHUNK_WINDOWS = f"""
@@ -99,20 +106,20 @@ _SEG_L = 4  # segment length, tokens
 _SEG_K = 2  # drop segments present in >= K distinct docs
 
 
-def q_dedup_segments_rebuild(
-    spark: SparkSession, sf_dir: str
+def segments_rebuild(
+    docs: DataFrame, seg_len: int = _SEG_L, k: int = _SEG_K
 ) -> DataFrame:
-    """Corpus-frequency segment dedup with reassembly: consecutive
-    L-token segments; any segment text appearing in >= K distinct
-    documents is dropped everywhere; survivors rejoin in order.  Docs
-    that lose every segment still appear (empty ``kept_text``) so the
-    output is a full corpus snapshot, not a filtered view."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Corpus-frequency segment dedup with reassembly over any
+    (doc_id, text) frame: consecutive seg_len-token segments; any
+    segment text appearing in >= k distinct documents is dropped
+    everywhere; survivors rejoin in order.  Docs that lose every
+    segment still appear (empty ``kept_text``) so the output is a
+    full corpus snapshot, not a filtered view."""
     tok = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("w")
     )
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(_SEG_L)
+        F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(seg_len)
     )
     seg = tok.select(
         "doc_id",
@@ -120,7 +127,7 @@ def q_dedup_segments_rebuild(
             F.transform(
                 starts,
                 lambda i: F.array_join(
-                    F.slice(F.col("w"), i, _SEG_L), " "
+                    F.slice(F.col("w"), i, seg_len), " "
                 ),
             )
         ).alias("seg_idx", "seg_text"),
@@ -130,7 +137,7 @@ def q_dedup_segments_rebuild(
     hot = (
         seg.groupBy(F.md5("seg_text").alias("h"))
         .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= _SEG_K)
+        .where(F.col("nd") >= k)
         .select("h")
     )
     kept = seg.join(
@@ -161,6 +168,14 @@ def q_dedup_segments_rebuild(
             F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
         )
     )
+
+
+def q_dedup_segments_rebuild(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog entry: :func:`segments_rebuild` over the documents
+    table."""
+    return segments_rebuild(load_table(spark, sf_dir, "documents"))
 
 
 SQL_DEDUP_SEGMENTS_REBUILD = f"""

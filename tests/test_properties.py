@@ -207,3 +207,96 @@ def test_incremental_dedup_invariants_property(spark, pairs):
         assert r.fingerprint not in prior_fps
         assert r.doc_id == min_id[r.fingerprint]
     assert set(fps) == {fp for fp in min_id if fp not in prior_fps}
+
+
+# word pool mirrors the synthetic corpus's style: lowercase words that
+# survive normalize_text unchanged
+_WORDS = ["key", "agg", "row", "scan", "slow", "fast", "table", "value"]
+
+
+def _model_tokens(text: str) -> list[str]:
+    import re
+
+    t = re.sub(r"[^a-z0-9\s]", "", text.lower())
+    return [w for w in re.split(r"\s+", t) if w]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=60),
+        min_size=8,
+        max_size=8,
+    )
+)
+def test_chunk_windows_reconstruct_property(spark, docs):
+    """For arbitrary token streams: chunks tile the doc on the stride
+    (chunk i starts at token i*S), each chunk is <= W tokens, and
+    dropping the first W-S overlap tokens of every chunk after the
+    first reconstructs the original stream exactly."""
+    from event_streaming_toy_example_spark.plans.queries_ext21 import (
+        chunk_windows,
+    )
+
+    W, S = 7, 5  # small window/stride so properties bite on short docs
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_windows(df, w=W, s=S).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    for i, ws in enumerate(rows):
+        toks = _model_tokens(rows[i][1])
+        chunks = by_doc[i]
+        # starts: 1, 1+S, ... <= n  ->  floor((n-1)/S)+1 chunks
+        n_expected = (len(toks) - 1) // S + 1
+        assert sorted(chunks) == list(range(n_expected))
+        rebuilt = []
+        for ci in range(n_expected):
+            ctoks = chunks[ci].chunk_text.split(" ")
+            assert chunks[ci].n_tokens == len(ctoks) <= W
+            assert ctoks == toks[ci * S : ci * S + W]
+            rebuilt.extend(ctoks if ci == 0 else ctoks[W - S :])
+        assert rebuilt == toks
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=24),
+        min_size=8,
+        max_size=8,
+    )
+)
+def test_segments_rebuild_model_property(spark, docs):
+    """For arbitrary corpora: kept_text equals the in-order
+    concatenation of exactly those segments present in fewer than K
+    distinct docs (pure-Python model), and n_kept + dropped ==
+    n_segments."""
+    from event_streaming_toy_example_spark.plans.queries_ext21 import (
+        segments_rebuild,
+    )
+
+    L, K = 3, 2
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in segments_rebuild(df, seg_len=L, k=K).collect()}
+
+    # model: segment every doc, count distinct docs per segment text
+    segs = {}
+    per_doc = {}
+    for i, _ in enumerate(rows):
+        toks = _model_tokens(rows[i][1])
+        parts = [
+            " ".join(toks[j : j + L]) for j in range(0, max(len(toks), 1), L)
+        ]
+        per_doc[i] = parts
+        for p in set(parts):
+            segs.setdefault(p, set()).add(i)
+    for i, parts in per_doc.items():
+        hot = {p for p in parts if len(segs[p]) >= K}
+        kept = [p for p in parts if p not in hot]
+        r = out[i]
+        assert r.n_segments == len(parts)
+        assert r.n_kept == len(kept)
+        assert r.kept_text == " ".join(kept)
