@@ -440,3 +440,31 @@ def test_ivfpq_recall_and_rerank(spark):
     )
     assert reranked >= 0.45, f"IVF-PQ recall@5 = {reranked:.2f}"
     assert reranked > raw_adc, (reranked, raw_adc)
+
+
+def test_sensor_stream_reader_offset_replay_contract():
+    """The streaming Python source's reader must advance offsets by
+    `step` up to `total`, go idle (same offset, no rows) at the end,
+    and replay any committed range exactly via readBetweenOffsets —
+    the recovery contract exactly-once depends on."""
+    from event_streaming_toy_example_spark.sources.pysource import (
+        SensorStreamReader,
+    )
+
+    r = SensorStreamReader({"total": "10", "step": "4"})
+    off0 = r.initialOffset()
+    rows1, off1 = r.read(off0)
+    rows2, off2 = r.read(off1)
+    rows3, off3 = r.read(off2)
+    assert [off0, off1, off2, off3] == [
+        {"offset": 0}, {"offset": 4}, {"offset": 8}, {"offset": 10}
+    ]
+    idle_rows, idle_off = r.read(off3)
+    assert list(idle_rows) == [] and idle_off == off3
+    all_rows = list(rows1) + list(rows2) + list(rows3)
+    assert [t[0] for t in all_rows] == list(range(10))
+    # replay of a committed range is byte-identical
+    assert list(r.readBetweenOffsets(off1, off2)) == list(rows2)
+    # and a fresh reader instance (post-restart) replays it too
+    r2 = SensorStreamReader({"total": "10", "step": "4"})
+    assert list(r2.readBetweenOffsets(off0, off3)) == all_rows
