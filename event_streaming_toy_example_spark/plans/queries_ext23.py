@@ -140,6 +140,7 @@ def q_pysource_stream_agg(
         .start()
     )
     try:
+        got = 0
         deadline = time.monotonic() + 300
         while time.monotonic() < deadline:
             q.processAllAvailable()
