@@ -157,8 +157,9 @@ HEADLINE = [
     # round-4 sixteenth wave: join-IVM + streaming Python source
     "ivm_join_delta",
     "pysource_stream_agg",
-    # round-4 seventeenth wave: cogrouped-map as-of merge
+    # round-4 seventeenth wave: cogrouped-map as-of merge + real resize
     "cogroup_asof_counts",
+    "mm_boxdown2",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

@@ -742,3 +742,46 @@ def extract_audio_dsp(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(op, AUDIO_DSP_SCHEMA)
+
+
+BOXDOWN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("out_w", T.LongType(), True),
+        T.StructField("out_h", T.LongType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+    ]
+)
+
+
+def extract_boxdown2(df: DataFrame) -> DataFrame:
+    """REAL image resize: exact 2x2 box downsample (integer floor-mean
+    of each 2x2 block, odd edge rows/cols dropped) over REAL decoded
+    pixels — the arithmetic resize kernel whose output the oracle can
+    reproduce exactly, unlike float bilinear.  Emits the downsampled
+    dimensions and the exact integer sum of all output samples, so a
+    wrong decode, wrong block alignment, or wrong rounding all fail
+    the value hash.  One Arrow batch pass, vectorized numpy reshape —
+    the same cost model as every real-decode op in this module."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload)).astype(np.int64)
+                h, w, _ = arr.shape
+                oh, ow = h // 2, w // 2
+                a = arr[: oh * 2, : ow * 2, :]
+                down = (
+                    a.reshape(oh, 2, ow, 2, 3).sum(axis=(1, 3)) // 4
+                )
+                rows.append(
+                    (int(doc_id), ow, oh, int(down.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BOXDOWN_SCHEMA.fields]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(op, BOXDOWN_SCHEMA)

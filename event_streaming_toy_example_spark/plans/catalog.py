@@ -455,6 +455,8 @@ FAMILY_REP: dict[str, str] = {
     # round-4 seventeenth wave: the cogrouped-map API is the pandas
     # twin of the join-based as-of rep
     "cogroup_asof_counts": "asof_last_event_before_order",
+    # real 2x2 box-downsample resize joins the real-decode family
+    "mm_boxdown2": "mm_jpeg_decode",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

@@ -118,3 +118,55 @@ EXT24_QUERIES = {
 EXT24_ORACLES = {
     "cogroup_asof_counts": SQL_COGROUP_ASOF_COUNTS,
 }
+
+
+# ------------------------------------------------ real resize kernel
+
+
+def q_mm_boxdown2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize over REAL decoded pixels: 2x2 integer box
+    downsample of the id-derived BMP images
+    (``functions/multimodal.py::extract_boxdown2``) — the upgrade of
+    the digest-based ``mm_resize`` plumbing twin to actual pixel
+    arithmetic the oracle reproduces exactly."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_bmp_payload,
+        extract_boxdown2,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_boxdown2(attach_bmp_payload(docs))
+
+
+# oracle: BMP pixel (y, x, c) = (2x + y + id + c) % 256 with
+# w = 12 + id % 40, h = 6 + id % 20 (attach_bmp_payload); the 2x2
+# floor-mean and the full output sum recompute arithmetically.
+SQL_MM_BOXDOWN2 = """
+WITH dims AS (
+  SELECT doc_id,
+         (12 + doc_id % 40) // 2 AS ow,
+         (6 + doc_id % 20) // 2 AS oh
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.ow, d.oh,
+         ((2 * (2 * xx) + (2 * yy) + d.doc_id + c) % 256
+          + (2 * (2 * xx + 1) + (2 * yy) + d.doc_id + c) % 256
+          + (2 * (2 * xx) + (2 * yy + 1) + d.doc_id + c) % 256
+          + (2 * (2 * xx + 1) + (2 * yy + 1) + d.doc_id + c) % 256
+         ) // 4 AS q
+  FROM dims d,
+       unnest(generate_series(0, d.oh - 1)) AS ty(yy),
+       unnest(generate_series(0, d.ow - 1)) AS tx(xx),
+       unnest(generate_series(0, 2)) AS tc(c)
+)
+SELECT doc_id,
+       CAST(ow AS BIGINT) AS out_w,
+       CAST(oh AS BIGINT) AS out_h,
+       CAST(sum(q) AS BIGINT) AS px_sum
+FROM px
+GROUP BY doc_id, ow, oh
+"""
+
+EXT24_QUERIES["mm_boxdown2"] = q_mm_boxdown2
+EXT24_ORACLES["mm_boxdown2"] = SQL_MM_BOXDOWN2

@@ -184,6 +184,9 @@ EXPECT = {
     # seventeenth wave — cogroup: exactly the two key shuffles a
     # shuffle join would pay (one per side), then per-key Arrow batches
     "cogroup_asof_counts": (2, 0),
+    # real 2x2 box downsample: the one exchange is the id spread
+    # (multimodal._ids_spread); pixel work is Arrow-batched, row-local
+    "mm_boxdown2": (1, 0),
 }
 
 
