@@ -160,6 +160,8 @@ HEADLINE = [
     # round-4 seventeenth wave: cogrouped-map as-of merge + real resize
     "cogroup_asof_counts",
     "mm_boxdown2",
+    # round-4 eighteenth wave: end-to-end entity resolution
+    "entity_resolution",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

@@ -134,6 +134,10 @@ from event_streaming_toy_example_spark.plans.queries_ext24 import (
     EXT24_ORACLES,
     EXT24_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext25 import (
+    EXT25_ORACLES,
+    EXT25_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -457,6 +461,10 @@ FAMILY_REP: dict[str, str] = {
     "cogroup_asof_counts": "asof_last_event_before_order",
     # real 2x2 box-downsample resize joins the real-decode family
     "mm_boxdown2": "mm_jpeg_decode",
+    # end-to-end ER composes the fuzzy-blocking family's rep with the
+    # components machinery; its oracle is an independent recursive-SQL
+    # closure, so the whole pipeline hash-checks as one relation
+    "entity_resolution": "match_fuzzy_names",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -485,6 +493,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT22_QUERIES,
     **EXT23_QUERIES,
     **EXT24_QUERIES,
+    **EXT25_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -513,6 +522,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT22_ORACLES,
     **EXT23_ORACLES,
     **EXT24_ORACLES,
+    **EXT25_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {
