@@ -162,6 +162,9 @@ HEADLINE = [
     "mm_boxdown2",
     # round-4 eighteenth wave: end-to-end entity resolution
     "entity_resolution",
+    # round-4 nineteenth wave: streaming session_window + param SQL
+    "stream_session_window",
+    "sql_parameterized",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -186,6 +189,7 @@ PRESTAGE = [
     "source_xml_roundtrip",
     "source_binaryfile_ingest",
     "ivm_join_delta",
+    "stream_session_window",
 ]
 
 

@@ -138,6 +138,10 @@ from event_streaming_toy_example_spark.plans.queries_ext25 import (
     EXT25_ORACLES,
     EXT25_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext26 import (
+    EXT26_ORACLES,
+    EXT26_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -465,6 +469,11 @@ FAMILY_REP: dict[str, str] = {
     # components machinery; its oracle is an independent recursive-SQL
     # closure, so the whole pipeline hash-checks as one relation
     "entity_resolution": "match_fuzzy_names",
+    # nineteenth wave: the engine-managed streaming session-window is
+    # the third sessionization surface; parameterized SQL is a
+    # SQL-string-API binding surface
+    "stream_session_window": "stream_session_stateful",
+    "sql_parameterized": "sql_shipping_priority",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -494,6 +503,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT23_QUERIES,
     **EXT24_QUERIES,
     **EXT25_QUERIES,
+    **EXT26_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -523,6 +533,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT23_ORACLES,
     **EXT24_ORACLES,
     **EXT25_ORACLES,
+    **EXT26_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {
