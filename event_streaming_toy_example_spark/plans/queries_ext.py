@@ -986,3 +986,29 @@ EXT_ORACLES = {
     "sim_lsh_topk": SQL_ANN_RECALL_CONTRACT,
     "sim_ivf_topk": SQL_ANN_RECALL_CONTRACT,
 }
+
+
+def stage_mtime_waves(waves, key: str, sf_dir: str) -> str:
+    """Stage a sequence of DataFrames as single-file parquet "waves"
+    with staggered modification times, so a file-source stream with
+    ``maxFilesPerTrigger=1`` (oldest-first by mtime) delivers them as
+    that many ordered micro-batches — the data-then-sentinel watermark
+    construction the streaming flush entries share.  Same
+    once-per-content contract as :func:`stage_dir_once`; the fragile
+    parts (mtime staggering, per-wave file bookkeeping) live HERE and
+    nowhere else."""
+    import glob as _glob
+
+    def build_dir(tmp: str) -> None:
+        seen: set[str] = set()
+        mode = "overwrite"
+        for i, wave in enumerate(waves):
+            wave.coalesce(1).write.mode(mode).parquet(tmp)
+            mode = "append"
+            new = set(_glob.glob(f"{tmp}/part-*")) - seen
+            base = os.path.getmtime(tmp)
+            for f in new:
+                os.utime(f, (base + 60 * i, base + 60 * i))
+            seen |= new
+
+    return stage_dir_once(build_dir, key, sf_dir)

@@ -863,40 +863,26 @@ def _stage_wm_input(spark: SparkSession, sf_dir: str) -> str:
     is ``stream_cep_pattern``'s job; this entry isolates the timeout
     mechanism, so the data travels in one batch and the per-group
     Python pass is paid once.  Same once-per-content contract as
-    ``stage_once``."""
-    import glob
-    import os
-
+    ``stage_once``; the wave/mtime mechanics live in the shared
+    ``stage_mtime_waves``."""
     from event_streaming_toy_example_spark.plans.queries_ext import (
-        stage_dir_once,
+        stage_mtime_waves,
     )
 
-    def build_dir(tmp: str) -> None:
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .where(F.col("user_id") < _WM_USER_CAP)
-            .select("user_id", "ts", "value")
-        )
-        far = ev.sparkSession.createDataFrame(
-            [(-1,)], "user_id long"
-        ).select(
-            "user_id",
-            F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
-            F.lit(0.0).alias("value"),
-        )
-        seen: set[str] = set()
-        mode = "overwrite"
-        for i, wave in enumerate([ev, far, far]):
-            wave.coalesce(1).write.mode(mode).parquet(tmp)
-            mode = "append"
-            new = set(glob.glob(f"{tmp}/part-*")) - seen
-            base = os.path.getmtime(tmp)
-            for f in new:
-                os.utime(f, (base + 60 * i, base + 60 * i))
-            seen |= new
-
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < _WM_USER_CAP)
+        .select("user_id", "ts", "value")
+    )
+    far = spark.createDataFrame([(-1,)], "user_id long").select(
+        "user_id",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
     # the cap changes the staged CONTENT, so it is part of the key
-    return stage_dir_once(build_dir, f"wmflush_u{_WM_USER_CAP}", sf_dir)
+    return stage_mtime_waves(
+        [ev, far, far], f"wmflush_u{_WM_USER_CAP}", sf_dir
+    )
 
 
 def q_stream_watermark_flush(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -140,7 +140,8 @@ def q_pysource_stream_agg(
         .start()
     )
     try:
-        got = 0
+        got = prev = 0
+        stalls = 0
         deadline = time.monotonic() + 300
         while time.monotonic() < deadline:
             q.processAllAvailable()
@@ -149,6 +150,17 @@ def q_pysource_stream_agg(
             )
             if got >= _STREAM_TOTAL:
                 break
+            # a source gone idle early would otherwise busy-spin the
+            # driver for the whole deadline: back off, and give up
+            # once the count stops advancing across several polls
+            stalls = stalls + 1 if got == prev else 0
+            if stalls >= 5:
+                raise TimeoutError(
+                    f"pysource stream stalled at {got}/"
+                    f"{_STREAM_TOTAL} rows"
+                )
+            prev = got
+            time.sleep(0.5)
         else:
             raise TimeoutError(
                 f"pysource stream ingested {got}/{_STREAM_TOTAL} rows"

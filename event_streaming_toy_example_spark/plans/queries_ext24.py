@@ -109,17 +109,6 @@ SELECT o.o_orderkey,
 FROM orders o
 """
 
-# ------------------------------------------------------------ exports
-
-EXT24_QUERIES = {
-    "cogroup_asof_counts": q_cogroup_asof_counts,
-}
-
-EXT24_ORACLES = {
-    "cogroup_asof_counts": SQL_COGROUP_ASOF_COUNTS,
-}
-
-
 # ------------------------------------------------ real resize kernel
 
 
@@ -168,5 +157,14 @@ FROM px
 GROUP BY doc_id, ow, oh
 """
 
-EXT24_QUERIES["mm_boxdown2"] = q_mm_boxdown2
-EXT24_ORACLES["mm_boxdown2"] = SQL_MM_BOXDOWN2
+# ------------------------------------------------------------ exports
+
+EXT24_QUERIES = {
+    "cogroup_asof_counts": q_cogroup_asof_counts,
+    "mm_boxdown2": q_mm_boxdown2,
+}
+
+EXT24_ORACLES = {
+    "cogroup_asof_counts": SQL_COGROUP_ASOF_COUNTS,
+    "mm_boxdown2": SQL_MM_BOXDOWN2,
+}

@@ -36,7 +36,21 @@ from event_streaming_toy_example_spark.schemas import load_table
 
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy pairs -> connected components -> canonical entities; see
-    module docstring."""
+    module docstring.
+
+    PLANTED cluster structure: the raw ``c_name`` values are
+    zero-padded serial numbers, whose Hamming-1 graph is one giant
+    component (verified: every customer collapses into a single entity
+    at every SF) — a degenerate instance where the hash could not
+    detect a broken blocking scheme or mislabeled components.  So the
+    entity names are DERIVED with known ground truth instead: members
+    of entity ``b = custkey // 3`` are named ``ent_{b}_{b}_{m}`` — the
+    doubled base makes any cross-entity distance >= 2 while
+    within-entity names differ by exactly the one member digit, so
+    edit-distance-1 clustering must recover exactly the 3-member
+    entities.  One dropped candidate pair splits an entity; one
+    spurious pair merges two — either flips the hash (the planted-
+    ground-truth construction of the PII-redaction entry)."""
     from event_streaming_toy_example_spark.functions.fuzzy import (
         fuzzy_match_pairs,
     )
@@ -45,8 +59,21 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = load_table(spark, sf_dir, "customer")
-    pairs = fuzzy_match_pairs(cust, "c_custkey", "c_name", max_dist=1)
-    nodes = cust.select(F.col("c_custkey").alias("id"))
+    base = (F.col("c_custkey") / 3).cast("long")
+    named = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.concat(
+            F.lit("ent_"),
+            base,
+            F.lit("_"),
+            base,
+            F.lit("_"),
+            F.col("c_custkey") % 3,
+        ).alias("ent_name"),
+    )
+    pairs = fuzzy_match_pairs(named, "c_custkey", "ent_name", max_dist=1)
+    nodes = named.select(F.col("c_custkey").alias("id"))
     labels = connected_components(
         pairs.select(
             F.col("a_key").alias("id_a"), F.col("b_key").alias("id_b")
@@ -55,7 +82,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bal_cc = F.round(F.col("c_acctbal") * 100).cast("long")
     return (
-        labels.join(cust, labels["id"] == cust["c_custkey"])
+        labels.join(named, labels["id"] == named["c_custkey"])
         .groupBy(F.col("label").alias("entity_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -66,12 +93,18 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ENTITY_RESOLUTION = """
-WITH RECURSIVE sym AS (
+WITH RECURSIVE named AS (
+  SELECT c_custkey, c_acctbal,
+         'ent_' || (c_custkey // 3) || '_' || (c_custkey // 3) || '_'
+                || (c_custkey % 3) AS ent_name
+  FROM customer
+),
+sym AS (
   SELECT a.c_custkey AS u, b.c_custkey AS v
-  FROM customer a JOIN customer b
+  FROM named a JOIN named b
     ON a.c_custkey <> b.c_custkey
-   AND abs(length(a.c_name) - length(b.c_name)) <= 1
- WHERE levenshtein(a.c_name, b.c_name) <= 1
+   AND abs(length(a.ent_name) - length(b.ent_name)) <= 1
+ WHERE levenshtein(a.ent_name, b.ent_name) <= 1
 ),
 reach(id, lbl) AS (
   SELECT c_custkey, c_custkey FROM customer

@@ -44,38 +44,23 @@ _SS_USER_CAP = 40  # bounded user subset keeps the session relation small
 def _stage_session_input(spark: SparkSession, sf_dir: str) -> str:
     """Data file + two watermark-advancing sentinel files, mtime-ordered
     so ``maxFilesPerTrigger=1`` delivers them as three batches (the
-    ``stream_watermark_flush`` staging construction)."""
-    import glob
-    import os
-
+    shared ``stage_mtime_waves`` construction)."""
     from event_streaming_toy_example_spark.plans.queries_ext import (
-        stage_dir_once,
+        stage_mtime_waves,
     )
 
-    def build_dir(tmp: str) -> None:
-        ev = (
-            load_table(spark, sf_dir, "events")
-            .where(F.col("user_id") < _SS_USER_CAP)
-            .select("user_id", "ts")
-        )
-        far = ev.sparkSession.createDataFrame(
-            [(-1,)], "user_id long"
-        ).select(
-            "user_id",
-            F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
-        )
-        seen: set[str] = set()
-        mode = "overwrite"
-        for i, wave in enumerate([ev, far, far]):
-            wave.coalesce(1).write.mode(mode).parquet(tmp)
-            mode = "append"
-            new = set(glob.glob(f"{tmp}/part-*")) - seen
-            base = os.path.getmtime(tmp)
-            for f in new:
-                os.utime(f, (base + 60 * i, base + 60 * i))
-            seen |= new
-
-    return stage_dir_once(build_dir, f"ssession_u{_SS_USER_CAP}", sf_dir)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < _SS_USER_CAP)
+        .select("user_id", "ts")
+    )
+    far = spark.createDataFrame([(-1,)], "user_id long").select(
+        "user_id",
+        F.lit("2030-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return stage_mtime_waves(
+        [ev, far, far], f"ssession_u{_SS_USER_CAP}", sf_dir
+    )
 
 
 def q_stream_session_window(
