@@ -422,7 +422,12 @@ LIMIT {_Q10_TOPN}
 # ------------------------------------------------------------- Q11
 
 _Q11_NATION_KEY = 3
-_Q11_FRACTION_DEN = 400  # keep parts with value > total/400
+#: keep parts with value > MULT x the average part value.  The real
+#: Q11 scales its fraction by 1/SF for the same reason: a fixed share
+#: of the TOTAL selects nothing once the part count grows (a
+#: total/400 draft went vacuous at sf0.1's 10x parts) — a multiple of
+#: the AVERAGE is scale-invariant.
+_Q11_AVG_MULT = 3
 
 
 def q_tpch_q11_important_stock(
@@ -445,10 +450,16 @@ def q_tpch_q11_important_stock(
         .groupBy("l_partkey")
         .agg(F.sum(price_cc).alias("value_cc"))
     )
-    total = values.agg(F.sum("value_cc").alias("total_cc"))
+    total = values.agg(
+        F.sum("value_cc").alias("total_cc"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         values.crossJoin(F.broadcast(total))
-        .where(F.col("value_cc") * _Q11_FRACTION_DEN > F.col("total_cc"))
+        .where(
+            F.col("value_cc") * F.col("n_parts")
+            > F.col("total_cc") * _Q11_AVG_MULT
+        )
         .select("l_partkey", "value_cc")
     )
 
@@ -466,8 +477,8 @@ WITH v AS (
 )
 SELECT l_partkey, value_cc
 FROM v
-WHERE value_cc * {_Q11_FRACTION_DEN} > (SELECT CAST(sum(value_cc) AS BIGINT)
-                                        FROM v)
+WHERE value_cc * (SELECT count(*) FROM v)
+      > (SELECT CAST(sum(value_cc) AS BIGINT) FROM v) * {_Q11_AVG_MULT}
 """
 
 # ------------------------------------------------------------- Q12
