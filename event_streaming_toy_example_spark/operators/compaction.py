@@ -26,9 +26,17 @@ Two modes:
   to fix 1% of its files must not cost 100 TB of IO).
 
 Durability: the rewrite goes to a temp directory first and is published
-by renames — new packed files move in under unique names before the
-consumed originals are removed, so a crash mid-publish leaves either
-extra (duplicate) files that a re-run replaces, never missing rows.
+by renames under a MANIFEST protocol — the full plan (originals to
+remove, packed names to move in) commits as ``_compaction_manifest.json``
+inside the table dir before the first rename, packed files move in
+before any original is deleted, and the manifest clears last.  A crash
+in any window is recoverable to exactly-once by ``recover_compaction``
+(also invoked automatically at the start of the next ``compact_files``):
+if every original is still present it rolls BACK (drops moved packed
+files — table byte-identical to before); if any original is gone, that
+proves all moves completed, so it rolls FORWARD (drops the remaining
+originals — the compaction finishes exactly).  Never missing rows, and
+never the silent duplicates a manifest-less re-run would bake in.
 Plain directories cannot give concurrent readers a transactional cut —
 at scale run this under a table format's commit protocol (the
 generation-pointer pattern of ``streaming/upsert_sink.py`` is this
@@ -88,6 +96,10 @@ def compact_files(
     rows).  A no-op (nothing below threshold / already one file) is
     returned without touching the table.
     """
+    # clear any crashed publish first (exactly-once; see
+    # recover_compaction) — a manifest means rows may be duplicated
+    # between originals and already-moved packed files
+    recover_compaction(spark, path)
     files = list_data_files(spark, path)
     n_before = len(files)
     if small_file_bytes is not None:
@@ -113,24 +125,145 @@ def compact_files(
 
     fs, dst_dir = _fs_and_path(spark, path)
     jvm = spark._jvm
-    # publish: move packed files in first (transient duplicates are
-    # re-runnable; missing rows would not be), then drop the originals
-    moved = []
+    # publish protocol (see recover_compaction): plan every dest name,
+    # commit the plan as a manifest INSIDE the table dir, move packed
+    # files in, delete the originals, then clear the manifest.  A
+    # crash in any window is recoverable to exactly-once from the
+    # manifest alone — roll back if no original is gone yet, roll
+    # forward (all moves precede any delete) otherwise.
+    moves = []
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp)):
         name = st.getPath().getName()
         if st.isFile() and name.endswith(".parquet"):
-            dest = jvm.org.apache.hadoop.fs.Path(
-                f"{path.rstrip('/')}/compacted-{uuid.uuid4().hex[:8]}-{name}"
+            moves.append(
+                (
+                    st.getPath(),
+                    f"compacted-{uuid.uuid4().hex[:8]}-{name}",
+                )
             )
-            if not fs.rename(st.getPath(), dest):
-                raise IOError(f"compaction publish failed moving {name}")
-            moved.append(dest)
+    _write_manifest(
+        spark,
+        path,
+        victims=[_basename(p) for p, _ in victims],
+        dests=[d for _, d in moves],
+        tmp=_basename(tmp),
+    )
+    for src, dest_name in moves:
+        dest = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/{dest_name}"
+        )
+        if not fs.rename(src, dest):
+            raise IOError(
+                f"compaction publish failed moving {dest_name}"
+            )
     for p, _ in victims:
         fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(path)), False)
 
     n_after = len(list_data_files(spark, path))
     return CompactionResult(n_before, n_after, total, rows)
+
+
+_MANIFEST_NAME = "_compaction_manifest.json"
+
+
+def _basename(p: str) -> str:
+    return p.rstrip("/").rsplit("/", 1)[-1]
+
+
+def _manifest_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{_MANIFEST_NAME}"
+
+
+def _write_manifest(
+    spark: SparkSession,
+    path: str,
+    victims: list[str],
+    dests: list[str],
+    tmp: str,
+) -> None:
+    """Commit the publish plan atomically: write to a side name, then
+    rename into place (underscore-prefixed, so scans ignore it)."""
+    import json
+
+    fs, _ = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    body = json.dumps(
+        {"victims": victims, "dests": dests, "tmp": tmp}
+    ).encode()
+    side = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/._compaction_manifest.tmp"
+    )
+    out = fs.create(side, True)
+    out.write(bytearray(body))
+    out.close()
+    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(path))
+    fs.delete(final, False)
+    if not fs.rename(side, final):
+        raise IOError("compaction manifest publish failed")
+
+
+def recover_compaction(spark: SparkSession, path: str) -> str:
+    """Restore exactly-once after a crash mid-publish; call before (or
+    instead of) re-running compaction on a directory that may hold a
+    manifest.  Returns ``"none"`` (no manifest — nothing in flight),
+    ``"rolled_back"`` (no original had been deleted yet: any already-
+    moved packed files are removed, the table is byte-identical to the
+    pre-compaction state), or ``"rolled_forward"`` (some original was
+    already gone — which proves every packed file had moved in, since
+    deletes only start after the last move: the remaining originals
+    are deleted, completing the compaction exactly).  Either way the
+    manifest and temp dir are cleared.  Without this, a crash between
+    move-in and delete leaves duplicate rows that a plain re-run would
+    PACK but never remove."""
+    import json
+
+    fs, _ = _fs_and_path(spark, path)
+    jvm = spark._jvm
+    mpath = jvm.org.apache.hadoop.fs.Path(_manifest_path(path))
+    if not fs.exists(mpath):
+        return "none"
+    stream = fs.open(mpath)
+    try:
+        raw = bytes(
+            stream.readAllBytes()
+            if hasattr(stream, "readAllBytes")
+            else _read_stream(stream)
+        )
+    finally:
+        stream.close()
+    man = json.loads(raw.decode())
+    base = path.rstrip("/")
+    victims = [f"{base}/{v}" for v in man["victims"]]
+    present = [
+        v for v in victims if fs.exists(jvm.org.apache.hadoop.fs.Path(v))
+    ]
+    if len(present) == len(victims):
+        # deletes had not started -> roll BACK: drop any moved dests
+        for d in man["dests"]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{d}"), False)
+        outcome = "rolled_back"
+    else:
+        # a delete happened -> every move had completed -> roll FORWARD
+        for v in present:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(v), False)
+        outcome = "rolled_forward"
+    # the temp dir is a SIBLING of the table dir (path + "__compact_…")
+    parent = base.rsplit("/", 1)[0]
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{parent}/{man['tmp']}"), True)
+    fs.delete(mpath, False)
+    return outcome
+
+
+def _read_stream(stream) -> bytes:
+    chunks = []
+    while True:
+        b = stream.read()
+        if b < 0:
+            break
+        chunks.append(b)
+    return bytes(chunks)
 
 
 def compaction_invariance(
