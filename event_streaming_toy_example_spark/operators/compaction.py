@@ -157,7 +157,17 @@ def compact_files(
                 f"compaction publish failed moving {dest_name}"
             )
     for p, _ in victims:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(p), False)
+        vic = jvm.org.apache.hadoop.fs.Path(p)
+        # Hadoop delete reports failure by RETURNING false (perm
+        # change, store inconsistency) — an unchecked false here,
+        # followed by clearing the manifest, would bake the duplicate
+        # in silently.  Raise and LEAVE the manifest: recovery rolls
+        # forward next run.
+        if not fs.delete(vic, False) and fs.exists(vic):
+            raise IOError(
+                f"compaction publish failed deleting original {p}; "
+                "manifest left in place for recover_compaction"
+            )
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(path)), False)
 
@@ -226,10 +236,10 @@ def recover_compaction(spark: SparkSession, path: str) -> str:
         return "none"
     stream = fs.open(mpath)
     try:
+        # ONE gateway call for the whole body (a byte-per-call py4j
+        # loop would pay thousands of round trips on larger manifests)
         raw = bytes(
-            stream.readAllBytes()
-            if hasattr(stream, "readAllBytes")
-            else _read_stream(stream)
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
         )
     finally:
         stream.close()
@@ -239,31 +249,37 @@ def recover_compaction(spark: SparkSession, path: str) -> str:
     present = [
         v for v in victims if fs.exists(jvm.org.apache.hadoop.fs.Path(v))
     ]
+
+    def _must_delete(target, recursive: bool, what: str) -> None:
+        # failed deletes report as False, not exceptions; the manifest
+        # must survive so a later recovery can finish the job
+        if not fs.delete(target, recursive) and fs.exists(target):
+            raise IOError(
+                f"compaction recovery failed deleting {what}; "
+                "manifest left in place"
+            )
+
     if len(present) == len(victims):
         # deletes had not started -> roll BACK: drop any moved dests
         for d in man["dests"]:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{d}"), False)
+            _must_delete(
+                jvm.org.apache.hadoop.fs.Path(f"{base}/{d}"), False, d
+            )
         outcome = "rolled_back"
     else:
         # a delete happened -> every move had completed -> roll FORWARD
         for v in present:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(v), False)
+            _must_delete(jvm.org.apache.hadoop.fs.Path(v), False, v)
         outcome = "rolled_forward"
-    # the temp dir is a SIBLING of the table dir (path + "__compact_…")
-    parent = base.rsplit("/", 1)[0]
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{parent}/{man['tmp']}"), True)
+    # the temp dir is a SIBLING of the table dir (path + "__compact_…"):
+    # resolve the parent via Hadoop Path (a string rsplit mis-resolves
+    # single-segment relative paths to the table dir itself)
+    parent = jvm.org.apache.hadoop.fs.Path(base).getParent()
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(parent, man["tmp"]), True
+    )
     fs.delete(mpath, False)
     return outcome
-
-
-def _read_stream(stream) -> bytes:
-    chunks = []
-    while True:
-        b = stream.read()
-        if b < 0:
-            break
-        chunks.append(b)
-    return bytes(chunks)
 
 
 def compaction_invariance(

@@ -87,7 +87,7 @@ def test_crash_after_partial_move_rolls_back(spark, tmp_path):
     assert not os.path.exists(f"{path}__compact_crash")
 
 
-def test_crash_between_moves_and_deletes_rolls_forward(spark, tmp_path):
+def test_crash_between_moves_and_deletes_rolls_back(spark, tmp_path):
     """All packed files moved, no original deleted yet: every row is
     DUPLICATED on disk.  Recovery may pick either side; exactly-once
     content must come back either way (this state has all victims
