@@ -165,6 +165,8 @@ HEADLINE = [
     # round-4 nineteenth wave: streaming session_window + param SQL
     "stream_session_window",
     "sql_parameterized",
+    # round-4 twentieth wave: the mapInArrow surface
+    "arrow_token_surface",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

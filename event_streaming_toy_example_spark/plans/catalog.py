@@ -142,6 +142,10 @@ from event_streaming_toy_example_spark.plans.queries_ext26 import (
     EXT26_ORACLES,
     EXT26_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext27 import (
+    EXT27_ORACLES,
+    EXT27_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -474,6 +478,10 @@ FAMILY_REP: dict[str, str] = {
     # SQL-string-API binding surface
     "stream_session_window": "stream_session_stateful",
     "sql_parameterized": "sql_shipping_priority",
+    # twentieth wave: mapInArrow is the Arrow-native rung of the
+    # Python-boundary ladder whose built-in rep is the token-stats
+    # entry
+    "arrow_token_surface": "text_token_stats",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -504,6 +512,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT24_QUERIES,
     **EXT25_QUERIES,
     **EXT26_QUERIES,
+    **EXT27_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -534,6 +543,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT24_ORACLES,
     **EXT25_ORACLES,
     **EXT26_ORACLES,
+    **EXT27_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

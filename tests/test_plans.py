@@ -187,6 +187,8 @@ EXPECT = {
     # real 2x2 box downsample: the one exchange is the id spread
     # (multimodal._ids_spread); pixel work is Arrow-batched, row-local
     "mm_boxdown2": (1, 0),
+    # twentieth wave — mapInArrow rides the scan: no movement at all
+    "arrow_token_surface": (0, 0),
 }
 
 
