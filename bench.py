@@ -165,8 +165,9 @@ HEADLINE = [
     # round-4 nineteenth wave: streaming session_window + param SQL
     "stream_session_window",
     "sql_parameterized",
-    # round-4 twentieth wave: the mapInArrow surface
+    # round-4 twentieth wave: the Arrow-native surfaces
     "arrow_token_surface",
+    "arrow_grouped_stats",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

@@ -482,6 +482,9 @@ FAMILY_REP: dict[str, str] = {
     # Python-boundary ladder whose built-in rep is the token-stats
     # entry
     "arrow_token_surface": "text_token_stats",
+    # grouped Arrow rung: same group-boundary family as the grouped-map
+    # pandas twin
+    "arrow_grouped_stats": "grouped_zscore_outliers",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

@@ -65,12 +65,62 @@ SELECT doc_id,
 FROM documents
 """
 
+def q_arrow_grouped_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GROUPED Arrow rung — ``groupBy().applyInArrow``: the user
+    function receives each group as one ``pyarrow.Table`` and answers
+    with a Table, pandas-free like its mapInArrow sibling.  Per
+    event_type: count, exact integer-cents min/max/sum of value,
+    computed with pyarrow.compute aggregations."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F
+
+    def op(table: "pa.Table") -> "pa.Table":
+        cc = table.column("value_cc")
+        mm = pc.min_max(cc)
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n_events": pa.array([table.num_rows], pa.int64()),
+                "min_cc": pa.array([mm["min"].as_py()], pa.int64()),
+                "max_cc": pa.array([mm["max"].as_py()], pa.int64()),
+                "sum_cc": pa.array(
+                    [pc.sum(cc).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cc"),
+    )
+    return ev.groupBy("event_type").applyInArrow(
+        op,
+        "event_type string, n_events long, min_cc long, "
+        "max_cc long, sum_cc long",
+    )
+
+
+SQL_ARROW_GROUPED_STATS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cc,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cc,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cc
+FROM events GROUP BY event_type
+"""
+
 # ------------------------------------------------------------ exports
 
 EXT27_QUERIES = {
     "arrow_token_surface": q_arrow_token_surface,
+    "arrow_grouped_stats": q_arrow_grouped_stats,
 }
 
 EXT27_ORACLES = {
     "arrow_token_surface": SQL_ARROW_TOKEN_SURFACE,
+    "arrow_grouped_stats": SQL_ARROW_GROUPED_STATS,
 }

@@ -189,6 +189,8 @@ EXPECT = {
     "mm_boxdown2": (1, 0),
     # twentieth wave — mapInArrow rides the scan: no movement at all
     "arrow_token_surface": (0, 0),
+    # grouped Arrow: exactly the one group-key shuffle
+    "arrow_grouped_stats": (1, 0),
 }
 
 
