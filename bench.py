@@ -168,6 +168,9 @@ HEADLINE = [
     # round-4 twentieth wave: the Arrow-native surfaces
     "arrow_token_surface",
     "arrow_grouped_stats",
+    # round-4 twenty-first wave: LATERAL decorrelation + pandas dialect
+    "sql_lateral_topn",
+    "ps_pandas_api_stats",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

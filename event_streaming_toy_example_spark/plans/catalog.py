@@ -146,6 +146,10 @@ from event_streaming_toy_example_spark.plans.queries_ext27 import (
     EXT27_ORACLES,
     EXT27_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext28 import (
+    EXT28_ORACLES,
+    EXT28_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -485,6 +489,11 @@ FAMILY_REP: dict[str, str] = {
     # grouped Arrow rung: same group-boundary family as the grouped-map
     # pandas twin
     "arrow_grouped_stats": "grouped_zscore_outliers",
+    # round-4 twenty-first wave: the LATERAL correlated subquery
+    # decorrelates to the per-key window-rank shape the top-k rep
+    # pins; the pandas-API dialect compiles to the scan+agg family
+    "sql_lateral_topn": "window_top_orders",
+    "ps_pandas_api_stats": "agg_pricing_summary",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {
@@ -516,6 +525,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT25_QUERIES,
     **EXT26_QUERIES,
     **EXT27_QUERIES,
+    **EXT28_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -547,6 +557,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT25_ORACLES,
     **EXT26_ORACLES,
     **EXT27_ORACLES,
+    **EXT28_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -1,0 +1,120 @@
+"""Round-4 additions (twenty-first wave): LATERAL correlated
+subqueries and the pandas API on Spark.
+
+``sql_lateral_topn`` — a correlated LATERAL subquery (per-nation
+top-2 customers by account balance) through the ``spark.sql`` string
+surface.  The SAME SQL text runs on both engines (Spark and the
+DuckDB oracle both accept the ``FROM t, LATERAL (...)`` form), so the
+entry proves the surface, not a translation.  The scale story is the
+interesting part: Catalyst DECORRELATES the lateral — the physical
+plan is a per-key ``row_number`` window over the fact side plus a
+broadcast hash join against the dim, not a per-outer-row subquery
+execution.  At 100 TB that is the difference between one shuffle and
+|nation| scans; ``tests/test_plans.py`` pins the decorrelated shape
+(no cartesian, broadcast join, Window present).
+
+``ps_pandas_api_stats`` — the pandas API on Spark
+(``pyspark.pandas``), the third *user-facing dialect* after the
+DataFrame DSL and SQL text.  A pandas-shaped program (``assign`` /
+``groupby(as_index=False).agg`` with named aggregates) compiles to
+the SAME Catalyst plan family as the native groupBy entries — the
+entry exists to pin that the dialect is a front-end, not an engine:
+``to_spark()`` hands back a plain DataFrame whose aggregate is
+hash-checked against the ANSI oracle like every other entry.  Exact
+integer cents throughout (the repo's cross-engine float rule).
+
+Reference parity note: the reference repo (432 lines of
+record-at-a-time Python; see SURVEY.md §2) has no SQL or pandas
+surface at all — both entries are §2.8 extensions, part of making the
+engine a complete replacement rather than a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_toy_example_spark.schemas import (
+    load_table,
+    register_testdata_views,
+)
+
+# Shared verbatim between Spark and the DuckDB oracle: both engines
+# accept comma-LATERAL, CAST(round(x*100) AS BIGINT) is the repo's
+# validated exact-cents convention, and the (bal_cents DESC, c_name)
+# ordering key is unique per nation so top-2 is deterministic.
+_SQL_LATERAL_TOPN = """
+SELECT n.n_name AS nation, t.cust, t.bal_cents
+FROM nation n, LATERAL (
+    SELECT c_name AS cust,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY bal_cents DESC, c_name
+    LIMIT 2
+) t
+ORDER BY nation, bal_cents DESC, cust
+"""
+
+
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers via a correlated LATERAL subquery;
+    same SQL text as the oracle (see module docstring)."""
+    register_testdata_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_SQL_LATERAL_TOPN)
+
+
+SQL_SQL_LATERAL_TOPN = _SQL_LATERAL_TOPN
+
+
+def q_ps_pandas_api_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status revenue profile written in the pandas dialect
+    (``pyspark.pandas``), answered as a plain Spark DataFrame.
+
+    ``as_index=False`` keeps the group key a column (no pandas index
+    materializes, so ``to_spark()`` round-trips without an index
+    column and without the distributed-default-index machinery);
+    ``Series.round`` compiles to ``F.round`` (HALF_UP), matching the
+    oracle's ``round()`` — the same cents convention every native
+    entry uses."""
+    import pyspark.pandas as ps  # noqa: F401  (dialect under test)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    pdf = orders.pandas_api()
+    cents = (pdf.o_totalprice * 100).round().astype("int64")
+    g = (
+        pdf.assign(cents=cents)
+        .groupby("o_orderstatus", as_index=False)
+        .agg(
+            n_orders=("o_orderstatus", "count"),
+            total_cents=("cents", "sum"),
+            max_cents=("cents", "max"),
+        )
+    )
+    out = g.to_spark()
+    return out.orderBy("o_orderstatus")
+
+
+SQL_PS_PANDAS_API_STATS = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+EXT28_QUERIES = {
+    "sql_lateral_topn": q_sql_lateral_topn,
+    "ps_pandas_api_stats": q_ps_pandas_api_stats,
+}
+
+EXT28_ORACLES = {
+    "sql_lateral_topn": SQL_SQL_LATERAL_TOPN,
+    "ps_pandas_api_stats": SQL_PS_PANDAS_API_STATS,
+}

@@ -363,3 +363,32 @@ def test_pack_sequences_single_exchange_reuses_window_partitioning(spark):
     assert set(c.split("#")[0] for c in cols.split(",")) == {
         "doc_id", "lang", "n_chars"
     }, cols
+
+
+def test_lateral_topn_decorrelates_to_window_plus_broadcast(spark):
+    """The correlated LATERAL subquery must DECORRELATE: one per-key
+    rank (Window) over the customer side plus a broadcast hash join
+    against the 25-row nation dim — never a per-outer-row subquery
+    (which would plan as a nested-loop/cartesian).  At 100 TB this is
+    the difference between one shuffle and |nation| full scans."""
+    plan, _, bcast = _counts(ALL_QUERIES["sql_lateral_topn"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "Window" in plan, plan
+    assert bcast >= 1, plan
+
+
+def test_pandas_api_compiles_to_native_hash_aggregate(spark):
+    """The pandas-dialect groupby must compile to the same physical
+    family as the native groupBy entries: a partial+final HashAggregate
+    pair with ONE key shuffle, scan pruned to the two used columns —
+    no Python/Arrow evaluation node anywhere (the dialect is a
+    front-end, not an execution path)."""
+    df = ALL_QUERIES["ps_pandas_api_stats"](spark, SF_DIR)
+    plan, shuffles, _ = _counts(df)
+    assert "HashAggregate" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    cols = plan.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "o_orderstatus", "o_totalprice"
+    }, cols
