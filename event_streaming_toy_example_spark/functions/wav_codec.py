@@ -1,11 +1,22 @@
-"""Minimal in-repo WAV (RIFF PCM16) codec — stdlib ``struct`` +
-numpy only, so the engine's REAL audio-decode path has zero external
-dependencies (the audio twin of ``png_codec``).
+"""Minimal in-repo WAV (RIFF) codec — stdlib ``struct`` + numpy only,
+so the engine's REAL audio-decode path has zero external dependencies
+(the audio twin of ``png_codec``).
 
-Scope: uncompressed PCM, 16-bit signed little-endian, mono or
-interleaved multi-channel — the canonical training-data audio interchange
-format. Anything else (compressed codecs, floats, 24-bit) raises
-``NotImplementedError`` naming the field that differed.
+Decode scope (what a 100 TB crawled-audio corpus actually contains):
+
+- a real RIFF chunk WALKER — ``fmt ``/``data`` located by iterating
+  chunks with even-byte padding per the RIFF spec, so the ubiquitous
+  extra chunks (``LIST`` metadata, ``fact``, ``cue ``, broadcast-WAV
+  ``bext``) in crawled files no longer refuse;
+- uncompressed integer PCM at 8 (unsigned), 16, 24 and 32 bits;
+- IEEE float at 32 and 64 bits (format code 3);
+- ``WAVE_FORMAT_EXTENSIBLE`` (0xFFFE) wrappers resolving to PCM or
+  IEEE float via the SubFormat GUID.
+
+Compressed codecs (ADPCM, mu-law/a-law, MP3-in-RIFF …) raise
+``NotImplementedError`` naming the format code — loud gates, never a
+misread.  The encoder stays PCM16 (the staging interchange format the
+synthetic corpus uses).
 """
 
 from __future__ import annotations
@@ -14,7 +25,24 @@ import struct
 
 import numpy as np
 
-_HDR = struct.Struct("<4sI4s4sIHHIIHH4sI")
+_HDR = struct.Struct("<4sI4s4sIHHIIHH4sI")  # canonical-layout encoder header
+
+#: fixed 14-byte tail of the KSDATAFORMAT_SUBTYPE_* GUIDs; the leading
+#: 2 bytes of the GUID are the little-endian format code
+_KS_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+_WAVE_FORMAT_PCM = 1
+_WAVE_FORMAT_IEEE_FLOAT = 3
+_WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+#: (format_code, bits) -> numpy little-endian dtype for frombuffer
+_SAMPLE_DTYPES = {
+    (_WAVE_FORMAT_PCM, 8): np.dtype("u1"),  # 8-bit PCM is unsigned
+    (_WAVE_FORMAT_PCM, 16): np.dtype("<i2"),
+    (_WAVE_FORMAT_PCM, 32): np.dtype("<i4"),
+    (_WAVE_FORMAT_IEEE_FLOAT, 32): np.dtype("<f4"),
+    (_WAVE_FORMAT_IEEE_FLOAT, 64): np.dtype("<f8"),
+}
 
 
 def is_wav(payload: bytes) -> bool:
@@ -52,55 +80,100 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return header + data
 
 
+def _walk_chunks(payload: bytes):
+    """Yield ``(chunk_id, body_start, body_size)`` for every RIFF chunk
+    after the 12-byte RIFF/WAVE header; chunk bodies are padded to even
+    offsets per the spec."""
+    pos, n = 12, len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > n:
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes but "
+                f"only {n - body} present"
+            )
+        yield cid, body, size
+        pos = body + size + (size & 1)  # odd sizes carry a pad byte
+
+
+def _resolve_format(payload: bytes, body: int, size: int) -> tuple[int, int, int, int]:
+    """Parse a ``fmt `` chunk body -> (format_code, channels,
+    sample_rate, bits), resolving WAVE_FORMAT_EXTENSIBLE through its
+    SubFormat GUID."""
+    if size < 16:
+        raise ValueError(f"corrupt WAV: fmt chunk of {size} bytes")
+    audio_format, channels, sample_rate, _byte_rate, _block_align, bits = (
+        struct.unpack_from("<HHIIHH", payload, body)
+    )
+    if audio_format == _WAVE_FORMAT_EXTENSIBLE:
+        # fmt(16) + cbSize(2) + validBits(2) + channelMask(4) + GUID(16)
+        if size < 40:
+            raise ValueError(
+                f"corrupt WAV: EXTENSIBLE fmt chunk of {size} bytes (need 40)"
+            )
+        guid = payload[body + 24 : body + 40]
+        if guid[2:] != _KS_GUID_TAIL:
+            raise NotImplementedError(
+                f"unknown EXTENSIBLE SubFormat GUID {guid.hex()}"
+            )
+        audio_format = struct.unpack_from("<H", guid, 0)[0]
+    return audio_format, channels, sample_rate, bits
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode PCM16 WAV -> (samples int16 of shape (n,) or
-    (n, channels), sample_rate). Validates the RIFF/fmt fields and
-    refuses non-PCM16 content loudly rather than misreading it."""
-    if len(payload) < _HDR.size:
-        raise ValueError(f"WAV too short: {len(payload)} bytes")
-    (
-        riff,
-        _riff_size,
-        wave,
-        fmt,
-        fmt_size,
-        audio_format,
-        channels,
-        sample_rate,
-        _byte_rate,
-        _block_align,
-        bits,
-        data_tag,
-        data_size,
-    ) = _HDR.unpack_from(payload, 0)
-    if riff != b"RIFF" or wave != b"WAVE" or fmt != b"fmt ":
+    """Decode WAV -> (samples of shape (n,) or (n, channels),
+    sample_rate).  Sample dtype follows the stream: uint8 (PCM8),
+    int16, int32 (PCM24 sign-extended / PCM32), float32 or float64.
+    Walks RIFF chunks, skipping metadata (LIST/fact/cue/bext/...);
+    refuses compressed codecs loudly rather than misreading them."""
+    if len(payload) < 12 or not is_wav(payload):
         raise ValueError("not a RIFF/WAVE stream")
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only PCM16 supported (audio_format={audio_format}, bits={bits})"
-        )
-    if fmt_size != 16 or data_tag != b"data":
-        # fmt extensions / extra chunks between fmt and data are rare in
-        # training corpora; refuse rather than guess at offsets
-        raise NotImplementedError(
-            f"non-canonical chunk layout (fmt_size={fmt_size}, "
-            f"next_chunk={data_tag!r})"
-        )
+    fmt = None
+    data = None
+    for cid, body, size in _walk_chunks(payload):
+        if cid == b"fmt " and fmt is None:
+            fmt = _resolve_format(payload, body, size)
+        elif cid == b"data" and data is None:
+            data = (body, size)
+        # all other chunks (LIST, fact, cue , bext, id3 , ...) skipped
+    if fmt is None:
+        raise ValueError("corrupt WAV: no fmt chunk")
+    if data is None:
+        raise ValueError("corrupt WAV: no data chunk")
+    audio_format, channels, sample_rate, bits = fmt
     if channels < 1:
         raise ValueError(f"corrupt WAV: channel count {channels}")
+    if sample_rate < 1:
+        raise ValueError(f"corrupt WAV: sample rate {sample_rate}")
+
+    body, size = data
     block_align = channels * (bits // 8)
-    if len(payload) - _HDR.size < data_size:
+    if bits % 8 or block_align == 0:
+        raise NotImplementedError(f"unsupported bit depth {bits}")
+    if size % block_align != 0:
         raise ValueError(
-            f"truncated WAV: data chunk declares {data_size} bytes but "
-            f"only {len(payload) - _HDR.size} present"
-        )
-    if data_size % block_align != 0:
-        raise ValueError(
-            f"corrupt WAV: data size {data_size} is not a multiple of "
+            f"corrupt WAV: data size {size} is not a multiple of "
             f"block align {block_align}"
         )
-    body = payload[_HDR.size : _HDR.size + data_size]
-    samples = np.frombuffer(body, dtype="<i2")
+    raw = payload[body : body + size]
+
+    if audio_format == _WAVE_FORMAT_PCM and bits == 24:
+        # no 3-byte numpy dtype: widen each LE triple to int32 and
+        # sign-extend via the arithmetic shift
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+        widened = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)) << 8
+        samples = (widened.astype(np.int32)) >> 8
+    else:
+        dtype = _SAMPLE_DTYPES.get((audio_format, bits))
+        if dtype is None:
+            raise NotImplementedError(
+                f"unsupported WAV encoding (format_code={audio_format}, "
+                f"bits={bits}) — integer PCM 8/16/24/32 and IEEE float "
+                f"32/64 are supported; compressed codecs are not"
+            )
+        samples = np.frombuffer(raw, dtype=dtype)
     if channels > 1:
         samples = samples.reshape(-1, channels)
     return samples, sample_rate

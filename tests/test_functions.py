@@ -406,9 +406,9 @@ def test_wav_codec_roundtrip_and_gates():
     assert not wav_codec.is_wav(b"PK\x03\x04whatever")
     with pytest.raises(ValueError):
         wav_codec.decode_wav(b"RIFF")
-    # 8-bit / non-PCM content must refuse loudly, not misread
+    # impossible combination (float16) must refuse loudly, not misread
     bad = bytearray(wav_codec.encode_wav(mono, 8000))
-    bad[20] = 3  # audio_format = IEEE float
+    bad[20] = 3  # audio_format = IEEE float, but bits stays 16
     with pytest.raises(NotImplementedError):
         wav_codec.decode_wav(bytes(bad))
     # truncated payload (fewer bytes than the data chunk declares) must
@@ -422,6 +422,110 @@ def test_wav_codec_roundtrip_and_gates():
     struct.pack_into("<I", stereo_payload, 40, 300 * 4 - 2)
     with pytest.raises(ValueError, match="block align"):
         wav_codec.decode_wav(bytes(stereo_payload))
+
+
+def _riff(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """Assemble a RIFF/WAVE stream from (chunk_id, body) pairs with the
+    spec's even-byte padding."""
+    import struct
+
+    out = bytearray()
+    for cid, body in chunks:
+        out += cid + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"  # pad byte, not counted in the chunk size
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + bytes(out)
+
+
+def _fmt_body(code: int, channels: int, rate: int, bits: int) -> bytes:
+    import struct
+
+    block = channels * (bits // 8)
+    return struct.pack("<HHIIHH", code, channels, rate, rate * block, block, bits)
+
+
+def test_wav_chunk_walker_and_wide_formats():
+    """Real-corpus WAV shapes: metadata chunks before data, IEEE float,
+    PCM8/24/32, EXTENSIBLE wrappers — decoded, not refused."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from event_streaming_toy_example_spark.functions import wav_codec
+
+    rng = np.random.default_rng(11)
+
+    # LIST + odd-sized + fact chunks between fmt and data must be
+    # skipped (these are ubiquitous in crawled files)
+    mono = rng.integers(-32768, 32767, 64, dtype=np.int16)
+    payload = _riff([
+        (b"fmt ", _fmt_body(1, 1, 8000, 16)),
+        (b"LIST", b"INFOIART" + struct.pack("<I", 5) + b"someb"),
+        (b"junk", b"\x01\x02\x03"),  # odd size exercises the pad byte
+        (b"fact", struct.pack("<I", 64)),
+        (b"data", mono.astype("<i2").tobytes()),
+    ])
+    out, rate = wav_codec.decode_wav(payload)
+    assert rate == 8000 and np.array_equal(out, mono)
+
+    # IEEE float32 stereo
+    f32 = rng.standard_normal((40, 2)).astype("<f4")
+    out, rate = wav_codec.decode_wav(_riff([
+        (b"fmt ", _fmt_body(3, 2, 48000, 32)),
+        (b"data", f32.tobytes()),
+    ]))
+    assert out.dtype == np.float32 and np.array_equal(out, f32)
+
+    # PCM8 is unsigned per the spec
+    u8 = rng.integers(0, 256, 33, dtype=np.uint8)
+    out, _ = wav_codec.decode_wav(_riff([
+        (b"fmt ", _fmt_body(1, 1, 8000, 8)),
+        (b"data", u8.tobytes()),
+    ]))
+    assert out.dtype == np.uint8 and np.array_equal(out, u8)
+
+    # PCM24 sign-extends into int32
+    vals = np.array([0, 1, -1, 8_388_607, -8_388_608, -12345], dtype=np.int32)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    out, _ = wav_codec.decode_wav(_riff([
+        (b"fmt ", _fmt_body(1, 1, 44100, 24)),
+        (b"data", raw),
+    ]))
+    assert out.dtype == np.int32 and np.array_equal(out, vals)
+
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM16
+    guid = struct.pack("<H", 1) + wav_codec._KS_GUID_TAIL
+    ext = _fmt_body(0xFFFE, 1, 16000, 16) + struct.pack("<HHI", 22, 16, 0x4) + guid
+    out, rate = wav_codec.decode_wav(_riff([
+        (b"fmt ", ext),
+        (b"data", mono.astype("<i2").tobytes()),
+    ]))
+    assert rate == 16000 and np.array_equal(out, mono)
+
+    # unknown EXTENSIBLE GUID refuses loudly
+    bad_guid = struct.pack("<H", 1) + b"\xde\xad" * 7
+    bad = _fmt_body(0xFFFE, 1, 16000, 16) + struct.pack("<HHI", 22, 16, 4) + bad_guid
+    with pytest.raises(NotImplementedError, match="GUID"):
+        wav_codec.decode_wav(_riff([
+            (b"fmt ", bad),
+            (b"data", mono.astype("<i2").tobytes()),
+        ]))
+
+    # compressed codecs (ADPCM=2, mu-law=7) refuse loudly
+    for code in (2, 7):
+        with pytest.raises(NotImplementedError, match="format_code"):
+            wav_codec.decode_wav(_riff([
+                (b"fmt ", _fmt_body(code, 1, 8000, 16)),
+                (b"data", b"\x00\x00"),
+            ]))
+
+    # a chunk overrunning the payload must fail loudly
+    with pytest.raises(ValueError, match="truncated"):
+        wav_codec.decode_wav(payload[:-7])
+    # missing data chunk
+    with pytest.raises(ValueError, match="no data chunk"):
+        wav_codec.decode_wav(_riff([(b"fmt ", _fmt_body(1, 1, 8000, 16))]))
 
 
 def test_wav_decode_features(spark, docs):
