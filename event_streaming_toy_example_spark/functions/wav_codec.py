@@ -13,7 +13,11 @@ Decode scope (what a 100 TB crawled-audio corpus actually contains):
 - ``WAVE_FORMAT_EXTENSIBLE`` (0xFFFE) wrappers resolving to PCM or
   IEEE float via the SubFormat GUID.
 
-Compressed codecs (ADPCM, mu-law/a-law, MP3-in-RIFF …) raise
+- G.711 companded telephony audio: a-law (format code 6) and mu-law
+  (7), expanded to int16 with the ITU-T G.711 tables built once by
+  inverting the standard segment/quantization layout.
+
+Other compressed codecs (ADPCM, MP3-in-RIFF …) raise
 ``NotImplementedError`` naming the format code — loud gates, never a
 misread.  The encoder stays PCM16 (the staging interchange format the
 synthetic corpus uses).
@@ -33,7 +37,42 @@ _KS_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
 _WAVE_FORMAT_PCM = 1
 _WAVE_FORMAT_IEEE_FLOAT = 3
+_WAVE_FORMAT_ALAW = 6
+_WAVE_FORMAT_MULAW = 7
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _build_mulaw_table() -> np.ndarray:
+    """int16 expansion of all 256 mu-law codes (ITU-T G.711): invert
+    the encoder's bias-33, segment-exponent, 4-bit-mantissa layout."""
+    codes = np.arange(256, dtype=np.int32) ^ 0xFF  # transmitted inverted
+    sign = codes & 0x80
+    exponent = (codes >> 4) & 0x07
+    mantissa = codes & 0x0F
+    magnitude = (((mantissa << 1) + 33) << exponent) - 33
+    out = np.where(sign, -magnitude, magnitude) * 4  # 14-bit -> 16-bit
+    return out.astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """int16 expansion of all 256 a-law codes (ITU-T G.711): even bits
+    inverted on the wire (XOR 0x55); segment 0 is linear."""
+    codes = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = codes & 0x80
+    exponent = (codes >> 4) & 0x07
+    mantissa = codes & 0x0F
+    magnitude = np.where(
+        exponent == 0,
+        (mantissa << 1) + 1,
+        ((mantissa << 1) + 33) << (exponent - 1),
+    )
+    # a-law MSB=1 encodes POSITIVE (opposite of mu-law's post-invert)
+    out = np.where(sign, magnitude, -magnitude) * 8  # 13-bit -> 16-bit
+    return out.astype(np.int16)
+
+
+_MULAW_TABLE = _build_mulaw_table()
+_ALAW_TABLE = _build_alaw_table()
 
 #: (format_code, bits) -> numpy little-endian dtype for frombuffer
 _SAMPLE_DTYPES = {
@@ -159,7 +198,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         )
     raw = payload[body : body + size]
 
-    if audio_format == _WAVE_FORMAT_PCM and bits == 24:
+    if audio_format in (_WAVE_FORMAT_ALAW, _WAVE_FORMAT_MULAW):
+        if bits != 8:
+            raise ValueError(f"corrupt WAV: G.711 with {bits}-bit samples")
+        table = _ALAW_TABLE if audio_format == _WAVE_FORMAT_ALAW else _MULAW_TABLE
+        samples = table[np.frombuffer(raw, dtype=np.uint8)]
+    elif audio_format == _WAVE_FORMAT_PCM and bits == 24:
         # no 3-byte numpy dtype: widen each LE triple to int32 and
         # sign-extend via the arithmetic shift
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
@@ -170,8 +214,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if dtype is None:
             raise NotImplementedError(
                 f"unsupported WAV encoding (format_code={audio_format}, "
-                f"bits={bits}) — integer PCM 8/16/24/32 and IEEE float "
-                f"32/64 are supported; compressed codecs are not"
+                f"bits={bits}) — integer PCM 8/16/24/32, IEEE float "
+                f"32/64 and G.711 a-law/mu-law are supported; other "
+                f"compressed codecs are not"
             )
         samples = np.frombuffer(raw, dtype=dtype)
     if channels > 1:

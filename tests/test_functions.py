@@ -512,8 +512,8 @@ def test_wav_chunk_walker_and_wide_formats():
             (b"data", mono.astype("<i2").tobytes()),
         ]))
 
-    # compressed codecs (ADPCM=2, mu-law=7) refuse loudly
-    for code in (2, 7):
+    # compressed codecs (ADPCM=2, GSM=0x31) refuse loudly
+    for code in (2, 0x31):
         with pytest.raises(NotImplementedError, match="format_code"):
             wav_codec.decode_wav(_riff([
                 (b"fmt ", _fmt_body(code, 1, 8000, 16)),
@@ -565,3 +565,55 @@ def test_wav_zero_channels_raises_value_error():
     struct.pack_into("<H", bad, 22, 0)
     with pytest.raises(ValueError, match="channel count"):
         wav_codec.decode_wav(bytes(bad))
+
+
+def test_wav_g711_expansion_matches_reference_formulas():
+    """The vectorized mu-law/a-law tables must match the scalar ITU-T
+    G.711 reference decode (the classic switch/shift formulation,
+    implemented here independently, code by code)."""
+    import numpy as np
+
+    from event_streaming_toy_example_spark.functions import wav_codec
+
+    def ulaw2linear_ref(u):
+        u = ~u & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return 0x84 - t if u & 0x80 else t - 0x84
+
+    def alaw2linear_ref(a):
+        a ^= 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        return t if a & 0x80 else -t
+
+    for code in range(256):
+        assert wav_codec._MULAW_TABLE[code] == ulaw2linear_ref(code), code
+        assert wav_codec._ALAW_TABLE[code] == alaw2linear_ref(code), code
+    # zero-ish codes decode near zero; extremes reach full scale
+    assert abs(int(wav_codec._MULAW_TABLE[0xFF])) == 0
+    assert int(np.abs(wav_codec._MULAW_TABLE).max()) == 32124
+    assert int(np.abs(wav_codec._ALAW_TABLE).max()) == 32256
+
+    # end-to-end: a mu-law WAV decodes through the chunk walker
+    codes = np.arange(256, dtype=np.uint8)
+    out, rate = wav_codec.decode_wav(_riff([
+        (b"fmt ", _fmt_body(7, 1, 8000, 8)),
+        (b"data", codes.tobytes()),
+    ]))
+    assert rate == 8000 and out.dtype == np.int16
+    assert np.array_equal(out, wav_codec._MULAW_TABLE)
+    # stereo a-law reshapes to (n, 2)
+    out, _ = wav_codec.decode_wav(_riff([
+        (b"fmt ", _fmt_body(6, 2, 8000, 8)),
+        (b"data", codes.tobytes()),
+    ]))
+    assert out.shape == (128, 2)
+    assert np.array_equal(out.ravel(), wav_codec._ALAW_TABLE)
