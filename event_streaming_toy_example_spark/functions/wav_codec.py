@@ -15,9 +15,15 @@ Decode scope (what a 100 TB crawled-audio corpus actually contains):
 
 - G.711 companded telephony audio: a-law (format code 6) and mu-law
   (7), expanded to int16 with the ITU-T G.711 tables built once by
-  inverting the standard segment/quantization layout.
+  inverting the standard segment/quantization layout;
+- IMA/DVI ADPCM (format code 0x11): Microsoft block layout — per
+  channel 4-byte (predictor, step-index) header whose predictor IS
+  the block's first sample, then low-nibble-first 4-bit deltas in
+  4-byte per-channel interleave groups — decoded with the standard
+  89-step table (the nibble recursion is checked sample-by-sample
+  against CPython's independent ``audioop.adpcm2lin``).
 
-Other compressed codecs (ADPCM, MP3-in-RIFF …) raise
+Other compressed codecs (MS ADPCM 0x02, GSM, MP3-in-RIFF …) raise
 ``NotImplementedError`` naming the format code — loud gates, never a
 misread.  The encoder stays PCM16 (the staging interchange format the
 synthetic corpus uses).
@@ -39,7 +45,43 @@ _WAVE_FORMAT_PCM = 1
 _WAVE_FORMAT_IEEE_FLOAT = 3
 _WAVE_FORMAT_ALAW = 6
 _WAVE_FORMAT_MULAW = 7
+_WAVE_FORMAT_IMA_ADPCM = 0x11
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+#: IMA ADPCM quantizer step sizes (the standard 89-entry table)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int32)
+
+#: step-index adjustment by the nibble's 3 magnitude bits
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_core(nibbles, predictor: int, index: int):
+    """Decode a nibble stream with the standard IMA recursion; returns
+    (int16 samples, final predictor, final index)."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    for i, nib in enumerate(nibbles):
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX_ADJUST[nib & 7]))
+        out[i] = predictor
+    return out, predictor, index
 
 
 def _build_mulaw_table() -> np.ndarray:
@@ -161,6 +203,60 @@ def _resolve_format(payload: bytes, body: int, size: int) -> tuple[int, int, int
     return audio_format, channels, sample_rate, bits
 
 
+def _decode_ima_adpcm(
+    raw: bytes, channels: int, block_align: int, samples_per_block: int
+) -> np.ndarray:
+    """Microsoft IMA ADPCM data chunk -> int16 samples of shape
+    (n,) mono or (n, channels)."""
+    header_bytes = 4 * channels
+    if block_align <= header_bytes:
+        raise ValueError(
+            f"corrupt WAV: IMA block align {block_align} cannot hold "
+            f"{channels}-channel headers"
+        )
+    nibbles_per_chan = (block_align - header_bytes) * 2 // channels
+    if samples_per_block - 1 > nibbles_per_chan:
+        raise ValueError(
+            f"corrupt WAV: {samples_per_block} samples/block exceeds the "
+            f"{nibbles_per_chan + 1} a {block_align}-byte block can hold"
+        )
+    if (block_align - header_bytes) % (4 * channels):
+        raise ValueError(
+            f"corrupt WAV: IMA block data {block_align - header_bytes} B "
+            f"is not whole 4-byte words per channel"
+        )
+    if len(raw) % block_align:
+        raise ValueError(
+            f"corrupt WAV: IMA data size {len(raw)} is not a multiple of "
+            f"block align {block_align}"
+        )
+    blocks = []
+    for off in range(0, len(raw), block_align):
+        block = raw[off : off + block_align]
+        out = np.empty((samples_per_block, channels), dtype=np.int16)
+        preds, idxs = [], []
+        for c in range(channels):
+            pred, idx, _reserved = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError(f"corrupt WAV: IMA step index {idx} > 88")
+            out[0, c] = pred  # the header predictor IS sample 0
+            preds.append(pred)
+            idxs.append(idx)
+        data = np.frombuffer(block, dtype=np.uint8)[header_bytes:]
+        # channels interleave in 4-byte words: ch0[0:4], ch1[0:4], ...
+        words = data.reshape(-1, channels, 4)
+        for c in range(channels):
+            per_chan = words[:, c, :].ravel()
+            nibs = np.empty(per_chan.size * 2, dtype=np.uint8)
+            nibs[0::2] = per_chan & 0x0F  # LOW nibble first (MS layout)
+            nibs[1::2] = per_chan >> 4
+            dec, _, _ = _ima_core(nibs[: samples_per_block - 1], preds[c], idxs[c])
+            out[1:, c] = dec  # trailing pad nibbles ignored
+        blocks.append(out)
+    samples = np.concatenate(blocks) if blocks else np.empty((0, channels), np.int16)
+    return samples[:, 0] if channels == 1 else samples
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode WAV -> (samples of shape (n,) or (n, channels),
     sample_rate).  Sample dtype follows the stream: uint8 (PCM8),
@@ -170,10 +266,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 12 or not is_wav(payload):
         raise ValueError("not a RIFF/WAVE stream")
     fmt = None
+    fmt_loc = None
     data = None
     for cid, body, size in _walk_chunks(payload):
         if cid == b"fmt " and fmt is None:
             fmt = _resolve_format(payload, body, size)
+            fmt_loc = (body, size)
         elif cid == b"data" and data is None:
             data = (body, size)
         # all other chunks (LIST, fact, cue , bext, id3 , ...) skipped
@@ -188,6 +286,23 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"corrupt WAV: sample rate {sample_rate}")
 
     body, size = data
+
+    if audio_format == _WAVE_FORMAT_IMA_ADPCM:
+        if bits != 4:
+            raise NotImplementedError(
+                f"IMA ADPCM with {bits}-bit deltas is not supported"
+            )
+        fbody, fsize = fmt_loc
+        declared_align = struct.unpack_from("<H", payload, fbody + 12)[0]
+        if fsize >= 20:  # fmt(16) + cbSize(2) + samplesPerBlock(2)
+            spb = struct.unpack_from("<H", payload, fbody + 18)[0]
+        else:  # derive from the block geometry when the extension is absent
+            spb = (declared_align - 4 * channels) * 2 // channels + 1
+        samples = _decode_ima_adpcm(
+            payload[body : body + size], channels, declared_align, spb
+        )
+        return samples, sample_rate
+
     block_align = channels * (bits // 8)
     if bits % 8 or block_align == 0:
         raise NotImplementedError(f"unsupported bit depth {bits}")

@@ -617,3 +617,77 @@ def test_wav_g711_expansion_matches_reference_formulas():
     ]))
     assert out.shape == (128, 2)
     assert np.array_equal(out.ravel(), wav_codec._ALAW_TABLE)
+
+
+def test_wav_ima_adpcm_matches_audioop():
+    """The IMA nibble recursion and the Microsoft block layout must
+    match CPython's independent DVI/IMA implementation (audioop),
+    accounting for the nibble-order difference: audioop packs the
+    first sample in the HIGH nibble, Microsoft WAV in the LOW."""
+    import struct
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from event_streaming_toy_example_spark.functions import wav_codec
+
+    rng = np.random.default_rng(3)
+
+    # 1) raw recursion, 400 random nibbles from the zero state
+    nibs = rng.integers(0, 16, 400, dtype=np.uint8)
+    mine, _, _ = wav_codec._ima_core(nibs, 0, 0)
+    ref_bytes = bytes((int(nibs[i]) << 4) | int(nibs[i + 1])
+                      for i in range(0, 400, 2))
+    ref, _ = audioop.adpcm2lin(ref_bytes, 2, None)
+    assert np.array_equal(mine, np.frombuffer(ref, dtype="<i2"))
+
+    # 2) end-to-end mono WAV: 2 blocks, predictors/indices in headers
+    spb = 505          # 4-byte header + 252 data bytes = 256-byte block
+    align = 256
+    blocks = b""
+    expect = []
+    for pred, idx in ((1234, 20), (-777, 5)):
+        data_nibs = rng.integers(0, 16, (spb - 1), dtype=np.uint8)
+        ms = bytes((int(data_nibs[i + 1]) << 4) | int(data_nibs[i])
+                   for i in range(0, spb - 1, 2))
+        blocks += struct.pack("<hBB", pred, idx, 0) + ms
+        ref_hi = bytes((int(data_nibs[i]) << 4) | int(data_nibs[i + 1])
+                       for i in range(0, spb - 1, 2))
+        ref, _ = audioop.adpcm2lin(ref_hi, 2, (pred, idx))
+        expect.append([pred] + list(np.frombuffer(ref, dtype="<i2")))
+    fmt = _fmt_body(0x11, 1, 8000, 4)[:12] + struct.pack("<HH", align, 4) \
+        + struct.pack("<HH", 2, spb)
+    out, rate = wav_codec.decode_wav(_riff([(b"fmt ", fmt), (b"data", blocks)]))
+    assert rate == 8000 and out.shape == (2 * spb,)
+    assert np.array_equal(out, np.array(expect, dtype=np.int16).ravel())
+
+    # 3) stereo interleave: two independent channels, 4-byte word groups
+    spb2 = 9           # 8 bytes headers + 8 data bytes = 16-byte block
+    align2 = 16
+    chan_nibs = [rng.integers(0, 16, spb2 - 1, dtype=np.uint8) for _ in range(2)]
+    states = [(100, 10), (-2000, 44)]
+    block = b"".join(struct.pack("<hBB", p, i, 0) for p, i in states)
+    for word in range(1):  # one 4-byte word per channel
+        for c in range(2):
+            ns = chan_nibs[c][word * 8 : word * 8 + 8]
+            block += bytes((int(ns[i + 1]) << 4) | int(ns[i]) for i in range(0, 8, 2))
+    fmt2 = _fmt_body(0x11, 2, 16000, 4)[:12] + struct.pack("<HH", align2, 4) \
+        + struct.pack("<HH", 2, spb2)
+    out, _ = wav_codec.decode_wav(_riff([(b"fmt ", fmt2), (b"data", block)]))
+    assert out.shape == (spb2, 2)
+    for c in range(2):
+        ref_hi = bytes((int(chan_nibs[c][i]) << 4) | int(chan_nibs[c][i + 1])
+                       for i in range(0, 8, 2))
+        ref, _ = audioop.adpcm2lin(ref_hi, 2, states[c])
+        want = [states[c][0]] + list(np.frombuffer(ref, dtype="<i2"))
+        assert np.array_equal(out[:, c], np.array(want, dtype=np.int16)), c
+
+    # corrupt step index refuses
+    bad = struct.pack("<hBB", 0, 89, 0) + b"\x00" * 252
+    with pytest.raises(ValueError, match="step index"):
+        wav_codec.decode_wav(_riff([(b"fmt ", fmt), (b"data", bad)]))
