@@ -103,10 +103,12 @@ def _build_alaw_table() -> np.ndarray:
     sign = codes & 0x80
     exponent = (codes >> 4) & 0x07
     mantissa = codes & 0x0F
+    # np.where evaluates BOTH branches: keep the discarded shift count
+    # non-negative (a negative shift is undefined in numpy)
     magnitude = np.where(
         exponent == 0,
         (mantissa << 1) + 1,
-        ((mantissa << 1) + 33) << (exponent - 1),
+        ((mantissa << 1) + 33) << np.maximum(exponent, 1) - 1,
     )
     # a-law MSB=1 encodes POSITIVE (opposite of mu-law's post-invert)
     out = np.where(sign, magnitude, -magnitude) * 8  # 13-bit -> 16-bit
