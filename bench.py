@@ -169,8 +169,10 @@ HEADLINE = [
     "arrow_token_surface",
     "arrow_grouped_stats",
     # round-4 twenty-first wave: LATERAL decorrelation + pandas dialect
+    # + inlined SQL-defined functions
     "sql_lateral_topn",
     "ps_pandas_api_stats",
+    "sql_udf_inline",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

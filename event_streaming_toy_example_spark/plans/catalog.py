@@ -494,6 +494,9 @@ FAMILY_REP: dict[str, str] = {
     # pins; the pandas-API dialect compiles to the scan+agg family
     "sql_lateral_topn": "window_top_orders",
     "ps_pandas_api_stats": "agg_pricing_summary",
+    # SQL-defined functions inline into the caller's plan — the
+    # zero-cost sibling of the registered-UDTF slow-path surface
+    "sql_udf_inline": "agg_pricing_summary",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

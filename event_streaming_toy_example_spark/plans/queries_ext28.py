@@ -109,12 +109,61 @@ ORDER BY o_orderstatus
 """
 
 
+def q_sql_udf_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION …
+    RETURN expr``) used inside a grouped aggregate.
+
+    The point this entry pins: a SQL UDF is NOT a UDF in the execution
+    sense — Catalyst inlines the body into the caller's plan, so the
+    physical plan is the same partial/final HashAggregate over a
+    codegen expression as if the formula were written inline (no
+    Python/eval node of any kind; plan-asserted).  This is the
+    zero-cost path for shared business formulas at 100 TB — the
+    contrast to the registered-Python-UDTF slow-path surface
+    (``queries_ext7``).  Exact integer cents per the repo's
+    cross-engine convention."""
+    register_testdata_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rev_cents(price DOUBLE, "
+        "disc DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(round(price * (1 - disc) * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(rev_cents(l_extendedprice, l_discount)) AS revenue_cents,
+               max(rev_cents(l_extendedprice, l_discount)) AS max_item_cents,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# the oracle inlines the function body — which is exactly what Catalyst
+# does on the Spark side (the semantic claim under test)
+SQL_SQL_UDF_INLINE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       max(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS max_item_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 EXT28_QUERIES = {
     "sql_lateral_topn": q_sql_lateral_topn,
     "ps_pandas_api_stats": q_ps_pandas_api_stats,
+    "sql_udf_inline": q_sql_udf_inline,
 }
 
 EXT28_ORACLES = {
     "sql_lateral_topn": SQL_SQL_LATERAL_TOPN,
     "ps_pandas_api_stats": SQL_PS_PANDAS_API_STATS,
+    "sql_udf_inline": SQL_SQL_UDF_INLINE,
 }

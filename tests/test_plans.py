@@ -392,3 +392,18 @@ def test_pandas_api_compiles_to_native_hash_aggregate(spark):
     assert set(c.split("#")[0] for c in cols.split(",")) == {
         "o_orderstatus", "o_totalprice"
     }, cols
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """A SQL-defined function must INLINE: the aggregate runs over the
+    expanded codegen expression with no Python evaluation node — the
+    zero-cost path for shared formulas, unlike registered Python UDFs."""
+    df = ALL_QUERIES["sql_udf_inline"](spark, SF_DIR)
+    plan, shuffles, _ = _counts(df)
+    assert "HashAggregate" in plan, plan
+    for node in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+        assert node not in plan, plan
+    cols = plan.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+    }, cols
