@@ -300,3 +300,39 @@ def test_segments_rebuild_model_property(spark, docs):
         assert r.n_segments == len(parts)
         assert r.n_kept == len(kept)
         assert r.kept_text == " ".join(kept)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_wav_decoder_total_on_garbage(payload):
+    """The RIFF chunk walker must TOTALIZE: any byte string either
+    decodes or raises ValueError/NotImplementedError — never an
+    IndexError/struct.error/numpy crash, and never a silent misread
+    that returns for a stream that is not RIFF/WAVE at all."""
+    from event_streaming_toy_example_spark.functions import wav_codec
+
+    try:
+        samples, rate = wav_codec.decode_wav(payload)
+    except (ValueError, NotImplementedError):
+        return
+    # decoded: must have been a genuine RIFF/WAVE header
+    assert wav_codec.is_wav(payload)
+    assert rate >= 1 and samples.ndim in (1, 2)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_wav_decoder_total_on_riff_shaped_garbage(body):
+    """Same totality property on adversarial inputs that PASS the
+    RIFF/WAVE magic check — the walker, fmt parser, and every format
+    branch must validate their own fields."""
+    import struct
+
+    from event_streaming_toy_example_spark.functions import wav_codec
+
+    payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"WAVE" + body
+    try:
+        samples, rate = wav_codec.decode_wav(payload)
+    except (ValueError, NotImplementedError):
+        return
+    assert rate >= 1 and samples.ndim in (1, 2)
