@@ -173,6 +173,7 @@ HEADLINE = [
     "sql_lateral_topn",
     "ps_pandas_api_stats",
     "sql_udf_inline",
+    "curate_contamination_score",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a

@@ -497,6 +497,9 @@ FAMILY_REP: dict[str, str] = {
     # SQL-defined functions inline into the caller's plan — the
     # zero-cost sibling of the registered-UDTF slow-path surface
     "sql_udf_inline": "agg_pricing_summary",
+    # the fractional ppm report is the score-valued sibling of the
+    # boolean benchmark-decontamination rep
+    "curate_contamination_score": "curate_decontaminate",
 }
 
 _ALL_QUERIES: dict[str, QueryFn] = {

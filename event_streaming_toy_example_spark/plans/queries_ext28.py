@@ -31,7 +31,7 @@ engine a complete replacement rather than a port.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from event_streaming_toy_example_spark.schemas import (
     load_table,
@@ -156,14 +156,102 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+_CONTAM_RATE = 0.05
+_CONTAM_SALT = "bench"
+_CONTAM_K = 3
+
+
+def q_curate_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional benchmark-contamination report: for EVERY corpus doc
+    (not just hits), its shingle count, how many of those shingles
+    appear in the benchmark split, and the contamination rate in
+    exact integer ppm — the report a training-data release actually
+    publishes, where the boolean ``curate_decontaminate`` twin only
+    lists offenders.
+
+    Plan shape for 100 TB (same family as the boolean twin): benchmark
+    shingles are tiny and broadcast; the corpus builds shingles
+    row-locally, explodes, LEFT-broadcast-joins to mark membership,
+    and pays exactly one exchange — the per-doc aggregate.  The ppm is
+    integer arithmetic end-to-end (the repo's cross-engine rule)."""
+    from event_streaming_toy_example_spark.functions.curation import hash_gate
+    from event_streaming_toy_example_spark.functions.minhash import shingle_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = hash_gate(F.col("doc_id"), _CONTAM_RATE, _CONTAM_SALT)
+    bench_sh = (
+        docs.where(gate)
+        .select(F.explode(shingle_array(F.col("text"), _CONTAM_K)).alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corp_sh = docs.where(~gate).select(
+        "doc_id",
+        F.size(shingle_array(F.col("text"), _CONTAM_K)).alias("n_shingles"),
+        F.explode(shingle_array(F.col("text"), _CONTAM_K)).alias("shingle"),
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_shingles").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.expr("n_contaminated * 1000000L div n_shingles"),
+        )
+    )
+
+
+def _sql_curate_contamination_score() -> str:
+    from event_streaming_toy_example_spark.functions.curation import sql_hash_gate
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        _sql_shingles,
+        _sql_tokens,
+    )
+
+    gate = sql_hash_gate("doc_id", _CONTAM_RATE, _CONTAM_SALT)
+    toks = _sql_tokens("text")
+    shingles = _sql_shingles("toks", _CONTAM_K)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks, {gate} AS is_bench FROM documents
+),
+s AS (
+  SELECT doc_id, is_bench, {shingles} AS sh FROM t
+),
+bench_sh AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE is_bench
+),
+corp_sh AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle
+  FROM s WHERE NOT is_bench
+)
+SELECT c.doc_id,
+       CAST(max(c.n_shingles) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST((CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000) // max(c.n_shingles)
+            AS BIGINT) AS contamination_ppm
+FROM corp_sh c LEFT JOIN bench_sh b USING (shingle)
+GROUP BY c.doc_id
+"""
+
+
 EXT28_QUERIES = {
     "sql_lateral_topn": q_sql_lateral_topn,
     "ps_pandas_api_stats": q_ps_pandas_api_stats,
     "sql_udf_inline": q_sql_udf_inline,
+    "curate_contamination_score": q_curate_contamination_score,
 }
 
 EXT28_ORACLES = {
     "sql_lateral_topn": SQL_SQL_LATERAL_TOPN,
     "ps_pandas_api_stats": SQL_PS_PANDAS_API_STATS,
     "sql_udf_inline": SQL_SQL_UDF_INLINE,
+    "curate_contamination_score": _sql_curate_contamination_score(),
 }

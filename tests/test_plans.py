@@ -407,3 +407,17 @@ def test_sql_udf_inlines_into_codegen(spark):
     assert set(c.split("#")[0] for c in cols.split(",")) == {
         "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
     }, cols
+
+
+def test_contamination_score_broadcasts_benchmark(spark):
+    """The fractional contamination report must keep the corpus
+    un-shuffled except for the per-doc aggregate: benchmark shingles
+    broadcast (tiny side), corpus shingles explode row-locally, and
+    the only wide exchanges are the benchmark distinct and the doc
+    aggregate — never a shuffle of exploded corpus shingles for the
+    join itself."""
+    df = ALL_QUERIES["curate_contamination_score"](spark, SF_DIR)
+    plan, shuffles, bcast = _counts(df)
+    assert bcast >= 1, plan
+    assert shuffles <= 2, plan
+    assert "CartesianProduct" not in plan, plan
