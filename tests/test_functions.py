@@ -691,3 +691,54 @@ def test_wav_ima_adpcm_matches_audioop():
     bad = struct.pack("<hBB", 0, 89, 0) + b"\x00" * 252
     with pytest.raises(ValueError, match="step index"):
         wav_codec.decode_wav(_riff([(b"fmt ", fmt), (b"data", bad)]))
+
+
+def test_audio_dsp_over_nonpcm16_wavs_through_engine(spark):
+    """The new decode paths (G.711 mu-law, float32, metadata-chunked
+    RIFF) must work THROUGH the engine — binary column -> Arrow batch
+    -> chunk-walker decode inside executors — not just as unit calls.
+    Expected features are computed test-side with numpy from the same
+    deterministic payloads."""
+    import struct
+
+    import numpy as np
+
+    from event_streaming_toy_example_spark.functions import wav_codec
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        extract_audio_dsp,
+    )
+
+    def dsp(s):
+        s = s.astype(np.int64)
+        n = len(s)
+        return (
+            n,
+            int((s * s).sum()) // n,
+            int(((s[:-1] * s[1:]) < 0).sum()),
+            int(np.abs(s).max()),
+        )
+
+    rows, expect = [], {}
+    for d in range(6):
+        n = 64 + 16 * d
+        codes = ((np.arange(n) * (d + 7)) % 256).astype(np.uint8)
+        if d % 2 == 0:  # mu-law, with a LIST chunk before data
+            body = _riff([
+                (b"LIST", b"INFOICMT" + struct.pack("<I", 4) + b"test"),
+                (b"fmt ", _fmt_body(7, 1, 8000, 8)),
+                (b"data", codes.tobytes()),
+            ])
+            expect[d] = dsp(wav_codec._MULAW_TABLE[codes])
+        else:  # IEEE float32 with a fact chunk
+            f = ((codes.astype(np.float32) - 128.0) * 17.0)
+            body = _riff([
+                (b"fmt ", _fmt_body(3, 1, 16000, 32)),
+                (b"fact", struct.pack("<I", n)),
+                (b"data", f.astype("<f4").tobytes()),
+            ])
+            expect[d] = dsp(f.astype("<f4"))
+        rows.append((d, bytearray(body)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.n_samples, r.ms_energy, r.zero_crossings, r.peak_abs)
+           for r in extract_audio_dsp(df).collect()}
+    assert got == expect

@@ -336,3 +336,53 @@ def test_wav_decoder_total_on_riff_shaped_garbage(body):
     except (ValueError, NotImplementedError):
         return
     assert rate >= 1 and samples.ndim in (1, 2)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.binary(min_size=4, max_size=4).filter(
+                lambda cid: cid not in (b"fmt ", b"data")
+            ),
+            st.binary(min_size=0, max_size=31),
+        ),
+        max_size=4,
+    ),
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_wav_metadata_chunks_are_transparent(chunks, n, seed):
+    """Inserting arbitrary non-fmt/data chunks (any id, any body, odd
+    or even sized) around the payload must not change the decode — the
+    walker's skip path is content-transparent."""
+    import struct
+
+    import numpy as np
+
+    from event_streaming_toy_example_spark.functions import wav_codec
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32767, n, dtype=np.int16)
+    canonical = wav_codec.encode_wav(samples, 8000)
+    out0, rate0 = wav_codec.decode_wav(canonical)
+    assert rate0 == 8000 and np.array_equal(out0, samples)
+
+    # rebuild with the random chunks interleaved before fmt, between
+    # fmt and data, and after data
+    fmt_body = canonical[20:36]
+    data_body = canonical[44:]
+    k = len(chunks)
+    pre, mid, post = chunks[: k // 3], chunks[k // 3 : 2 * k // 3], chunks[2 * k // 3 :]
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    payload = b"".join(chunk(c, b) for c, b in pre)
+    payload += chunk(b"fmt ", fmt_body)
+    payload += b"".join(chunk(c, b) for c, b in mid)
+    payload += chunk(b"data", data_body)
+    payload += b"".join(chunk(c, b) for c, b in post)
+    full = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WAVE" + payload
+    out, rate = wav_codec.decode_wav(full)
+    assert rate == 8000 and np.array_equal(out, samples)
