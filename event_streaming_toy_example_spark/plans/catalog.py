@@ -165,7 +165,11 @@ FAMILY_REP: dict[str, str] = {
     # the HLL sketch is engine-specific and could only ever be
     # rows-only; its <5% accuracy test carries the sketch evidence)
     "approx_distinct_users": "distinct_users_daily",
-    "sketch_hll_users": "distinct_users_daily",
+    # round 5: the HLL entry became the family's ERROR-CONTRACT form
+    # (exact counts + err-within-budget flags, fully value-hashable)
+    # and takes the PRIMARY slot freed by text_fingerprint below; the
+    # raw estimates live on as the `_estimates` twin
+    "sketch_hll_users_estimates": "sketch_hll_users",
     # top-k family: window-rank form generalizes global sort+limit
     "sort_topk_orders": "window_top_orders",
     # existence-join family: anti is the rep, semi is its complement
@@ -184,10 +188,12 @@ FAMILY_REP: dict[str, str] = {
     # approx-sketch family's own value-hash verdict below
     "join_local_supplier_volume": "join_revenue_by_nation",
     # fingerprint family: the rolling-hash variant folds into the
-    # token-stats rep; text_fingerprint and text_langid returned to
-    # PRIMARY in round 4 (the round-3 bisect that borrowed their slots
-    # resolved — oracle HUGEINT cast, queries_ext2.py)
+    # token-stats rep; text_fingerprint (hash-passed rounds 1-4) is
+    # demoted in round 5 to free a driver slot for the HLL error
+    # contract — it stays locally value-replayed like every EXTENDED
+    # entry
     "text_fingerprint_rolling": "text_token_stats",
+    "text_fingerprint": "text_token_stats",
     # sessionization family: stateful streaming form is the rep
     "session_window_users": "stream_session_stateful",
     # time-window agg family: streaming tumbling-window rep
@@ -222,10 +228,16 @@ FAMILY_REP: dict[str, str] = {
     # survivors is downstream of components (wrong components ->
     # wrong survivors -> hash mismatch), so it checks both
     "dedup_cluster_components": "dedup_survivors",
-    # quantile family: exact percentiles entry is the hash-checked rep
+    # quantile family: exact percentiles entry is the hash-checked rep;
+    # round 5 turned the sketch entry into its error-contract form
+    # (hash-checked locally), keeping the raw estimates as a twin
     "sketch_quantiles_price": "percentiles_by_priority",
-    # LSH-blocked scale path of the label-blocked exact near-dup rep
+    "sketch_quantiles_price_estimates": "percentiles_by_priority",
+    # LSH-blocked scale path of the label-blocked exact near-dup rep;
+    # round 5 turned the LSH entry into its recall/precision-contract
+    # form (hash-checked locally), keeping the raw pairs as a twin
     "sim_embedding_near_dup_lsh": "sim_embedding_near_dup",
+    "sim_embedding_near_dup_lsh_pairs": "sim_embedding_near_dup",
     # raw ANN neighbor lists (engine-specific by design, rows-only);
     # the PRIMARY reps hash-check the recall-vs-exact contract the
     # oracle CAN predict (round 4)
@@ -268,9 +280,10 @@ FAMILY_REP: dict[str, str] = {
     "mm_gif_frames": "mm_jpeg_decode",
     # ninth wave: the spatial grid-blocked proximity join shares the
     # blocked-candidate-generation family with the deletion-
-    # neighborhood fuzzy rep (same verification construction: the
-    # oracle is the naive all-pairs join)
-    "geo_grid_join": "match_fuzzy_names",
+    # neighborhood fuzzy matcher (same verification construction: the
+    # oracle is the naive all-pairs join; rep since round 5: the ER
+    # pipeline that composes that blocking)
+    "geo_grid_join": "entity_resolution",
     # streaming MERGE sink: the streaming-apply surface of the CDC
     # upsert rep (same upsert_snapshot semantics, driven per batch)
     "stream_upsert_sink": "upsert_events_cdc",
@@ -325,9 +338,12 @@ FAMILY_REP: dict[str, str] = {
     "tpch_q21_waiting_suppliers": "anti_customers_without_orders",
     # fourth wave: the outer join is the stateful sibling of the inner
     # stream-stream rep; IVF-PQ extends the ANN family whose
-    # driver-checked exact baseline is the brute-force entry
+    # driver-checked exact baseline is the brute-force entry (round 5
+    # turned it into its recall-contract form; the raw neighbor list
+    # is the `_neighbors` twin)
     "stream_join_outer": "stream_stream_join",
     "sim_ivfpq_topk": "sim_topk_bruteforce",
+    "sim_ivfpq_topk_neighbors": "sim_topk_bruteforce",
     # fifth wave: snapshot diff is the inverse (derive-a-change-feed)
     # surface of the CDC apply rep; profiling and winsorizing are
     # scan+aggregate surfaces of existing agg families
@@ -336,8 +352,11 @@ FAMILY_REP: dict[str, str] = {
     "winsorize_revenue": "percentiles_by_priority",
     # sixth wave (rows-only approximation/ML surfaces): BPE counts are
     # a token-statistics surface; clustering an embedding-column one
+    # (round 5 turned it into its quality-contract form, hash-checked
+    # locally; the raw assignments are the `_assignments` twin)
     "text_bpe_tokens": "text_token_stats",
     "cluster_embeddings": "sim_topk_bruteforce",
+    "cluster_embeddings_assignments": "sim_topk_bruteforce",
     # seventh wave (event-analytics classics): funnel is a sequential
     # decorrelation chain (family rep: the decorrelated-subquery
     # entry); retention is a two-stage per-user aggregate (distinct-
@@ -397,11 +416,13 @@ FAMILY_REP: dict[str, str] = {
     # the map complex-type surface joins the semi-structured family
     # (array/struct/VARIANT twins all map to existing reps)
     "map_surface_events": "json_props_stats",
-    # round 4: small-file compaction (third layout operator) — layout
-    # ops are local-measured (bucketing/Z-order have no driver rows);
-    # this one's row-content-invariance contract IS oracle-expressible,
-    # so it joins the partition-derivation family's rep in EXTENDED
-    "layout_compact_invariance": "pipe_hourly_partitions",
+    # round 4: small-file compaction (third layout operator) — its
+    # row-content-invariance contract IS oracle-expressible, so round
+    # 5 PROMOTES it to PRIMARY (VERDICT r4 item 6: the only layout
+    # operator with a driver-checkable contract); the mixture-weights
+    # curation surface (hash-passed rounds 2-4) cedes its slot to the
+    # curation gate rep
+    "curate_mixture_weights": "curate_sample_scrub",
     # round 4: transformWithStateInPandas (state-v2) unlocked by the
     # protobuf fallback runtime + RocksDB provider — joins the
     # stateful-streaming family, sharing the batch-aggregate oracle
@@ -463,20 +484,28 @@ FAMILY_REP: dict[str, str] = {
     # source feeding the multimodal decode family
     "source_xml_roundtrip": "pipe_dedup_batch",
     "source_binaryfile_ingest": "mm_jpeg_decode",
-    # round-4 sixteenth wave: join-IVM joins the partial-aggregate
-    # maintenance family; the streaming Python source is the second
-    # registration surface of the synthetic-generator family
-    "ivm_join_delta": "agg_pricing_summary",
+    # round-4 sixteenth wave: join-IVM joined the partial-aggregate
+    # maintenance family; PROMOTED to PRIMARY in round 5 (VERDICT r4
+    # item 6: its oracle is a full re-join, so the driver hash covers
+    # exactly-once delta-term maintenance) — the simhash dedup surface
+    # (hash-passed rounds 1-4) cedes the slot to its minhash family
+    # sibling; the streaming Python source is the second registration
+    # surface of the synthetic-generator family
+    "dedup_simhash": "dedup_minhash_lsh",
     "pysource_stream_agg": "gen_events_profile",
     # round-4 seventeenth wave: the cogrouped-map API is the pandas
     # twin of the join-based as-of rep
     "cogroup_asof_counts": "asof_last_event_before_order",
     # real 2x2 box-downsample resize joins the real-decode family
     "mm_boxdown2": "mm_jpeg_decode",
-    # end-to-end ER composes the fuzzy-blocking family's rep with the
-    # components machinery; its oracle is an independent recursive-SQL
-    # closure, so the whole pipeline hash-checks as one relation
-    "entity_resolution": "match_fuzzy_names",
+    # end-to-end ER composes the fuzzy-blocking machinery with the
+    # components operators; its oracle is an independent recursive-SQL
+    # closure, so the whole pipeline hash-checks as one relation.
+    # Round 5 swaps the family's driver slot (VERDICT r4 item 6): ER
+    # is now the PRIMARY rep — it subsumes the fuzzy-blocking
+    # candidate generation match_fuzzy_names pins (wrong blocking ->
+    # wrong clusters -> hash mismatch)
+    "match_fuzzy_names": "entity_resolution",
     # nineteenth wave: the engine-managed streaming session-window is
     # the third sessionization surface; parameterized SQL is a
     # SQL-string-API binding surface

@@ -23,6 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from event_streaming_toy_example_spark.plans.queries_ext import (
+    SQL_ANN_RECALL_CONTRACT,
     await_or_raise,
     stage_once,
     stage_stream_input,
@@ -126,12 +127,21 @@ _PQ_KSUB = 16
 _PQ_DIM = 64
 
 
-def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ approximate top-k (approximation — rows-only check;
-    recall vs the exact baseline is asserted in
-    ``tests/test_queries_extra.py``).  Both index artifacts — IVF
-    centroids and the per-subspace PQ codebooks — are staged once per
-    corpus version, the production serving shape."""
+def q_sim_ivfpq_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF-PQ approximate top-k neighbor list (approximation —
+    rows-only check; ``sim_ivfpq_topk`` carries the hash-checked
+    recall contract, round 5).  Both index artifacts — IVF centroids
+    and the per-subspace PQ codebooks — are staged once per corpus
+    version, the production serving shape.
+
+    Probe/rerank calibration (round 5): ``n_probe=10, rerank=40``
+    is the measured minimum where per-query recall@5 clears the ANN
+    family's 0.6 contract floor at sf0.001/0.01/0.1 (mins 3/5, 3/5,
+    4/5) — ADC on near-random synthetic vectors needs a deeper exact
+    rerank pool than IVF-flat (whose floor holds at probe 8) because
+    the code-space ordering is noisier; the rerank cost stays bounded
+    (``rerank*k`` = 200 exact re-scores per query regardless of corpus
+    size)."""
     from event_streaming_toy_example_spark.functions.similarity import (
         ivfpq_topk,
         l2_normalize,
@@ -187,23 +197,51 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs.where(F.col("vec_id") < 5),
         k=5,
         n_cells=16,
-        n_probe=6,
+        n_probe=10,
         m=_PQ_M,
         k_sub=_PQ_KSUB,
         dim=_PQ_DIM,
+        rerank=40,
         centroids=centroids,
         codebooks=books,
         index=spark.read.parquet(index_path),
     )
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k recall contract: per-query ``recall@5 >= floor``
+    vs the in-query exact brute-force top-k — value-hash-checked by
+    the driver (round 5; same construction as ``sim_lsh_topk`` /
+    ``sim_ivf_topk``, ``functions/similarity.py::topk_recall_contract``)."""
+    from event_streaming_toy_example_spark.functions.similarity import (
+        brute_force_topk,
+        topk_recall_contract,
+    )
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        _ANN_RECALL_FLOOR_PPM,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5)
+    return topk_recall_contract(
+        q_sim_ivfpq_topk_neighbors(spark, sf_dir),
+        brute_force_topk(embs, queries, k=5),
+        k=5,
+        floor_ppm=_ANN_RECALL_FLOOR_PPM,
+    )
+
+
 EXT11_QUERIES = {
     "stream_join_outer": q_stream_join_outer,
     "sim_ivfpq_topk": q_sim_ivfpq_topk,
+    "sim_ivfpq_topk_neighbors": q_sim_ivfpq_topk_neighbors,
 }
+
 
 EXT11_ORACLES = {
     "stream_join_outer": SQL_STREAM_JOIN_OUTER,
-    # sim_ivfpq_topk: approximation — rows-only by design; recall and
-    # exactness of the rerank are covered by local tests.
+    # sim_ivfpq_topk (round 5): the RECALL CONTRACT is oracle-
+    # predictable even though the raw neighbor list is engine-specific;
+    # the `_neighbors` twin stays rows-only by design.
+    "sim_ivfpq_topk": SQL_ANN_RECALL_CONTRACT,
 }

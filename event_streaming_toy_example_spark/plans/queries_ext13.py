@@ -57,11 +57,11 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
-def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus clustering surface: staged KMeans centroids over the
+def _cluster_assignments(spark: SparkSession, sf_dir: str):
+    """Shared KMeans assignment pass: staged centroids over the
     L2-normalized embeddings, broadcast nearest-centroid assignment
-    (the same ``ivf_assign`` pass the ANN index uses), per-cluster
-    size + deterministic min-member anchor."""
+    (the same ``ivf_assign`` pass the ANN index uses).  Returns
+    (assigned, centroids, unit-normalized corpus)."""
     from event_streaming_toy_example_spark.functions.similarity import (
         ivf_assign,
         l2_normalize,
@@ -79,6 +79,17 @@ def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     assigned = ivf_assign(unit, centroids, "vec_id", "embedding", n_probe=1)
+    return assigned, centroids, unit
+
+
+def q_cluster_embeddings_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Raw corpus clustering surface: per-cluster size + deterministic
+    min-member anchor (centroids are engine-specific -> rows-only;
+    ``cluster_embeddings`` carries the hash-checked quality contract,
+    round 5)."""
+    assigned, _, _ = _cluster_assignments(spark, sf_dir)
     return (
         assigned.groupBy("cell")
         .agg(
@@ -89,13 +100,93 @@ def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_N = 8
+#: Separation floor: mean cosine of each vector to its OWN centroid
+#: must beat the mean cosine to the global mean direction by this many
+#: ppm.  Measured margin (deterministic xxhash64-sampled KMeans):
+#: 225000 / 216000 / 198800 ppm at sf0.001 / 0.01 / 0.1 — 100000
+#: (0.10 cosine) keeps ~2x headroom while failing any degenerate
+#: clustering (a one-cluster collapse scores margin ~0).
+_CLUSTER_SEP_FLOOR_PPM = 100_000
+
+
+def q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality contract (round 5) — value-hash-checked.
+
+    Centroids are engine-specific, but three relations about the
+    clustering are oracle-predictable: the cluster count is a
+    deterministic function of the training config (``n_cells=8``);
+    every corpus vector is assigned exactly once (``n_assigned`` =
+    the corpus count, which DuckDB computes independently); and the
+    clustering genuinely separates — the mean cosine of vectors to
+    their own centroid beats the mean cosine to the global mean
+    direction by a ppm floor.  A degenerate clustering (all vectors
+    in one cell — caught once in round 4's ER work) fails both the
+    count and the separation flag."""
+    from event_streaming_toy_example_spark.functions.similarity import (
+        cosine_similarity,
+    )
+
+    assigned, centroids, unit = _cluster_assignments(spark, sf_dir)
+    uv = unit.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    joined = assigned.join(uv, "vid").join(centroids, "cell")
+    own = joined.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.count_distinct("cell").alias("n_clusters"),
+        F.avg(cosine_similarity(F.col("v"), F.col("cent"))).alias("own_cos"),
+    )
+    # global mean direction: per-dimension average folded back into an
+    # array literal-shaped column (one tiny aggregate, broadcast)
+    dim_means = (
+        unit.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+        .select(F.transform("ms", lambda s: s.getField("m")).alias("gvec"))
+    )
+    glob = (
+        unit.crossJoin(F.broadcast(dim_means))  # single-row global vector
+        .agg(
+            F.avg(cosine_similarity(F.col("embedding"), F.col("gvec"))).alias(
+                "glob_cos"
+            )
+        )
+    )
+    return own.crossJoin(glob).select(  # two single-row aggregates
+        F.col("n_clusters").cast("int").alias("n_clusters"),
+        F.col("n_assigned").cast("long").alias("n_assigned"),
+        F.lit(_CLUSTER_SEP_FLOOR_PPM).cast("int").alias("sep_floor_ppm"),
+        (
+            (F.col("own_cos") - F.col("glob_cos")) * F.lit(1_000_000)
+            >= F.lit(_CLUSTER_SEP_FLOOR_PPM)
+        )
+        .cast("int")
+        .alias("separation_ok"),
+    )
+
+
+SQL_CLUSTER_QUALITY_CONTRACT = f"""
+SELECT CAST({_CLUSTER_N} AS INT) AS n_clusters,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       CAST({_CLUSTER_SEP_FLOOR_PPM} AS INT) AS sep_floor_ppm,
+       CAST(1 AS INT) AS separation_ok
+FROM embeddings
+"""
+
+
 EXT13_QUERIES = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "cluster_embeddings": q_cluster_embeddings,
+    "cluster_embeddings_assignments": q_cluster_embeddings_assignments,
 }
 
-#: both rows-only by design: BPE merge replay and KMeans centroids are
-#: engine-specific; tests/test_bpe.py reproduces the full pipeline with
-#: an independent pure-Python reference, and cluster determinism +
-#: coverage are unit-tested.
-EXT13_ORACLES: dict[str, str] = {}
+#: text_bpe_tokens and the raw `_assignments` twin stay rows-only by
+#: design (BPE merge replay and KMeans centroids are engine-specific;
+#: tests/test_bpe.py reproduces the full pipeline with an independent
+#: pure-Python reference).  cluster_embeddings (round 5) carries the
+#: hash-checked quality contract: cluster count, total coverage
+#: (n_assigned computed independently by DuckDB), and a separation
+#: floor.
+EXT13_ORACLES: dict[str, str] = {
+    "cluster_embeddings": SQL_CLUSTER_QUALITY_CONTRACT,
+}

@@ -251,16 +251,16 @@ JOIN events e
 # --------------------------------------------------------------------------
 
 
-def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sketch_hll_users_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Distinct users per event type via Datasketches HLL, plus the
     union sketch across all types ('__all__' row) — demonstrating the
     property that matters at 100 TB: sketches merge, so per-partition /
     per-day sketches roll up without re-scanning raw data.
 
-    Rows-only oracle check (estimates are engine-specific);
-    tests/test_queries_extra.py bounds the estimate error vs the exact
-    distinct count at < 5%.
-    """
+    Raw estimates are engine-specific → rows-only; the driver-checked
+    error contract lives in ``sketch_hll_users`` (round 5)."""
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
@@ -276,6 +276,70 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: HLL(lg_k=12) error budget vs the exact distinct count, in ppm.
+#: Measured worst case (deterministic sketch): 0 at sf0.001/sf0.01,
+#: 4000 ppm at sf0.1 — 20000 gives 5x headroom while still far
+#: tighter than the library's published 1.6% rse at lg_k=12.
+_HLL_ERR_BUDGET_PPM = 20_000
+
+
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL error contract (round 5) — value-hash-checked by the driver.
+
+    The sketch estimate is engine-specific, but its ERROR RELATION to
+    the exact distinct count is oracle-predictable: per event type
+    (plus the '__all__' union-sketch row), emit the exact count — which
+    DuckDB computes independently — and an integer flag that the HLL
+    estimate landed within the ppm budget.  An estimator regression
+    (or a broken union-merge path) flips the driver hash red instead
+    of hiding behind a rows-only check; same construction as the ANN
+    recall contracts (``functions/similarity.py::topk_recall_contract``)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    overall = (
+        per_type.agg(
+            F.hll_union_agg("sk").alias("sk"),
+        )
+        .crossJoin(  # single-row x single-row: the union sketch needs
+            # the GLOBAL exact count, not the sum of per-type counts
+            ev.agg(F.count_distinct("user_id").alias("exact_users"))
+        )
+        .select(F.lit("__all__").alias("event_type"), "sk", "exact_users")
+    )
+    est = F.hll_sketch_estimate("sk").cast("long")
+    err_ppm = F.abs(est - F.col("exact_users")) * F.lit(1_000_000)
+    return (
+        per_type.select("event_type", "sk", "exact_users")
+        .unionByName(overall)
+        .select(
+            "event_type",
+            "exact_users",
+            F.lit(_HLL_ERR_BUDGET_PPM).cast("int").alias("err_budget_ppm"),
+            (err_ppm <= F.lit(_HLL_ERR_BUDGET_PPM) * F.col("exact_users"))
+            .cast("int")
+            .alias("err_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SKETCH_HLL_CONTRACT = f"""
+WITH per_type AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__', COUNT(DISTINCT user_id) FROM events
+)
+SELECT event_type, CAST(exact_users AS BIGINT) AS exact_users,
+       CAST({_HLL_ERR_BUDGET_PPM} AS INT) AS err_budget_ppm,
+       CAST(1 AS INT) AS err_ok
+FROM per_type ORDER BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -345,6 +409,7 @@ EXT3_QUERIES = {
     "curate_documents": q_curate_documents,
     "stream_stream_join": q_stream_stream_join,
     "sketch_hll_users": q_sketch_hll_users,
+    "sketch_hll_users_estimates": q_sketch_hll_users_estimates,
 }
 
 EXT3_ORACLES = {
@@ -353,5 +418,8 @@ EXT3_ORACLES = {
     "text_term_topk": SQL_TEXT_TERM_TOPK,
     "curate_documents": _sql_curate_documents(),
     "stream_stream_join": SQL_STREAM_STREAM_JOIN,
-    # sketch_hll_users: rows-only by design (approximate, engine-specific)
+    # sketch_hll_users (round 5): the ERROR CONTRACT is hash-checked —
+    # exact counts computed independently by DuckDB + an err-within-
+    # budget flag; only the raw `_estimates` twin stays rows-only.
+    "sketch_hll_users": SQL_SKETCH_HLL_CONTRACT,
 }

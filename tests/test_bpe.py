@@ -130,12 +130,12 @@ def test_catalog_entry_matches_full_reference(spark):
 
 def test_cluster_embeddings_covers_corpus(spark):
     from event_streaming_toy_example_spark.plans.queries_ext13 import (
-        q_cluster_embeddings,
+        q_cluster_embeddings_assignments,
     )
 
-    out = q_cluster_embeddings(spark, SF_DIR_ORACLE).collect()
+    out = q_cluster_embeddings_assignments(spark, SF_DIR_ORACLE).collect()
     assert sum(r.n_vecs for r in out) == 500
     assert 1 <= len(out) <= 8
     # deterministic across invocations (staged centroids + argmin)
-    again = q_cluster_embeddings(spark, SF_DIR_ORACLE).collect()
+    again = q_cluster_embeddings_assignments(spark, SF_DIR_ORACLE).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -48,8 +48,11 @@ def test_ivf_topk_recall(spark):
 
 
 def test_approx_distinct_within_rsd(spark):
-    approx = {
-        r["event_type"]: r["approx_users"]
+    """Round 5: the entry is now the ERROR CONTRACT — exact counts +
+    an err-within-budget flag.  The flag must be green for every type
+    and the exact side must match an independent countDistinct."""
+    contract = {
+        r["event_type"]: (r["exact_users"], r["err_ok"])
         for r in q_approx_distinct_users(spark, SF_DIR_ORACLE).collect()
     }
     exact = {
@@ -59,10 +62,11 @@ def test_approx_distinct_within_rsd(spark):
         .agg(F.countDistinct("user_id").alias("exact_users"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(contract) == set(exact)
     for et, ex in exact.items():
-        # 0.02 rsd -> allow a generous 3-sigma band plus small-n slack
-        assert abs(approx[et] - ex) <= max(3, 0.06 * ex), (et, approx[et], ex)
+        got_exact, err_ok = contract[et]
+        assert got_exact == ex, (et, got_exact, ex)
+        assert err_ok == 1, f"{et}: HLL++ estimate outside budget"
 
 
 def test_hll_sketch_estimate_accuracy(spark):
@@ -71,12 +75,12 @@ def test_hll_sketch_estimate_accuracy(spark):
     union-sketch row must match the global distinct count — merging
     sketches must not lose accuracy."""
     from event_streaming_toy_example_spark.plans.queries_ext3 import (
-        q_sketch_hll_users,
+        q_sketch_hll_users_estimates,
     )
 
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in q_sketch_hll_users(spark, SF_DIR_ORACLE).collect()
+        for r in q_sketch_hll_users_estimates(spark, SF_DIR_ORACLE).collect()
     }
     ev = load_table(spark, SF_DIR_ORACLE, "events")
     exact = {
@@ -270,7 +274,7 @@ def test_sketch_quantiles_close_to_exact(spark):
     """approx_percentile must land within 1% (relative) of the exact
     percentiles at sf0.01 with accuracy=10000."""
     from event_streaming_toy_example_spark.plans.queries_ext6 import (
-        q_sketch_quantiles_price,
+        q_sketch_quantiles_price_estimates,
     )
     from event_streaming_toy_example_spark.schemas import load_table
     from pyspark.sql import functions as F
@@ -278,7 +282,9 @@ def test_sketch_quantiles_close_to_exact(spark):
 
     approx = {
         r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
-        for r in q_sketch_quantiles_price(spark, SF_DIR_ORACLE).collect()
+        for r in q_sketch_quantiles_price_estimates(
+            spark, SF_DIR_ORACLE
+        ).collect()
     }
     exact = {
         r["o_orderpriority"]: (r["e50"], r["e90"], r["e99"])
