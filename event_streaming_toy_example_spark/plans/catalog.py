@@ -150,6 +150,10 @@ from event_streaming_toy_example_spark.plans.queries_ext28 import (
     EXT28_ORACLES,
     EXT28_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext29 import (
+    EXT29_ORACLES,
+    EXT29_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -391,6 +395,12 @@ FAMILY_REP: dict[str, str] = {
     # the PIT interval lookup is the consuming surface of the SCD2
     # history built by the table-maintenance family
     "scd2_point_lookup": "upsert_events_cdc",
+    # round 5: the unified transactional table's snapshot-isolation
+    # contract takes a PRIMARY slot (it is THE round-5 architecture
+    # item — one commit log for append/upsert/compact/evolve); the
+    # range-join entry (hash-passed rounds 1-4) cedes its slot to the
+    # temporal-join family's as-of rep
+    "range_join_order_activity": "asof_last_event_before_order",
     # integer tf-idf retrieval joins the term-statistics family (its
     # top-k tail is the TakeOrderedAndProject shape the sort-topk rep
     # pins)
@@ -561,6 +571,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT26_QUERIES,
     **EXT27_QUERIES,
     **EXT28_QUERIES,
+    **EXT29_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -593,6 +604,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT26_ORACLES,
     **EXT27_ORACLES,
     **EXT28_ORACLES,
+    **EXT29_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

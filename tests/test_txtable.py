@@ -1,0 +1,350 @@
+"""Unified transactional table (`operators/txtable.py`): snapshot
+isolation, time travel, optimistic concurrency, crash windows, vacuum,
+schema evolution, and MERGE file-pruning — the one-log replacement for
+the three per-operator commit protocols.
+
+Crash-injection style follows tests/test_upsert.py: monkeypatch the
+single commit point (or skip it entirely) and assert readers/recovery
+behave exactly-once."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_toy_example_spark.operators import txtable as tx
+
+
+def _df(spark, rows, schema="k int, ts int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _content(spark, path, version=None):
+    df = tx.read_table(spark, path, version)
+    return sorted(
+        tuple(r) for r in df.select(*sorted(df.columns)).collect()
+    )
+
+
+# ------------------------------------------------------------ basics
+
+
+def test_create_append_and_read(spark, tmp_path):
+    p = str(tmp_path / "t")
+    v1 = tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]), p)
+    assert v1 == 1
+    v2 = tx.tx_append(_df(spark, [(3, 1, "c")]), p)
+    assert v2 == 2
+    assert _content(spark, p) == [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]
+    # time travel: version 1 never sees version 2's rows
+    assert _content(spark, p, version=1) == [(1, 1, "a"), (2, 1, "b")]
+
+
+def test_snapshot_isolation_reader_pinned_before_later_commits(
+    spark, tmp_path
+):
+    """The defining property: a snapshot resolved at version N yields
+    the same rows no matter how many commits land afterwards."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    pinned = tx.read_table(spark, p, version=1)  # lazy plan, pinned files
+    before = sorted(tuple(r) for r in pinned.collect())
+    tx.tx_append(_df(spark, [(2, 1, "b")]), p)
+    tx.tx_upsert(
+        spark, p, _df(spark, [(1, 2, "a2")]), keys=["k"], order_by=["ts"]
+    )
+    # the pinned version re-reads identically AFTER append+upsert
+    assert _content(spark, p, version=1) == before == [(1, 1, "a")]
+    assert _content(spark, p) == [(1, 2, "a2"), (2, 1, "b")]
+
+
+def test_upsert_merge_semantics_and_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]), p)
+    tx.tx_upsert(
+        spark,
+        p,
+        _df(spark, [(2, 5, "b2"), (9, 1, "new")]),
+        keys=["k"],
+        order_by=["ts"],
+    )
+    assert _content(spark, p) == [(1, 1, "a"), (2, 5, "b2"), (9, 1, "new")]
+    assert _content(spark, p, version=1) == [(1, 1, "a"), (2, 1, "b")]
+
+
+def test_upsert_prunes_untouched_files(spark, tmp_path):
+    """File-level MERGE pruning: a file holding no affected key must
+    carry over by REFERENCE (same name in the next snapshot), not be
+    rewritten."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]).coalesce(1), p)
+    tx.tx_append(_df(spark, [(100, 1, "z")]).coalesce(1), p)
+    files_before = set(tx.snapshot(p).files)
+    tx.tx_upsert(
+        spark, p, _df(spark, [(1, 2, "a2")]), keys=["k"], order_by=["ts"]
+    )
+    files_after = set(tx.snapshot(p).files)
+    log = tx.read_log(p)
+    assert log[-1].action == "upsert"
+    # exactly the file holding k=1 was removed; k=100's file survives
+    assert len(log[-1].remove) == 1
+    assert (files_before - set(log[-1].remove)) <= files_after
+    assert _content(spark, p) == [(1, 2, "a2"), (100, 1, "z")]
+
+
+def test_compaction_is_content_invariant_and_commutes_with_history(
+    spark, tmp_path
+):
+    p = str(tmp_path / "t")
+    for i in range(6):
+        tx.tx_append(_df(spark, [(i, 1, f"r{i}")]).coalesce(1), p)
+    before = _content(spark, p)
+    n_files_before = len(tx.snapshot(p).files)
+    v = tx.tx_compact(spark, p, target_bytes=1 << 30)
+    assert v == 7
+    assert _content(spark, p) == before
+    assert len(tx.snapshot(p).files) < n_files_before
+    # pre-compaction versions still time-travel bit-identically
+    assert _content(spark, p, version=3) == before[:3]
+
+
+def test_compact_selective_leaves_big_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    big = (
+        spark.range(2000)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.lit(1).alias("ts"),
+            # incompressible content so the file genuinely exceeds the
+            # small-file threshold after parquet compression
+            F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        )
+        .coalesce(1)
+    )
+    tx.tx_append(big, p)
+    for i in range(4):
+        tx.tx_append(_df(spark, [(10_000 + i, 1, "s")]).coalesce(1), p)
+    sizes = {
+        f: os.path.getsize(os.path.join(p, f)) for f in tx.snapshot(p).files
+    }
+    big_file = max(sizes, key=sizes.get)
+    tx.tx_compact(spark, p, target_bytes=1 << 30, small_file_bytes=10_000)
+    log = tx.read_log(p)
+    assert log[-1].action == "compact"
+    assert big_file not in log[-1].remove
+    assert big_file in tx.snapshot(p).files
+
+
+# ------------------------------------------------- schema evolution
+
+
+def test_evolution_additive_column_and_null_fill(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    tx.tx_append(
+        spark.createDataFrame(
+            [(2, 1, "b", 0.5)], "k int, ts int, v string, score double"
+        ),
+        p,
+    )
+    df = tx.read_table(spark, p)
+    assert set(df.columns) == {"k", "ts", "v", "score"}
+    rows = {r["k"]: r["score"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == 0.5
+    # missing column on a later append null-fills instead of narrowing
+    tx.tx_append(_df(spark, [(3, 1, "c")]), p)
+    rows = {r["k"]: r["score"] for r in tx.read_table(spark, p).collect()}
+    assert rows[3] is None
+
+
+def test_evolution_type_change_refused(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    with pytest.raises(ValueError, match="schema evolution refused"):
+        tx.tx_append(
+            spark.createDataFrame([(2, 1, 3.0)], "k int, ts int, v double"), p
+        )
+
+
+def test_evolution_through_upsert(spark, tmp_path):
+    """A MERGE batch may carry a new column; history rows surface it
+    as NULL and the log schema evolves once."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]), p)
+    tx.tx_upsert(
+        spark,
+        p,
+        spark.createDataFrame(
+            [(1, 2, "a2", "eu")], "k int, ts int, v string, region string"
+        ),
+        keys=["k"],
+        order_by=["ts"],
+    )
+    rows = {r["k"]: r["region"] for r in tx.read_table(spark, p).collect()}
+    assert rows == {1: "eu", 2: None}
+
+
+# --------------------------------------------------- crash windows
+
+
+def test_crash_before_commit_leaves_readers_untouched(spark, tmp_path):
+    """Data files staged but the commit file never created: readers
+    see the prior version; vacuum sweeps the orphans."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    # stage files exactly as tx_append would, then "crash" (no commit)
+    orphans = tx._stage_files(_df(spark, [(2, 1, "b")]), p)
+    assert _content(spark, p) == [(1, 1, "a")]
+    assert tx.table_version(p) == 1
+    deleted = tx.vacuum(p, retain_versions=10)
+    assert set(orphans) <= set(deleted)
+    # table still intact and appendable after the sweep
+    tx.tx_append(_df(spark, [(3, 1, "c")]), p)
+    assert _content(spark, p) == [(1, 1, "a"), (3, 1, "c")]
+
+
+def test_crash_during_commit_write_is_detected(spark, tmp_path, monkeypatch):
+    """A torn commit file (crash between O_CREAT and the write) must
+    fail loudly on the next read, never silently drop a version."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    # simulate the torn window: an empty version-2 commit file
+    torn = tx._commit_path(p, 2)
+    os.makedirs(os.path.dirname(torn), exist_ok=True)
+    open(torn, "w").close()
+    with pytest.raises(json.JSONDecodeError):
+        tx.read_log(p)
+
+
+def test_commit_version_gap_detected(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    tx.tx_append(_df(spark, [(2, 1, "b")]), p)
+    os.remove(tx._commit_path(p, 1))
+    with pytest.raises(IOError, match="transaction log corrupt"):
+        tx.read_log(p)
+
+
+# ------------------------------------------- optimistic concurrency
+
+
+def test_concurrent_appends_both_commit(spark, tmp_path):
+    """Two appends prepared against the same read version: the loser
+    of the version race retries validation and lands at N+2."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    # both writers stage against read_version=1
+    f_a = tx._stage_files(_df(spark, [(2, 1, "b")]), p)
+    f_b = tx._stage_files(_df(spark, [(3, 1, "c")]), p)
+    schema = tx.read_log(p)[-1].schema
+    va = tx.commit(p, "append", f_a, [], schema, read_version=1)
+    vb = tx.commit(p, "append", f_b, [], schema, read_version=1)
+    assert (va, vb) == (2, 3)
+    assert _content(spark, p) == [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]
+
+
+def test_concurrent_upsert_vs_append_aborts_the_upsert(spark, tmp_path):
+    """An upsert whose read snapshot went stale (a concurrent append
+    landed first) must abort — its merge result is missing the new
+    rows."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    snap = tx.snapshot(p)
+    merged = tx._stage_files(_df(spark, [(1, 2, "a2")]), p)
+    # a concurrent append wins the race
+    tx.tx_append(_df(spark, [(2, 1, "b")]), p)
+    with pytest.raises(tx.ConcurrentWriteError, match="stale"):
+        tx.commit(
+            p,
+            "upsert",
+            merged,
+            list(snap.files),
+            tx.read_log(p)[-1].schema,
+            read_version=snap.version,
+        )
+    # table unharmed; the orphaned merge files are vacuumable
+    assert _content(spark, p) == [(1, 1, "a"), (2, 1, "b")]
+    assert set(merged) <= set(tx.vacuum(p, retain_versions=10))
+
+
+def test_concurrent_compaction_vs_append_commits(spark, tmp_path):
+    """Compaction only rewrites its victims, so a concurrent append
+    (new file, not a victim) must NOT abort it."""
+    p = str(tmp_path / "t")
+    for i in range(4):
+        tx.tx_append(_df(spark, [(i, 1, f"r{i}")]).coalesce(1), p)
+    snap = tx.snapshot(p)
+    packed = tx._stage_files(
+        spark.read.parquet(*[os.path.join(p, f) for f in snap.files]).coalesce(1),
+        p,
+    )
+    tx.tx_append(_df(spark, [(99, 1, "late")]).coalesce(1), p)
+    v = tx.commit(
+        p,
+        "compact",
+        packed,
+        list(snap.files),
+        tx.read_log(p)[-1].schema,
+        read_version=snap.version,
+    )
+    assert v == 6
+    assert _content(spark, p) == [
+        (0, 1, "r0"), (1, 1, "r1"), (2, 1, "r2"), (3, 1, "r3"), (99, 1, "late"),
+    ]
+
+
+def test_concurrent_compaction_vs_upsert_on_victim_aborts(spark, tmp_path):
+    """If a concurrent commit removed one of the compaction's victims,
+    rolling the compaction forward would resurrect the file's old rows
+    — it must abort."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]).coalesce(1), p)
+    tx.tx_append(_df(spark, [(2, 1, "b")]).coalesce(1), p)
+    snap = tx.snapshot(p)
+    packed = tx._stage_files(
+        spark.read.parquet(*[os.path.join(p, f) for f in snap.files]).coalesce(1),
+        p,
+    )
+    # concurrent upsert rewrites the file holding k=1
+    tx.tx_upsert(spark, p, _df(spark, [(1, 5, "a5")]), ["k"], ["ts"])
+    with pytest.raises(tx.ConcurrentWriteError, match="victim"):
+        tx.commit(
+            p,
+            "compact",
+            packed,
+            list(snap.files),
+            tx.read_log(p)[-1].schema,
+            read_version=snap.version,
+        )
+    assert _content(spark, p) == [(1, 5, "a5"), (2, 1, "b")]
+
+
+# ------------------------------------------------------------ vacuum
+
+
+def test_vacuum_respects_retention_window(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    tx.tx_upsert(spark, p, _df(spark, [(1, 2, "a2")]), ["k"], ["ts"])
+    tx.tx_upsert(spark, p, _df(spark, [(1, 3, "a3")]), ["k"], ["ts"])
+    # retain 2 newest: version 1's files may go, 2 and 3 must stay
+    tx.vacuum(p, retain_versions=2)
+    assert _content(spark, p, version=2) == [(1, 2, "a2")]
+    assert _content(spark, p, version=3) == [(1, 3, "a3")]
+    with pytest.raises(Exception):
+        _content(spark, p, version=1)  # physically vacuumed
+
+
+def test_replayed_upsert_batch_converges(spark, tmp_path):
+    """The streaming-sink replay contract, on the unified log: merging
+    the same change batch twice converges to the same table content."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]), p)
+    batch = _df(spark, [(2, 5, "b2")])
+    tx.tx_upsert(spark, p, batch, ["k"], ["ts"])
+    once = _content(spark, p)
+    tx.tx_upsert(spark, p, batch, ["k"], ["ts"])
+    assert _content(spark, p) == once
