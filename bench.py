@@ -87,12 +87,20 @@ HEADLINE = [
     "tpch_q14_promo_share",
     "tpch_q22_idle_balances",
     "stream_join_outer",
-    "sim_ivfpq_topk",
+    # rounds 3-4 benched this workload under the name "sim_ivfpq_topk";
+    # round 5 turned that entry into the hash-checked recall contract
+    # (same construction as the round-4 sim_ivf_topk swap above), so
+    # the raw ANN workload now lives under the `_neighbors` twin.
+    # Diff r5's sim_ivfpq_topk_neighbors against r4's sim_ivfpq_topk.
+    "sim_ivfpq_topk_neighbors",
     "snapshot_diff",
     "table_stats",
     "winsorize_revenue",
     "text_bpe_tokens",
-    "cluster_embeddings",
+    # same round-5 rename: the raw clustering workload benched rounds
+    # 3-4 as "cluster_embeddings" is now the `_assignments` twin (the
+    # catalog name carries the quality contract).
+    "cluster_embeddings_assignments",
     "funnel_conversion",
     "cohort_retention",
     "timeseries_gapfill",
@@ -174,6 +182,11 @@ HEADLINE = [
     "ps_pandas_api_stats",
     "sql_udf_inline",
     "curate_contamination_score",
+    # round-5 additions (appended; pre-existing names unchanged):
+    # the unified transactional table's end-to-end contract and the
+    # HLL error contract (sketch + exact distinct in one aggregate)
+    "tx_snapshot_isolation",
+    "sketch_hll_users",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -188,9 +201,9 @@ PRESTAGE = [
     "stream_cep_pattern",
     "stream_watermark_flush",
     "sim_ivf_topk_neighbors",
-    "sim_ivfpq_topk",
+    "sim_ivfpq_topk_neighbors",
     "text_bpe_tokens",
-    "cluster_embeddings",
+    "cluster_embeddings_assignments",
     "stream_running_stats",
     "source_orc_roundtrip",
     "source_csv_malformed",
@@ -199,6 +212,7 @@ PRESTAGE = [
     "source_binaryfile_ingest",
     "ivm_join_delta",
     "stream_session_window",
+    "tx_snapshot_isolation",
 ]
 
 
@@ -243,7 +257,7 @@ def _ingest_throughput(spark, n: int = 100_000) -> dict:
     }
 
 
-def main() -> None:
+def main(medians: bool = False) -> None:
     # Resolve against the FULL catalog (PRIMARY ∪ EXTENDED) so the
     # round-1 headline set stays diffable even though the driver-facing
     # __spark_entry__.queries() is trimmed to the ≤50 PRIMARY entries.
@@ -288,26 +302,53 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
+    n_runs = 3 if medians else 1
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        dt = round(time.perf_counter() - t0, 3)
-        release_caches()  # drop per-query persisted intermediates
-        # untimed JVM GC between queries (JMH-style): without it a
-        # query's measurement includes collections triggered by its
-        # predecessors' garbage (measured 2-3x inflation deep into the
-        # loop, docs/PLANS.md bench-context variance note)
-        try:
-            spark._jvm.System.gc()
-        except Exception:
-            pass
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+            release_caches()  # drop per-query persisted intermediates
+            # untimed JVM GC between queries (JMH-style): without it a
+            # query's measurement includes collections triggered by its
+            # predecessors' garbage (measured 2-3x inflation deep into
+            # the loop, docs/PLANS.md bench-context variance note)
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
+        dt = sorted(runs)[len(runs) // 2]  # median (run 1 when n=1)
         timings[name] = dt
         total += dt
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    if medians:
+        # the machine-readable standalone-median artifact VERDICT r4
+        # item 5 asked for: round-over-round comparisons diff THESE
+        # instead of in-loop one-shot values (which inflate with
+        # headline length — r4 had 13 apparent regressions, all noise)
+        artifact = {
+            "metric": "headline_query_medians_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "runs_per_query": n_runs,
+            "n_queries": len(timings),
+            "queries": timings,
+            "sf": sf_val,
+            "ingest": ingest,
+        }
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_MEDIANS.json"
+        )
+        with open(out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(json.dumps(artifact))
+        spark.stop()
+        return
     print(
         json.dumps(
             {
@@ -341,4 +382,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main(medians="--medians" in sys.argv[1:])

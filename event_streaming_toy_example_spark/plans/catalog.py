@@ -291,6 +291,11 @@ FAMILY_REP: dict[str, str] = {
     # streaming MERGE sink: the streaming-apply surface of the CDC
     # upsert rep (same upsert_snapshot semantics, driven per batch)
     "stream_upsert_sink": "upsert_events_cdc",
+    # round 5: mid-stream additive schema drift absorbed by the
+    # unified log's evolution contract — the streaming-sink sibling of
+    # the CDC apply family (hash-checked locally; tx_snapshot_isolation
+    # carries the log's driver row)
+    "stream_schema_drift": "upsert_events_cdc",
     # pair mining is a self-join + conditional-aggregate surface of
     # the set-op/user-overlap family; triangle counting joins the
     # graph family whose rep is the PageRank entry

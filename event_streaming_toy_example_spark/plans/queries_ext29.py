@@ -193,10 +193,149 @@ FROM cur GROUP BY event_type
 """
 
 
+# ------------------------------------------- streaming schema drift
+
+_DRIFT_CUTOFF = _TX_CUTOFF
+
+
+def _build_drift_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the drift exercise once per corpus: two NDJSON text waves
+    (wave 2 adds ``late_tag``) streamed with ``maxFilesPerTrigger=1``
+    into a transactional table via per-batch schema inference +
+    ``tx_append``.  Returns the table path; see
+    :func:`q_stream_schema_drift`.
+
+    Construction: two NDJSON text waves staged with staggered mtimes
+    (pre-cutoff events; post-cutoff events WITH a new ``late_tag``
+    column), delivered as ordered micro-batches by a file-source
+    stream with ``maxFilesPerTrigger=1``.  Each batch is parsed with
+    per-batch schema inference (text is the schema-free envelope — the
+    100 TB form pins schemas in a registry, but the DRIFT path is
+    exactly this: infer, then evolve additively) and appended to a
+    transactional table via ``tx_append``, whose additive-evolution
+    contract null-fills history and refuses type changes.  The result
+    is the evolved table aggregated per event type — tag counts and
+    value cents are oracle-predictable, so a dropped batch, a
+    truncated schema, or wrongly-filled history flips the hash.
+
+    The reference pins one inferred schema forever and silently drops
+    new fields (``toy_glue.py:36``, SURVEY.md §8.6) — this entry is
+    the fix for that bug class, exercised under streaming delivery.
+    """
+    import glob
+    import os
+    import uuid
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        await_or_raise,
+        stage_dir_once,
+    )
+
+    def build_waves(tmp: str) -> None:
+        pre = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("ts") < F.lit(_DRIFT_CUTOFF).cast("timestamp"))
+            .select("event_id", "user_id", "event_type", "value")
+            .select(F.to_json(F.struct("*")).alias("value"))
+        )
+        late = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("ts") >= F.lit(_DRIFT_CUTOFF).cast("timestamp"))
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                F.lit("late").alias("late_tag"),
+            )
+            .select(F.to_json(F.struct("*")).alias("value"))
+        )
+        for i, wave in enumerate((pre, late)):
+            wave.coalesce(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).text(tmp)
+        # stagger mtimes deterministically by name order so the
+        # file-source stream delivers wave 0 before wave 1 (text part
+        # files sort by task id: wave 0's single file precedes wave 1's)
+        base = os.path.getmtime(tmp)
+        for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*"))):
+            os.utime(f, (base + 60 * j, base + 60 * j))
+
+    waves = stage_dir_once(build_waves, "drift_waves_v1", sf_dir)
+
+    def build_table(tmp: str) -> None:
+        import tempfile
+
+        stream = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(waves)
+        )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            # per-batch schema inference: the schema-free drift path
+            # (a registry-pinned from_json is the steady-state path;
+            # DRIFT by definition arrives before the registry update).
+            # Column order is whatever inference yields — the table
+            # log's union schema governs the read side.
+            tx.tx_append(
+                spark.read.json(batch_df.rdd.map(lambda r: r.value)), tmp
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"drift_ckpt_{uuid.uuid4().hex[:6]}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "stream_schema_drift")
+        assert tx.table_version(tmp) == 2, tx.table_version(tmp)
+
+    return stage_dir_once(build_table, "drift_table_v1", sf_dir)
+
+
+def q_stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift END-TO-END through a running stream (VERDICT r4
+    item 7): producers deploy schema changes without draining, so the
+    ingest path must absorb a mid-stream column addition.  See
+    :func:`_build_drift_table` for the construction; the aggregate
+    here is oracle-predictable per event type — a dropped batch, a
+    truncated schema, or wrongly-filled history flips the hash."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    table = _build_drift_table(spark, sf_dir)
+    df = tx.read_table(spark, table)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+        F.count("late_tag").alias("n_tagged"),
+    )
+
+
+SQL_STREAM_SCHEMA_DRIFT = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_DRIFT_CUTOFF}' THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_tagged
+FROM events GROUP BY event_type
+"""
+
+
 EXT29_QUERIES = {
     "tx_snapshot_isolation": q_tx_snapshot_isolation,
+    "stream_schema_drift": q_stream_schema_drift,
 }
 
 EXT29_ORACLES = {
     "tx_snapshot_isolation": SQL_TX_SNAPSHOT_ISOLATION,
+    "stream_schema_drift": SQL_STREAM_SCHEMA_DRIFT,
 }

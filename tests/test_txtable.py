@@ -338,6 +338,27 @@ def test_vacuum_respects_retention_window(spark, tmp_path):
         _content(spark, p, version=1)  # physically vacuumed
 
 
+def test_stream_schema_drift_evolves_and_null_fills(spark):
+    """End-to-end streaming drift (catalog entry `stream_schema_drift`):
+    wave 2 adds `late_tag` mid-stream; the evolved table must carry
+    the union schema with wave-1 history NULL-filled, and the staged
+    build asserts exactly one commit per micro-batch."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.plans.queries_ext29 import (
+        _build_drift_table,
+    )
+    from tests.conftest import SF_DIR
+
+    table = _build_drift_table(spark, SF_DIR)
+    assert tx.table_version(table) == 2
+    df = tx.read_table(spark, table)
+    assert "late_tag" in df.columns
+    log = tx.read_log(table)
+    assert "late_tag" not in log[0].schema and "late_tag" in log[1].schema
+    n_v1 = df.where(F.col("late_tag").isNull()).count()
+    assert n_v1 == tx.read_table(spark, table, version=1).count() > 0
+
+
 def test_replayed_upsert_batch_converges(spark, tmp_path):
     """The streaming-sink replay contract, on the unified log: merging
     the same change batch twice converges to the same table content."""
