@@ -88,6 +88,12 @@ class Commit:
     schema: str
     read_version: int
     txn: str
+    #: (app_id, batch_id) for commits made by a streaming sink — the
+    #: idempotence token that makes micro-batch replay exactly-once
+    #: (same mechanism as Delta's txn action: a replayed batch finds
+    #: its id already in the log and skips, instead of relying on the
+    #: merge being semantically idempotent)
+    stream_txn: tuple[str, int] | None = None
 
 
 @dataclass(frozen=True)
@@ -121,6 +127,7 @@ def read_log(path: str) -> list[Commit]:
             continue
         with open(os.path.join(d, name)) as f:
             c = json.load(f)
+        st = c.get("stream_txn")
         out.append(
             Commit(
                 version=c["version"],
@@ -130,6 +137,7 @@ def read_log(path: str) -> list[Commit]:
                 schema=c["schema"],
                 read_version=c["read_version"],
                 txn=c["txn"],
+                stream_txn=(st[0], st[1]) if st else None,
             )
         )
     for i, c in enumerate(out, start=1):
@@ -256,6 +264,7 @@ def commit(
     remove: Sequence[str],
     schema: str,
     read_version: int,
+    stream_txn: tuple[str, int] | None = None,
 ) -> int:
     """Publish a transaction: validate against any commits that landed
     since ``read_version``, then atomically create the next commit
@@ -271,6 +280,17 @@ def commit(
         log = read_log(path)
         current = log[-1].version if log else 0
         _validate_against(action, remove, log[read_version:])
+        if stream_txn is not None:
+            # scan the WHOLE log, not just commits after read_version:
+            # a replayed micro-batch reads a snapshot that already
+            # CONTAINS its own earlier commit.  Inside the retry loop
+            # so a racing duplicate replay also stays exactly-once.
+            for c in log:
+                if c.stream_txn == tuple(stream_txn):
+                    raise ConcurrentWriteError(
+                        f"stream batch {stream_txn} already committed "
+                        f"as version {c.version}"
+                    )
         body = json.dumps(
             {
                 "version": current + 1,
@@ -280,6 +300,7 @@ def commit(
                 "schema": schema,
                 "read_version": read_version,
                 "txn": uuid.uuid4().hex,
+                "stream_txn": list(stream_txn) if stream_txn else None,
             },
             indent=0,
         ).encode()
@@ -382,6 +403,7 @@ def tx_upsert(
     changes: DataFrame,
     keys: Sequence[str],
     order_by: Sequence[str],
+    stream_txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE ``changes`` into the table (newest row per key wins,
     changes beat table rows on order ties — the same
@@ -440,7 +462,15 @@ def tx_upsert(
         _align(base, union_schema), _align(changes, union_schema), keys, order_by
     )
     files = _stage_files(merged, path)
-    return commit(path, "upsert", files, affected, union_schema, read_version)
+    return commit(
+        path,
+        "upsert",
+        files,
+        affected,
+        union_schema,
+        read_version,
+        stream_txn=stream_txn,
+    )
 
 
 def tx_compact(
@@ -484,6 +514,63 @@ def tx_compact(
         log[-1].schema,
         read_version,
     )
+
+
+def last_committed_batch(path: str, app_id: str) -> int | None:
+    """Highest micro-batch id this ``app_id`` has committed, or None.
+    The streaming sink's exactly-once floor: replayed batches at or
+    below it are skipped without re-running the merge."""
+    log = read_log(path)
+    batches = [
+        c.stream_txn[1]
+        for c in log
+        if c.stream_txn is not None and c.stream_txn[0] == app_id
+    ]
+    return max(batches) if batches else None
+
+
+def tx_upsert_stream(
+    changes: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    app_id: str,
+    available_now: bool = True,
+):
+    """Streaming MERGE sink committing through the unified log — the
+    ``streaming/upsert_sink.py`` semantics (newest per key, changes
+    win ties) with the generation-pointer protocol replaced by this
+    module's commit log, and REPLAY made exactly-once by the
+    ``(app_id, batch_id)`` token recorded in each commit: a restarted
+    query that re-delivers batch N finds N already in the log and
+    skips it, so the version history stays one-commit-per-batch
+    instead of relying on the merge being semantically idempotent.
+
+    The table must exist (``tx_append`` the initial snapshot first) —
+    a MERGE against nothing is a create, and creates should be
+    explicit."""
+    spark = changes.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        floor = last_committed_batch(path, app_id)
+        if floor is not None and batch_id <= floor:
+            return  # replayed batch: already committed exactly-once
+        tx_upsert(
+            spark,
+            path,
+            batch_df,
+            keys,
+            order_by,
+            stream_txn=(app_id, batch_id),
+        )
+
+    writer = changes.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def vacuum(path: str, retain_versions: int = 2) -> list[str]:

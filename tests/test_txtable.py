@@ -369,3 +369,69 @@ def test_replayed_upsert_batch_converges(spark, tmp_path):
     once = _content(spark, p)
     tx.tx_upsert(spark, p, batch, ["k"], ["ts"])
     assert _content(spark, p) == once
+
+
+# ------------------------------------------------- streaming sink
+
+
+def test_stream_txn_token_makes_replay_exactly_once(spark, tmp_path):
+    """A replayed (app, batch) is skipped by the log token, not
+    re-merged: the version history stays one-commit-per-batch."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    batch = _df(spark, [(1, 5, "a5")])
+    v = tx.tx_upsert(spark, p, batch, ["k"], ["ts"], stream_txn=("app", 0))
+    assert v == 2
+    assert tx.last_committed_batch(p, "app") == 0
+    with pytest.raises(tx.ConcurrentWriteError, match="already committed"):
+        tx.tx_upsert(spark, p, batch, ["k"], ["ts"], stream_txn=("app", 0))
+    assert tx.table_version(p) == 2  # no extra version from the replay
+    # a different app's batch 0 is independent
+    v = tx.tx_upsert(
+        spark, p, _df(spark, [(2, 1, "b")]), ["k"], ["ts"],
+        stream_txn=("other", 0),
+    )
+    assert v == 3
+
+
+def test_tx_upsert_stream_end_to_end_and_restart(spark, tmp_path):
+    """Drive a real availableNow stream through tx_upsert_stream, then
+    RESTART it from a fresh checkpoint (forcing full re-delivery) and
+    assert the log grew by zero commits — replay is exactly-once via
+    the (app, batch) token."""
+    import glob
+    import os
+
+    src = str(tmp_path / "src")
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 0, "init"), (2, 0, "init")]), p)
+    waves = [
+        _df(spark, [(1, 1, "w0"), (3, 1, "w0")]),
+        _df(spark, [(2, 2, "w1"), (1, 2, "w1b")]),
+    ]
+    for i, w in enumerate(waves):
+        w.coalesce(1).write.mode("overwrite" if i == 0 else "append").parquet(src)
+    base = os.path.getmtime(src)
+    for j, f in enumerate(sorted(glob.glob(f"{src}/part-*"))):
+        os.utime(f, (base + 60 * j, base + 60 * j))
+
+    def run(ck: str):
+        stream = (
+            spark.readStream.schema("k int, ts int, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = tx.tx_upsert_stream(
+            stream, p, ck, keys=["k"], order_by=["ts"], app_id="sink-a"
+        )
+        assert q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    after_first = _content(spark, p)
+    v_first = tx.table_version(p)
+    assert after_first == [(1, 2, "w1b"), (2, 2, "w1"), (3, 1, "w0")]
+    assert v_first == 3  # initial append + one commit per micro-batch
+    # fresh checkpoint => Spark re-delivers both batches from scratch
+    run(str(tmp_path / "ck2"))
+    assert tx.table_version(p) == v_first  # zero new commits
+    assert _content(spark, p) == after_first
