@@ -165,3 +165,78 @@ def bpe_token_counts(
             )
 
     return tok_df.mapInPandas(op, BPE_COUNT_SCHEMA)
+
+
+BPE_CONTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_words", T.LongType(), True),
+        T.StructField("pre_merge_symbols", T.LongType(), True),
+        T.StructField("lossless_ok", T.IntegerType(), True),
+        T.StructField("bounds_ok", T.IntegerType(), True),
+    ]
+)
+
+
+def bpe_token_contract(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Driver-verifiable contract for the trained tokenizer (round 5;
+    the construction that moved the ANN/sketch entries off rows-only).
+
+    The merge table and per-doc token counts are engine-specific, but
+    three relations are oracle-predictable:
+
+    - ``n_words`` / ``pre_merge_symbols``: word count and the
+      pre-merge symbol count ``sum(len(w) + 1)`` (each word starts as
+      its characters + the end-of-word sentinel) — both recomputable
+      by DuckDB from the same normalize/tokenize pipeline the
+      token-stats oracle already verifies.
+    - ``lossless_ok``: BPE merges only CONCATENATE — for every word,
+      the characters of its tokens must reassemble exactly
+      ``word + EOW``.  A broken merge application (dropped symbol,
+      wrong span) fails this.
+    - ``bounds_ok``: ``n_words <= bpe_tokens <= pre_merge_symbols`` —
+      every word yields at least one token and merging never
+      increases the count.
+    """
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    tok_df = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("ws"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[int, bool]] = {}
+
+        def enc(w: str) -> tuple[int, bool]:
+            got = memo.get(w)
+            if got is None:
+                syms = encode_word(w, ranks)
+                got = (len(syms), "".join(syms) == w + EOW)
+                memo[w] = got
+            return got
+
+        for pdf in batches:
+            rows = []
+            for doc_id, ws in zip(pdf["doc_id"], pdf["ws"]):
+                encs = [enc(w) for w in ws]
+                n_tok = sum(n for n, _ in encs)
+                pre = sum(len(w) + 1 for w in ws)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(ws),
+                        pre,
+                        int(all(ok for _, ok in encs)),
+                        int(len(ws) <= n_tok <= pre),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BPE_CONTRACT_SCHEMA.fields]
+            )
+
+    return tok_df.mapInPandas(op, BPE_CONTRACT_SCHEMA)

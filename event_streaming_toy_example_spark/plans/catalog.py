@@ -364,6 +364,7 @@ FAMILY_REP: dict[str, str] = {
     # (round 5 turned it into its quality-contract form, hash-checked
     # locally; the raw assignments are the `_assignments` twin)
     "text_bpe_tokens": "text_token_stats",
+    "text_bpe_tokens_counts": "text_token_stats",
     "cluster_embeddings": "sim_topk_bruteforce",
     "cluster_embeddings_assignments": "sim_topk_bruteforce",
     # seventh wave (event-analytics classics): funnel is a sequential

@@ -29,13 +29,11 @@ from event_streaming_toy_example_spark.schemas import load_table
 _BPE_MERGES = 48
 
 
-def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-count: the merge table is a pure function of the
-    corpus histogram (deterministic tie-breaks), trained once per
-    corpus version via the staged-artifact path, then applied in one
-    Arrow pass with per-batch word memoization."""
+def _staged_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Train the merge table once per corpus version via the
+    staged-artifact path (the merge table is a pure function of the
+    corpus histogram — deterministic tie-breaks)."""
     from event_streaming_toy_example_spark.functions.bpe import (
-        bpe_token_counts,
         train_bpe_merges,
         word_histogram,
     )
@@ -53,8 +51,58 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = stage_once(build_merges, f"bpe_{_BPE_MERGES}", sf_dir)
     rows = sorted(spark.read.parquet(path).collect(), key=lambda r: r.rank)
-    merges = [(r.left, r.right, r.pair_count) for r in rows]
-    return bpe_token_counts(docs, merges)
+    return [(r.left, r.right, r.pair_count) for r in rows]
+
+
+def q_text_bpe_tokens_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw train-then-count surface: per-doc token counts under the
+    trained merges, applied in one Arrow pass with per-batch word
+    memoization (engine-specific merge replay -> rows-only;
+    ``text_bpe_tokens`` carries the hash-checked contract, round 5)."""
+    from event_streaming_toy_example_spark.functions.bpe import (
+        bpe_token_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, _staged_merges(spark, sf_dir))
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer contract (round 5) — value-hash-checked: word
+    count + pre-merge symbol count (both recomputed independently by
+    DuckDB from the same normalize/tokenize pipeline) plus lossless-
+    reassembly and token-count-bounds flags over the trained merges.
+    See ``functions/bpe.py::bpe_token_contract``."""
+    from event_streaming_toy_example_spark.functions.bpe import (
+        bpe_token_contract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_contract(docs, _staged_merges(spark, sf_dir))
+
+
+#: DuckDB twin of `tokens(normalize_text(text))` — the same pipeline
+#: SQL_TEXT_TOKEN_STATS verifies, with the word list kept so the
+#: symbol arithmetic is computable.
+SQL_TEXT_BPE_CONTRACT = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+             '\s+'),
+           x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(ws, w -> length(w) + 1)), 0)
+            AS BIGINT) AS pre_merge_symbols,
+       CAST(1 AS INT) AS lossless_ok,
+       CAST(1 AS INT) AS bounds_ok
+FROM norm
+"""
 
 
 def _cluster_assignments(spark: SparkSession, sf_dir: str):
@@ -176,17 +224,20 @@ FROM embeddings
 
 EXT13_QUERIES = {
     "text_bpe_tokens": q_text_bpe_tokens,
+    "text_bpe_tokens_counts": q_text_bpe_tokens_counts,
     "cluster_embeddings": q_cluster_embeddings,
     "cluster_embeddings_assignments": q_cluster_embeddings_assignments,
 }
 
-#: text_bpe_tokens and the raw `_assignments` twin stay rows-only by
-#: design (BPE merge replay and KMeans centroids are engine-specific;
-#: tests/test_bpe.py reproduces the full pipeline with an independent
-#: pure-Python reference).  cluster_embeddings (round 5) carries the
-#: hash-checked quality contract: cluster count, total coverage
-#: (n_assigned computed independently by DuckDB), and a separation
-#: floor.
+#: Only the raw `_counts`/`_assignments` twins stay rows-only (BPE
+#: merge replay and KMeans centroids are engine-specific;
+#: tests/test_bpe.py reproduces the full training pipeline with an
+#: independent pure-Python reference).  Round 5 gave both families
+#: hash-checked contracts: text_bpe_tokens pins word/symbol counts
+#: (DuckDB-recomputed) + lossless-reassembly + count bounds;
+#: cluster_embeddings pins cluster count, total coverage, and a
+#: separation floor.
 EXT13_ORACLES: dict[str, str] = {
+    "text_bpe_tokens": SQL_TEXT_BPE_CONTRACT,
     "cluster_embeddings": SQL_CLUSTER_QUALITY_CONTRACT,
 }

@@ -17,7 +17,7 @@ from event_streaming_toy_example_spark.functions.bpe import (
     word_histogram,
 )
 from event_streaming_toy_example_spark.plans.queries_ext13 import (
-    q_text_bpe_tokens,
+    q_text_bpe_tokens_counts,
 )
 from event_streaming_toy_example_spark.schemas import load_table
 from tests.conftest import SF_DIR_ORACLE
@@ -116,7 +116,7 @@ def test_catalog_entry_matches_full_reference(spark):
     }
     got = {
         r.doc_id: (r.n_words, r.bpe_tokens)
-        for r in q_text_bpe_tokens(spark, SF_DIR_ORACLE).collect()
+        for r in q_text_bpe_tokens_counts(spark, SF_DIR_ORACLE).collect()
     }
     assert got == want
     # merges must actually compress: fewer tokens than characters+EOW
