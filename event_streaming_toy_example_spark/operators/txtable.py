@@ -397,6 +397,23 @@ def tx_append(df: DataFrame, path: str) -> int:
     )
 
 
+def upsert_prune_probe(
+    current: DataFrame, changes: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """The MERGE file-pruning probe: distinct files of ``current``
+    that hold at least one change key.  A NARROW scan by construction
+    — only the key columns reach the parquet reader (plan-asserted in
+    ``tests/test_plans.py``), so a wide fact table pays a key-column
+    scan to find the files worth rewriting; the change-key side is
+    broadcast (a MERGE batch is small relative to the table)."""
+    return (
+        current.select(*keys, F.input_file_name().alias("f"))
+        .join(F.broadcast(changes.select(*keys).distinct()), list(keys))
+        .select("f")
+        .distinct()
+    )
+
+
 def tx_upsert(
     spark: SparkSession,
     path: str,
@@ -432,14 +449,7 @@ def tx_upsert(
 
     current = read_table(spark, path, read_version)
     affected_paths = {
-        r["f"]
-        for r in (
-            current.select(*keys, F.input_file_name().alias("f"))
-            .join(F.broadcast(changes.select(*keys).distinct()), list(keys))
-            .select("f")
-            .distinct()
-            .collect()
-        )
+        r["f"] for r in upsert_prune_probe(current, changes, keys).collect()
     }
     # map absolute input_file_name URIs back to table-relative names
     def _rel(name: str) -> str:

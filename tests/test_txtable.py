@@ -371,6 +371,40 @@ def test_replayed_upsert_batch_converges(spark, tmp_path):
     assert _content(spark, p) == once
 
 
+def test_upsert_prune_probe_scans_only_key_columns(spark, tmp_path):
+    """The MERGE pruning probe must be a NARROW scan: a wide table's
+    probe plan reads only the key column (plus the implicit file name)
+    — at 100 TB this is the difference between a key-column pass and a
+    full-table pass just to find the files worth rewriting."""
+    import re
+
+    p = str(tmp_path / "t")
+    wide = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(1).alias("ts"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        F.lit("x").alias("w1"),
+        F.lit("y").alias("w2"),
+    )
+    tx.tx_append(wide, p)
+    probe = tx.upsert_prune_probe(
+        tx.read_table(spark, p),
+        spark.createDataFrame([(3,)], "k int"),
+        ["k"],
+    )
+    fmt = probe._jdf.queryExecution().explainString(
+        probe.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    schemas = re.findall(r"ReadSchema: struct<(.*?)>", fmt)
+    table_scan = [s for s in schemas if "k:int" in s]
+    assert table_scan and all(
+        len(s.split(",")) == 1 for s in table_scan
+    ), schemas
+    assert "BroadcastHashJoin" in fmt or "BroadcastNestedLoop" not in fmt
+
+
 # ------------------------------------------------- streaming sink
 
 
