@@ -488,12 +488,16 @@ def tx_compact(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
+    order_col: str | None = None,
 ) -> int | None:
     """Bin-pack small data files; content-invariant by construction
     (same rows, fewer files).  Returns the committed version, or None
     if there was nothing worth compacting.  Commutes with concurrent
     appends (validation only aborts if a victim was concurrently
-    removed)."""
+    removed).  With ``order_col`` the rewrite range-partitions + sorts
+    on that column (``operators/compaction.py`` semantics), so a
+    sorted/Z-ordered table KEEPS its clustering and footer min/max
+    stats stay selective."""
     log = read_log(path)
     if not log:
         return None
@@ -514,7 +518,12 @@ def tx_compact(
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f, _ in victims]
     )
-    packed = df.coalesce(n_out)
+    if order_col is not None:
+        packed = df.repartitionByRange(
+            n_out, F.col(order_col)
+        ).sortWithinPartitions(order_col)
+    else:
+        packed = df.coalesce(n_out)
     files = _stage_files(packed, path)
     return commit(
         path,
@@ -581,6 +590,32 @@ def tx_upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def tx_change_feed(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    content_cols: Sequence[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two committed versions — the
+    time-travel surface turned into a CDC source (what a downstream
+    incremental consumer reads instead of re-scanning the table).
+
+    Computed as ``diff_snapshots`` over the two snapshot reads: one
+    full-outer key join comparing fixed-width content fingerprints, so
+    wide rows never ship twice and unchanged keys (the bulk) drop out
+    map-side.  ``(key, change_type)`` with change_type in
+    insert/update/delete."""
+    from event_streaming_toy_example_spark.operators.diff import (
+        diff_snapshots,
+    )
+
+    base = read_table(spark, path, from_version)
+    nxt = read_table(spark, path, to_version)
+    return diff_snapshots(base, nxt, key_col, content_cols)
 
 
 def vacuum(path: str, retain_versions: int = 2) -> list[str]:

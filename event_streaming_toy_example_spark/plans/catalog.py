@@ -294,8 +294,11 @@ FAMILY_REP: dict[str, str] = {
     # round 5: mid-stream additive schema drift absorbed by the
     # unified log's evolution contract — the streaming-sink sibling of
     # the CDC apply family (hash-checked locally; tx_snapshot_isolation
-    # carries the log's driver row)
+    # carries the log's driver row); the version-to-version change
+    # feed is the table-history form of the snapshot-diff surface in
+    # the same family
     "stream_schema_drift": "upsert_events_cdc",
+    "tx_change_feed": "upsert_events_cdc",
     # pair mining is a self-join + conditional-aggregate surface of
     # the set-op/user-overlap family; triangle counting joins the
     # graph family whose rep is the PageRank entry

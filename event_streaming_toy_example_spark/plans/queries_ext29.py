@@ -330,12 +330,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_tx_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the transactional table's history: the
+    row-level diff between version 1 and the current version of the
+    staged table (``operators/txtable.py::tx_change_feed``) — every
+    (key, change_type) row is oracle-predictable from the raw events:
+    post-cutoff appends and the synthetic rows are inserts, the
+    updated pre-cutoff keys are updates, nothing deletes.  One
+    full-outer key join comparing md5 content fingerprints; unchanged
+    keys drop out."""
+    from event_streaming_toy_example_spark.operators.txtable import (
+        tx_change_feed,
+    )
+
+    path = _build_tx_table(spark, sf_dir)
+    return tx_change_feed(
+        spark,
+        path,
+        key_col="event_id",
+        content_cols=["event_type", "value"],
+        from_version=1,
+    )
+
+
+SQL_TX_CHANGE_FEED = f"""
+WITH upd_keys AS (
+  SELECT event_id FROM events
+  WHERE event_id % 100 = 0
+    AND event_id * 10 < (SELECT MAX(event_id) FROM events)
+)
+SELECT event_id, 'update' AS change_type FROM events
+WHERE ts < TIMESTAMP '{_TX_CUTOFF}'
+  AND event_id IN (SELECT event_id FROM upd_keys)
+UNION ALL
+SELECT event_id, 'insert' FROM events
+WHERE ts >= TIMESTAMP '{_TX_CUTOFF}'
+UNION ALL
+SELECT event_id + 10000000, 'insert' FROM upd_keys
+"""
+
+
 EXT29_QUERIES = {
     "tx_snapshot_isolation": q_tx_snapshot_isolation,
     "stream_schema_drift": q_stream_schema_drift,
+    "tx_change_feed": q_tx_change_feed,
 }
 
 EXT29_ORACLES = {
     "tx_snapshot_isolation": SQL_TX_SNAPSHOT_ISOLATION,
     "stream_schema_drift": SQL_STREAM_SCHEMA_DRIFT,
+    "tx_change_feed": SQL_TX_CHANGE_FEED,
 }

@@ -325,6 +325,76 @@ def test_concurrent_compaction_vs_upsert_on_victim_aborts(spark, tmp_path):
 # ------------------------------------------------------------ vacuum
 
 
+def test_threaded_append_race_all_commit(spark, tmp_path):
+    """Eight writers racing the SAME read version from real threads:
+    every append must land (the O_EXCL loser loop re-validates and
+    retries), versions must be contiguous, and no rows may be lost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(0, 0, "seed")]), p)
+    staged = [
+        (i, tx._stage_files(_df(spark, [(i, 1, f"r{i}")]), p))
+        for i in range(1, 9)
+    ]
+    schema = tx.read_log(p)[-1].schema
+
+    def go(arg):
+        i, files = arg
+        return tx.commit(p, "append", files, [], schema, read_version=1)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = sorted(ex.map(go, staged))
+    assert versions == list(range(2, 10))
+    assert tx.table_version(p) == 9
+    assert len(_content(spark, p)) == 9
+
+
+def test_compact_with_order_col_keeps_clustering(spark, tmp_path):
+    p = str(tmp_path / "t")
+    for lo in (30, 10, 20, 0):
+        tx.tx_append(
+            _df(spark, [(lo + i, 1, "x") for i in range(10)]).coalesce(1), p
+        )
+    before = _content(spark, p)
+    v = tx.tx_compact(spark, p, target_bytes=2000, order_col="k")
+    assert v == 5
+    assert _content(spark, p) == before
+    # each output file covers a contiguous, non-overlapping key range
+    snap = tx.snapshot(p)
+    ranges = []
+    for f in snap.files:
+        ks = [
+            r["k"]
+            for r in spark.read.parquet(
+                str(tmp_path / "t" / f)
+            ).select("k").collect()
+        ]
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, ranges
+
+
+def test_tx_change_feed_between_versions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]), p)
+    tx.tx_upsert(
+        spark,
+        p,
+        _df(spark, [(2, 5, "b2"), (9, 1, "new")]),
+        keys=["k"],
+        order_by=["ts"],
+    )
+    feed = {
+        r["k"]: r["change_type"]
+        for r in tx.tx_change_feed(
+            spark, p, key_col="k", content_cols=["v"], from_version=1
+        ).collect()
+    }
+    assert feed == {2: "update", 9: "insert"}
+
+
 def test_vacuum_respects_retention_window(spark, tmp_path):
     p = str(tmp_path / "t")
     tx.tx_append(_df(spark, [(1, 1, "a")]), p)
