@@ -305,15 +305,28 @@ def commit(
             indent=0,
         ).encode()
         target = _commit_path(path, current + 1)
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            continue  # lost the race: loop re-reads and re-validates
+        # Stage the FULL body in a tmp file first, then claim the
+        # version slot with an atomic link(2).  Creating the target
+        # directly with O_EXCL would publish an empty file before the
+        # body lands — a concurrent read_log() would see zero bytes
+        # and fail to parse.  link() both claims the slot (it fails
+        # with EEXIST on a lost race, same retry semantics) and makes
+        # the commit file appear with its complete content.
+        tmp = os.path.join(
+            _log_dir(path), f".{uuid.uuid4().hex}.tmp"
+        )
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, body)
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race: loop re-reads and re-validates
+        os.unlink(tmp)
         return current + 1
 
 
@@ -466,10 +479,21 @@ def tx_upsert(
         )
     else:
         base = changes.limit(0)
-    # align BOTH sides to the evolved union schema (a change batch may
-    # introduce new columns the affected files predate, and vice versa)
-    merged = upsert_snapshot(
-        _align(base, union_schema), _align(changes, union_schema), keys, order_by
+    base = _align(base, union_schema)
+    changes = _align(changes, union_schema)
+    # merge EXACTLY the changed keys; every other row in an affected
+    # file carries over verbatim.  (Folding the whole file through
+    # upsert_snapshot would also collapse duplicate keys that happen
+    # to share a file with a changed key — making the result depend on
+    # file LAYOUT, not content.  A keyed table shouldn't hold
+    # duplicate keys, but if appends introduced them, an upsert of
+    # OTHER keys must not silently rewrite history it wasn't asked to
+    # touch.)
+    change_keys = F.broadcast(changes.select(*keys).distinct())
+    kept = base.join(change_keys, list(keys), "left_anti")
+    touched = base.join(change_keys, list(keys), "left_semi")
+    merged = upsert_snapshot(touched, changes, keys, order_by).unionByName(
+        kept
     )
     files = _stage_files(merged, path)
     return commit(

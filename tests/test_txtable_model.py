@@ -1,0 +1,106 @@
+"""Model-based random-walk test for the unified transactional table:
+a seeded random sequence of append / upsert / compact / vacuum ops is
+applied BOTH to `operators/txtable.py` and to a trivial in-memory
+Python model; after every op the table must read back exactly the
+model's rows, and every still-retained historical version must read
+back its recorded model snapshot.
+
+This is the transaction-log analog of the diff/upsert round-trip
+property tests in tests/test_upsert.py: the model is too simple to be
+wrong, so any divergence is a txtable bug (lost rows through a commit,
+wrong file fold order, compaction changing content, vacuum deleting a
+retained version's file, stale schema fold)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from event_streaming_toy_example_spark.operators import txtable as tx
+
+
+def _read(spark, path, version=None):
+    df = tx.read_table(spark, path, version)
+    return sorted((r["k"], r["ts"], r["v"]) for r in df.collect())
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_random_walk_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    p = str(tmp_path / f"t{seed}")
+    clock = 0
+
+    def fresh_rows(n):
+        nonlocal clock
+        out = []
+        for _ in range(n):
+            clock += 1
+            out.append((rng.randrange(40), clock, f"s{seed}c{clock}"))
+        return out
+
+    # version -> model snapshot at that commit
+    history: dict[int, list] = {}
+
+    # create — append semantics are multiset, not keyed, so the model
+    # is just the list of applied rows
+    rows = fresh_rows(4)
+    tx.tx_append(
+        spark.createDataFrame(rows, "k int, ts int, v string"), p
+    )
+    applied = list(rows)
+    history[tx.table_version(p)] = sorted(applied)
+
+    def model_upsert(changes):
+        """tx_upsert semantics over the multiset: rows whose key is
+        NOT in the change set carry over verbatim (even duplicates
+        appends introduced); changed keys collapse to newest-per-key
+        across (table ∪ changes).  The clock makes every ts unique, so
+        tie-break rules never engage and the model stays trivial."""
+        ckeys = {k for k, _, _ in changes}
+        kept = [r for r in applied if r[0] not in ckeys]
+        by_key: dict[int, tuple[int, str]] = {}
+        for k, ts, v in [r for r in applied if r[0] in ckeys] + list(changes):
+            cur = by_key.get(k)
+            if cur is None or ts > cur[0]:
+                by_key[k] = (ts, v)
+        return kept + [(k, ts, v) for k, (ts, v) in by_key.items()]
+
+    for _ in range(14):
+        op = rng.choice(["append", "append", "upsert", "compact", "vacuum"])
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 4))
+            tx.tx_append(
+                spark.createDataFrame(rows, "k int, ts int, v string").coalesce(1),
+                p,
+            )
+            applied.extend(rows)
+            history[tx.table_version(p)] = sorted(applied)
+        elif op == "upsert":
+            changes = fresh_rows(rng.randrange(1, 4))
+            tx.tx_upsert(
+                spark,
+                p,
+                spark.createDataFrame(changes, "k int, ts int, v string"),
+                keys=["k"],
+                order_by=["ts"],
+            )
+            applied = model_upsert(changes)
+            history[tx.table_version(p)] = sorted(applied)
+        elif op == "compact":
+            v = tx.tx_compact(spark, p, target_bytes=1 << 30)
+            if v is not None:
+                history[v] = sorted(applied)  # content-invariant
+        else:
+            tx.vacuum(p, retain_versions=3)
+            current = tx.table_version(p)
+            # versions older than the retention window may now be
+            # physically unreadable — drop them from the checkable set
+            history = {
+                v: s for v, s in history.items() if v > current - 3
+            }
+        assert _read(spark, p) == sorted(applied), f"seed={seed} op={op}"
+
+    # every retained historical version reads back its model snapshot
+    for v, snap in history.items():
+        assert _read(spark, p, version=v) == snap, f"seed={seed} v={v}"
