@@ -1,6 +1,7 @@
 """Unified transactional table: ONE commit log for append, MERGE
-upsert, compaction, and schema evolution, with snapshot isolation,
-time travel, optimistic concurrency, and vacuum.
+upsert, predicate DELETE, compaction, and schema evolution, with
+snapshot isolation, time travel, optimistic concurrency, per-file
+data-skipping statistics, and vacuum.
 
 Round 4 left the engine with three separately crash-tested commit
 protocols — the compaction manifest (``operators/compaction.py``),
@@ -94,6 +95,14 @@ class Commit:
     #: its id already in the log and skips, instead of relying on the
     #: merge being semantically idempotent)
     stream_txn: tuple[str, int] | None = None
+    #: per-added-file column stats for data skipping:
+    #: ``{file: {col: {"min": v, "max": v, "nulls": n, "rows": n}}}``.
+    #: Optional — commits written before stats existed (or files whose
+    #: footers carried no usable stats) simply never skip.
+    stats: dict | None = None
+
+    def __hash__(self) -> int:  # stats dict is unhashable; id by txn
+        return hash((self.version, self.txn))
 
 
 @dataclass(frozen=True)
@@ -101,6 +110,13 @@ class Snapshot:
     version: int
     files: tuple[str, ...]
     schema: str
+    #: live-file stats folded from the commits that added each file
+    #: (``{}`` when nothing was recorded — readers treat a missing
+    #: entry as "may contain anything")
+    stats: dict | None = None
+
+    def __hash__(self) -> int:
+        return hash((self.version, self.files))
 
 
 def _log_dir(path: str) -> str:
@@ -138,6 +154,7 @@ def read_log(path: str) -> list[Commit]:
                 read_version=c["read_version"],
                 txn=c["txn"],
                 stream_txn=(st[0], st[1]) if st else None,
+                stats=c.get("stats"),
             )
         )
     for i, c in enumerate(out, start=1):
@@ -163,34 +180,54 @@ def snapshot(path: str, version: int | None = None) -> Snapshot | None:
             f"version {version} outside committed range 1..{log[-1].version}"
         )
     live: dict[str, None] = {}
+    stats: dict[str, dict] = {}
     schema = log[0].schema
     for c in log[:version]:
         for r in c.remove:
             live.pop(r, None)
+            stats.pop(r, None)
         for a in c.add:
             live[a] = None
+            if c.stats and a in c.stats:
+                stats[a] = c.stats[a]
         schema = c.schema
-    return Snapshot(version=version, files=tuple(live), schema=schema)
+    return Snapshot(
+        version=version, files=tuple(live), schema=schema, stats=stats
+    )
 
 
 def read_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    where: Sequence[tuple] | None = None,
 ) -> DataFrame | None:
     """Snapshot read with time travel.  Reads the snapshot's EXPLICIT
     file list (never a directory listing), with ``mergeSchema`` so
     files written before an additive evolution surface the new
-    columns as NULL."""
+    columns as NULL.
+
+    ``where`` — optional conjunction of ``(col, op, value)`` clauses:
+    files whose logged stats prove no match are never opened
+    (:func:`prune_files`), and the clauses are ALSO applied as a real
+    row filter, so the result is identical to filtering a full read —
+    just cheaper."""
     snap = snapshot(path, version)
     if snap is None:
         return None
-    if not snap.files:
-        # empty snapshot (everything deleted): typed empty relation
+    files = list(snap.files)
+    if where:
+        files, _ = prune_files(path, where, snap.version)
+    if not files:
+        # empty snapshot (everything deleted or pruned): typed empty
+        # relation
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(json.loads(snap.schema)))
-    return spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in snap.files]
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
     )
+    return df.where(_where_expr(where)) if where else df
 
 
 def table_version(path: str) -> int:
@@ -219,6 +256,199 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
 
     shutil.rmtree(tmp, ignore_errors=True)
     return names
+
+
+# ------------------------------------------------- data-skipping stats
+#
+# Per-file min/max/null-count stats, harvested from the parquet FOOTERS
+# of freshly staged files (a metadata-only read — no data pages) and
+# recorded in the commit, exactly the Delta/Iceberg data-skipping
+# contract: a predicate reader consults the log and opens only files
+# whose value range could hold a match.  At 100 TB a point/range query
+# on a clustered column touches a handful of files instead of the
+# table; the stats travel with the commit so planning needs zero file
+# I/O.  Pruning is strictly an optimization — the real filter is still
+# applied to the rows read, so a file with missing/withheld stats is
+# merely scanned, never wrong.
+
+_STATS_MAX_COLS = 32  # cap stats width on very wide tables
+
+
+def _norm_stat(v):
+    """Normalize a stat or predicate literal for JSON storage and
+    cross-type comparison: primitives pass through, date/datetime
+    become ISO strings (lexicographic order == chronological order for
+    a uniform format).  Returns None for types we don't index."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        # normalize to naive UTC: parquet TIMESTAMP_MICROS stats come
+        # back tz-aware, predicate literals are usually naive (session
+        # tz is UTC) — both must serialize identically
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
+def _footer_stats(path: str, names: Sequence[str]) -> dict:
+    """``{file: {col: {"min","max","nulls","rows"}}}`` from parquet
+    footers.  A column with any row group lacking usable stats gets no
+    entry (conservative: the file is then never skipped on it)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for name in names:
+        pf = pq.ParquetFile(os.path.join(path, name))
+        md = pf.metadata
+        per_col: dict[str, dict] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                cname = col.path_in_schema
+                if "." in cname or cname in bad:
+                    continue  # nested leaves aren't indexed
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(cname)
+                    per_col.pop(cname, None)
+                    continue
+                lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+                nulls = st.null_count if st.has_null_count else None
+                if lo is None or hi is None or nulls is None:
+                    bad.add(cname)
+                    per_col.pop(cname, None)
+                    continue
+                cur = per_col.get(cname)
+                if cur is None:
+                    per_col[cname] = {"min": lo, "max": hi, "nulls": nulls}
+                else:
+                    cur["min"] = min(cur["min"], lo)
+                    cur["max"] = max(cur["max"], hi)
+                    cur["nulls"] += nulls
+        if len(per_col) > _STATS_MAX_COLS:
+            per_col = dict(sorted(per_col.items())[:_STATS_MAX_COLS])
+        for c in per_col.values():
+            c["rows"] = md.num_rows
+        out[name] = per_col
+    return out
+
+
+def _comparable(a, b) -> bool:
+    num = (int, float)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return type(a) is type(b)
+
+
+def _clause_may_match(fstats: dict | None, col: str, op: str, val) -> bool:
+    """Could ANY row of the file satisfy ``col op val``?  True when
+    unknowable.  NULL cells never satisfy a comparison, so only the
+    non-null min/max range matters."""
+    if not fstats or col not in fstats:
+        return True
+    s = fstats[col]
+    lo, hi = s["min"], s["max"]
+    if s["rows"] == s["nulls"]:
+        return False  # all-NULL column: no comparison can hold
+    vals = val if op == "in" else [val]
+    vals = [_norm_stat(v) for v in vals]
+    if any(v is None or not _comparable(v, lo) for v in vals):
+        return True
+    if op == "in":
+        return any(lo <= v <= hi for v in vals)
+    v = vals[0]
+    if op in ("=", "=="):
+        return lo <= v <= hi
+    if op == "<":
+        return lo < v
+    if op == "<=":
+        return lo <= v
+    if op == ">":
+        return hi > v
+    if op == ">=":
+        return hi >= v
+    raise ValueError(f"unsupported predicate op: {op!r}")
+
+
+def _clause_all_match(fstats: dict | None, col: str, op: str, val) -> bool:
+    """Does EVERY row of the file satisfy ``col op val``?  Only a
+    provable yes returns True (needs zero nulls — NULL never
+    satisfies).  Lets DELETE drop a file without reading it."""
+    if not fstats or col not in fstats:
+        return False
+    s = fstats[col]
+    lo, hi = s["min"], s["max"]
+    if s["nulls"] != 0:
+        return False
+    vals = val if op == "in" else [val]
+    vals = [_norm_stat(v) for v in vals]
+    if any(v is None or not _comparable(v, lo) for v in vals):
+        return False
+    if op == "in":
+        return lo == hi and any(v == lo for v in vals)
+    v = vals[0]
+    if op in ("=", "=="):
+        return lo == hi == v
+    if op == "<":
+        return hi < v
+    if op == "<=":
+        return hi <= v
+    if op == ">":
+        return lo > v
+    if op == ">=":
+        return lo >= v
+    raise ValueError(f"unsupported predicate op: {op!r}")
+
+
+def prune_files(
+    path: str,
+    where: Sequence[tuple],
+    version: int | None = None,
+) -> tuple[list[str], list[str]]:
+    """Split a snapshot's live files into (scan, skip) under a
+    conjunction of ``(col, op, value)`` clauses (ops ``= < <= > >=
+    in``).  A file is skipped only when its recorded stats PROVE no
+    row can satisfy some clause."""
+    snap = snapshot(path, version)
+    if snap is None:
+        return [], []
+    scan, skip = [], []
+    for f in snap.files:
+        fstats = (snap.stats or {}).get(f)
+        if all(_clause_may_match(fstats, c, op, v) for c, op, v in where):
+            scan.append(f)
+        else:
+            skip.append(f)
+    return scan, skip
+
+
+def _where_expr(where: Sequence[tuple]):
+    """The conjunction as a Spark Column — pruning is an optimization,
+    this is the actual filter applied to the surviving rows."""
+    ops = {
+        "=": lambda c, v: c == v,
+        "==": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+        "in": lambda c, v: c.isin(list(v)),
+    }
+    expr = F.lit(True)
+    for col, op, val in where:
+        expr = expr & ops[op](F.col(col), val)
+    return expr
 
 
 def _validate_against(
@@ -265,6 +495,7 @@ def commit(
     schema: str,
     read_version: int,
     stream_txn: tuple[str, int] | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Publish a transaction: validate against any commits that landed
     since ``read_version``, then atomically create the next commit
@@ -301,6 +532,7 @@ def commit(
                 "read_version": read_version,
                 "txn": uuid.uuid4().hex,
                 "stream_txn": list(stream_txn) if stream_txn else None,
+                "stats": stats,
             },
             indent=0,
         ).encode()
@@ -396,7 +628,15 @@ def tx_append(df: DataFrame, path: str) -> int:
     log = read_log(path)
     if not log:
         files = _stage_files(df, path)
-        return commit(path, "append", files, [], _schema_json(df), 0)
+        return commit(
+            path,
+            "append",
+            files,
+            [],
+            _schema_json(df),
+            0,
+            stats=_footer_stats(path, files),
+        )
     read_version = log[-1].version
     df = _check_evolution(log[-1].schema, df)
     files = _stage_files(df, path)
@@ -407,6 +647,7 @@ def tx_append(df: DataFrame, path: str) -> int:
         [],
         _union_schema(log[-1].schema, df),
         read_version,
+        stats=_footer_stats(path, files),
     )
 
 
@@ -504,6 +745,7 @@ def tx_upsert(
         union_schema,
         read_version,
         stream_txn=stream_txn,
+        stats=_footer_stats(path, files),
     )
 
 
@@ -556,7 +798,80 @@ def tx_compact(
         [f for f, _ in victims],
         log[-1].schema,
         read_version,
+        stats=_footer_stats(path, files),
     )
+
+
+def tx_delete(
+    spark: SparkSession, path: str, where: Sequence[tuple]
+) -> int:
+    """DELETE every row satisfying the conjunction of ``(col, op,
+    value)`` clauses.  Rows where the predicate is NULL are KEPT (SQL
+    DELETE semantics: only a TRUE predicate deletes).
+
+    Stats do the heavy lifting, both directions:
+
+    - files whose stats prove NO row matches carry over by reference —
+      never opened;
+    - files whose stats prove EVERY row matches (range inside the
+      predicate region, zero nulls) are dropped whole — also never
+      opened;
+    - only straddling files are read and rewritten without their
+      matching rows (a rewrite that produces zero rows stages no
+      file).
+
+    At 100 TB a retention delete on a time-clustered table (``ts <
+    horizon``) is almost entirely whole-file drops — O(metadata), not
+    a table rewrite.  Concurrency: like upsert, any concurrent data
+    change invalidates the read snapshot (strict branch of
+    ``_validate_against``)."""
+    log = read_log(path)
+    if not log:
+        raise ValueError(f"tx_delete on a table with no commits: {path}")
+    read_version = log[-1].version
+    snap = snapshot(path, read_version)
+    candidates, _pruned = prune_files(path, where, read_version)
+    fstats = snap.stats or {}
+    whole = [
+        f
+        for f in candidates
+        if all(
+            _clause_all_match(fstats.get(f), c, op, v) for c, op, v in where
+        )
+    ]
+    straddle = [f for f in candidates if f not in set(whole)]
+    added: list[str] = []
+    if straddle:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in straddle]
+        )
+        # keep rows where the predicate is FALSE or NULL
+        survivors = df.where(~F.coalesce(_where_expr(where), F.lit(False)))
+        staged = _stage_files(survivors, path)
+        stats = _footer_stats(path, staged)
+        for f in staged:  # an all-deleted rewrite stages nothing
+            if _parquet_rows(path, f) == 0:
+                os.remove(os.path.join(path, f))
+            else:
+                added.append(f)
+        stats = {f: s for f, s in stats.items() if f in added}
+    else:
+        stats = None
+    return commit(
+        path,
+        "delete",
+        added,
+        whole + straddle,
+        log[-1].schema,
+        read_version,
+        stats=stats,
+    )
+
+
+def _parquet_rows(path: str, name: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
 
 
 def last_committed_batch(path: str, app_id: str) -> int | None:

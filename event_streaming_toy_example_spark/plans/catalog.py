@@ -154,6 +154,10 @@ from event_streaming_toy_example_spark.plans.queries_ext29 import (
     EXT29_ORACLES,
     EXT29_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext30 import (
+    EXT30_ORACLES,
+    EXT30_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -198,6 +202,17 @@ FAMILY_REP: dict[str, str] = {
     # entry
     "text_fingerprint_rolling": "text_token_stats",
     "text_fingerprint": "text_token_stats",
+    # round 5: data-skipping family — the DELETE entry is the rep (its
+    # staged build asserts whole-drop + straddle accounting AND that
+    # the log stats skip files); the pruned-range-read twin stays
+    # locally value-replayed
+    "tx_stats_skipping": "tx_delete_where",
+    # ANN recall-contract family: LSH and IVF carry the identical
+    # in-query recall@k-vs-exact contract (functions/similarity.py:81);
+    # the LSH form keeps the driver slot, IVF (hash-passed r04) is
+    # demoted to free a slot for the DELETE/data-skipping family and
+    # keeps its local recall replay
+    "sim_ivf_topk": "sim_lsh_topk",
     # sessionization family: stateful streaming form is the rep
     "session_window_users": "stream_session_stateful",
     # time-window agg family: streaming tumbling-window rep
@@ -246,7 +261,7 @@ FAMILY_REP: dict[str, str] = {
     # the PRIMARY reps hash-check the recall-vs-exact contract the
     # oracle CAN predict (round 4)
     "sim_lsh_topk_neighbors": "sim_lsh_topk",
-    "sim_ivf_topk_neighbors": "sim_ivf_topk",
+    "sim_ivf_topk_neighbors": "sim_lsh_topk",
     # decode-features family: round 4 hands the driver row to the
     # HARDEST codec — the in-repo baseline JPEG decoder (Huffman
     # entropy decode + IDCT + YCbCr, arithmetic-dims oracle) — and the
@@ -581,6 +596,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT27_QUERIES,
     **EXT28_QUERIES,
     **EXT29_QUERIES,
+    **EXT30_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -614,6 +630,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT27_ORACLES,
     **EXT28_ORACLES,
     **EXT29_ORACLES,
+    **EXT30_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

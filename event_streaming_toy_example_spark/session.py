@@ -65,6 +65,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT64 micros over the legacy INT96 default: INT96 carries NO
+        # parquet min/max statistics, so timestamp predicates can't
+        # prune row groups (Spark) or files (the txtable commit-log
+        # stats) — a retention delete or time-range scan on a 100 TB
+        # time-clustered table would read everything
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # zstd over the snappy default for every parquet sink: measured
         # 32-40% smaller files on this workload's tables at equal write
         # time (docs/PLANS.md) — tens of TB at the 100 TB design point,

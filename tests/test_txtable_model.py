@@ -67,7 +67,9 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         return kept + [(k, ts, v) for k, (ts, v) in by_key.items()]
 
     for _ in range(14):
-        op = rng.choice(["append", "append", "upsert", "compact", "vacuum"])
+        op = rng.choice(
+            ["append", "append", "upsert", "compact", "vacuum", "delete"]
+        )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 4))
             tx.tx_append(
@@ -86,6 +88,14 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 order_by=["ts"],
             )
             applied = model_upsert(changes)
+            history[tx.table_version(p)] = sorted(applied)
+        elif op == "delete":
+            # predicate delete over a random key range; model = plain
+            # filter (rows where the predicate holds vanish, all
+            # others — including duplicates — survive verbatim)
+            lo = rng.randrange(40)
+            tx.tx_delete(spark, p, [("k", ">=", lo), ("k", "<", lo + 8)])
+            applied = [r for r in applied if not (lo <= r[0] < lo + 8)]
             history[tx.table_version(p)] = sorted(applied)
         elif op == "compact":
             v = tx.tx_compact(spark, p, target_bytes=1 << 30)
