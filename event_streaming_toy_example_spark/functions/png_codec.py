@@ -8,8 +8,9 @@ RGB / RGBA PNG decodes to a numpy array, and the matching encoder
 produces payloads other decoders (including this one) accept.
 
 Scope (documented, asserted): bit depth 8, color types 0 (gray),
-2 (RGB), 6 (RGBA), no interlacing, no palette. That covers what a
-training-data pipeline writes itself; anything else raises
+2 (RGB), 6 (RGBA), sequential or Adam7-interlaced. That covers what a
+training-data pipeline writes itself plus the interlaced files web
+crawls commonly contain; anything else (palette, 16-bit) raises
 ``ValueError`` with the unsupported field named.
 
 This is the codec boundary only — the Spark-side plumbing (Arrow
@@ -42,12 +43,29 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, compress_level: int = 6) -> bytes:
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, the
+#: order the PNG spec (ISO/IEC 15948 §8.2) transmits them in
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(
+    arr: np.ndarray, compress_level: int = 6, interlace: bool = False
+) -> bytes:
     """Encode an 8-bit image array to PNG bytes.
 
     ``arr``: shape (h, w) -> grayscale, (h, w, 3) -> RGB,
     (h, w, 4) -> RGBA; dtype coercible to uint8. Filter type 0 (None)
-    on every scanline — simple and always valid.
+    on every scanline — simple and always valid.  ``interlace=True``
+    writes Adam7 (each pass an independently-filtered sub-image;
+    empty passes transmit nothing, per spec).
     """
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
@@ -56,8 +74,17 @@ def encode_png(arr: np.ndarray, compress_level: int = 6) -> bytes:
         raise ValueError(f"unsupported array shape {arr.shape}")
     h, w, ch = a.shape
     color_type = {1: 0, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = a[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -74,52 +101,25 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes to a uint8 array of shape (h, w, channels).
-
-    Full filter support (None/Sub/Up/Average/Paeth), vectorized across
-    each scanline; the only per-pixel Python loop PNG fundamentally
-    requires (Sub/Paeth recurrence along x) runs over scanline slices,
-    not scalars. Raises ``ValueError`` on anything outside the
-    documented scope (palette, 16-bit, interlaced).
-    """
-    data = bytes(data)
-    if not is_png(data):
-        raise ValueError("not a PNG payload (bad signature)")
-    pos = 8
-    ihdr = None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("missing IHDR chunk")
-    w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"unsupported bit depth {depth} (only 8)")
-    if color_type not in _CHANNELS:
-        raise ValueError(f"unsupported color type {color_type} (0/2/6)")
-    if interlace:
-        raise ValueError("interlaced PNG not supported")
-    ch = _CHANNELS[color_type]
+def _defilter(
+    raw: bytes, offset: int, h: int, w: int, ch: int
+) -> tuple[np.ndarray, int]:
+    """De-filter one sequentially-transmitted sub-image of ``h`` rows
+    × ``w`` pixels starting at ``offset`` in the decompressed stream;
+    returns the (h, w*ch) sample array and the offset just past it.
+    Filter context (left/up neighbors) is local to the sub-image, per
+    spec — each Adam7 pass filters as if it were its own image."""
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    need = h * (stride + 1)
+    if offset + need > len(raw):
         raise ValueError(
-            f"IDAT size {len(raw)} != expected {h * (stride + 1)}"
+            f"IDAT truncated: need {need} bytes at {offset}, "
+            f"have {len(raw) - offset}"
         )
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        row_start = y * (stride + 1)
+        row_start = offset + y * (stride + 1)
         ftype = raw[row_start]
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=row_start + 1
@@ -151,7 +151,65 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown filter type {ftype} at row {y}")
         out[y] = line
         prev = out[y]
-    return out.reshape(h, w, ch)
+    return out, offset + need
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to a uint8 array of shape (h, w, channels).
+
+    Full filter support (None/Sub/Up/Average/Paeth), vectorized across
+    each scanline; the only per-pixel Python loop PNG fundamentally
+    requires (Sub/Paeth recurrence along x) runs over scanline slices,
+    not scalars.  Adam7 interlacing is supported: the seven passes
+    de-filter as independent sub-images and scatter back onto the pass
+    grid.  Raises ``ValueError`` on anything outside the documented
+    scope (palette, 16-bit).
+    """
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR chunk")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth} (only 8)")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"unsupported color type {color_type} (0/2/6)")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    if not interlace:
+        block, end = _defilter(raw, 0, h, w, ch)
+        if end != len(raw):
+            raise ValueError(f"IDAT size {len(raw)} != expected {end}")
+        return block.reshape(h, w, ch)
+    out = np.empty((h, w, ch), dtype=np.uint8)
+    offset = 0
+    for x0, y0, xs, ys in _ADAM7:
+        ph = -(-(h - y0) // ys) if h > y0 else 0
+        pw = -(-(w - x0) // xs) if w > x0 else 0
+        if ph == 0 or pw == 0:
+            continue  # empty pass transmits nothing
+        block, offset = _defilter(raw, offset, ph, pw, ch)
+        out[y0::ys, x0::xs] = block.reshape(ph, pw, ch)
+    if offset != len(raw):
+        raise ValueError(f"IDAT size {len(raw)} != expected {offset}")
+    return out
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -96,6 +96,138 @@ def test_mixed_filters_unfilter_correctly():
     assert np.array_equal(decode_png(data), arr)
 
 
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+@pytest.mark.parametrize(
+    "h,w,ch",
+    [
+        (16, 16, 3),  # every pass non-empty, exact multiples
+        (23, 37, 3),  # ragged pass widths
+        (8, 8, 1),
+        (11, 5, 4),
+        (7, 3, 1),  # several passes empty (w < 4)
+        (1, 1, 3),  # only pass 1 exists
+        (2, 9, 1),  # no rows for the y>=4 passes
+    ],
+)
+def test_adam7_roundtrip(h, w, ch):
+    arr = _gradient(h, w, ch)
+    data = encode_png(arr, interlace=True)
+    out = decode_png(data)
+    assert out.shape == (h, w, ch)
+    assert np.array_equal(out, arr)
+    # and it equals the sequential decode of the same pixels
+    assert np.array_equal(out, decode_png(encode_png(arr)))
+
+
+def test_adam7_encoder_pass_structure_matches_spec():
+    """Check the ENCODER against the spec constants directly (not just
+    a symmetric round-trip): the serialized stream must be the seven
+    sub-images in spec order, each row prefixed with its filter byte."""
+    arr = _gradient(10, 13, 3)
+    data = encode_png(arr, interlace=True)
+    # pull the raw stream back out
+    pos, idat = 8, bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat.extend(data[pos + 8 : pos + 8 + length])
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        sub = arr[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            assert raw[off] == 0  # filter byte
+            n = sub.shape[1] * 3
+            assert raw[off + 1 : off + 1 + n] == sub[y].tobytes()
+            off += 1 + n
+    assert off == len(raw)
+
+
+def test_adam7_passes_filter_independently():
+    """Hand-build an interlaced PNG whose passes use NON-ZERO filters,
+    computed with pass-local context per the spec — proves the decoder
+    resets filter state at each pass boundary instead of threading the
+    previous pass's last row through."""
+    arr = _gradient(9, 9, 3)
+    raw = bytearray()
+    fts = [1, 2, 3, 4, 1, 2, 4]
+    for (x0, y0, xs, ys), ft in zip(_ADAM7, fts):
+        sub = np.ascontiguousarray(arr[y0::ys, x0::xs])
+        if sub.size == 0:
+            continue
+        ph, pw, ch = sub.shape
+        stride = pw * ch
+        flat = sub.reshape(ph, stride).astype(np.int16)
+        for y in range(ph):
+            line = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int16)
+            left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+            if ft == 1:
+                filt = line - left
+            elif ft == 2:
+                filt = line - prev
+            elif ft == 3:
+                filt = line - ((left + prev) >> 1)
+            else:
+                p = left + prev - ul
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - prev),
+                    np.abs(p - ul),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, prev, ul),
+                )
+                filt = line - pred
+            raw.append(ft)
+            raw.extend((filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1)
+    data = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), arr)
+
+
+def test_adam7_truncated_idat_raises():
+    arr = _gradient(16, 16, 3)
+    data = encode_png(arr, interlace=True)
+    # drop the IEND and truncate the (single) IDAT body by one byte
+    pos = 8
+    out = bytearray(data[:8])
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IDAT":
+            short = zlib.decompress(body)[:-1]
+            out += _chunk(b"IDAT", zlib.compress(short))
+        else:
+            out += _chunk(tag, body)
+        pos += 12 + length
+    with pytest.raises(ValueError, match="truncated|size"):
+        decode_png(bytes(out))
+
+
 def test_rejects_non_png_and_unsupported():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"definitely not a png")
