@@ -187,6 +187,10 @@ HEADLINE = [
     # HLL error contract (sketch + exact distinct in one aggregate)
     "tx_snapshot_isolation",
     "sketch_hll_users",
+    # data-skipping wave: predicate DELETE and the stats-pruned range
+    # read on the transactional table
+    "tx_delete_where",
+    "tx_stats_skipping",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -213,6 +217,7 @@ PRESTAGE = [
     "ivm_join_delta",
     "stream_session_window",
     "tx_snapshot_isolation",
+    "tx_delete_where",
 ]
 
 

@@ -75,9 +75,24 @@ _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
 _PAD = 20
 
+#: Write a log checkpoint every N commits (Delta's default cadence).
+#: A checkpoint file holds the FOLDED state at its version — live file
+#: set with stats, schema, and per-app streaming-batch floors — so
+#: readers fold only the commit tail after it instead of every commit
+#: since version 1, and :func:`expire_log` can drop the commit files a
+#: checkpoint subsumes.  Without this the log read is O(commits) —
+#: fine for a toy, wrong for a 100 TB table taking a commit per
+#: micro-batch for months.
+CHECKPOINT_INTERVAL = 10
+
 
 class ConcurrentWriteError(RuntimeError):
     """A concurrent commit invalidated this transaction's snapshot."""
+
+
+class VersionExpiredError(IOError):
+    """The requested version predates the oldest retained checkpoint —
+    its commit files were dropped by :func:`expire_log`."""
 
 
 @dataclass(frozen=True)
@@ -131,68 +146,160 @@ def _commit_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:0{_PAD}d}.json")
 
 
-def read_log(path: str) -> list[Commit]:
-    """All commits, version order.  Contiguity is asserted — a gap
-    would mean a deleted commit file, which breaks snapshot folding."""
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(
+        _log_dir(path), f"{version:0{_PAD}d}.checkpoint.json"
+    )
+
+
+def _list_log(path: str) -> tuple[list[int], list[int]]:
+    """One directory listing → (commit versions, checkpoint versions),
+    each sorted ascending.  Every read path starts here; nothing below
+    re-lists the directory."""
     d = _log_dir(path)
     if not os.path.isdir(d):
-        return []
-    out: list[Commit] = []
-    for name in sorted(os.listdir(d)):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(d, name)) as f:
-            c = json.load(f)
-        st = c.get("stream_txn")
-        out.append(
-            Commit(
-                version=c["version"],
-                action=c["action"],
-                add=tuple(c["add"]),
-                remove=tuple(c["remove"]),
-                schema=c["schema"],
-                read_version=c["read_version"],
-                txn=c["txn"],
-                stream_txn=(st[0], st[1]) if st else None,
-                stats=c.get("stats"),
-            )
+        return [], []
+    commits, checkpoints = [], []
+    for name in os.listdir(d):
+        if name.endswith(".checkpoint.json"):
+            checkpoints.append(int(name[: -len(".checkpoint.json")]))
+        elif name.endswith(".json"):
+            commits.append(int(name[: -len(".json")]))
+    return sorted(commits), sorted(checkpoints)
+
+
+def _read_commit(path: str, version: int) -> Commit:
+    with open(_commit_path(path, version)) as f:
+        c = json.load(f)
+    st = c.get("stream_txn")
+    return Commit(
+        version=c["version"],
+        action=c["action"],
+        add=tuple(c["add"]),
+        remove=tuple(c["remove"]),
+        schema=c["schema"],
+        read_version=c["read_version"],
+        txn=c["txn"],
+        stream_txn=(st[0], st[1]) if st else None,
+        stats=c.get("stats"),
+    )
+
+
+def _load_checkpoint(path: str, version: int) -> dict:
+    with open(_checkpoint_path(path, version)) as f:
+        return json.load(f)
+
+
+@dataclass
+class _State:
+    """Folded log state at a version: what a checkpoint persists and
+    what every reader consumes."""
+
+    version: int
+    files: dict  # name -> per-file stats dict or None
+    schema: str
+    stream_txns: dict  # app_id -> highest committed batch id
+
+
+def _fold_state(path: str, version: int | None = None) -> _State | None:
+    """Fold the log up to ``version`` (None = latest), starting from
+    the newest checkpoint at or below it — O(commit tail), not
+    O(commits since version 1).  Raises :class:`VersionExpiredError`
+    when the commits needed to reach ``version`` were expired and no
+    checkpoint covers it; raises ``IOError`` on a genuine gap."""
+    commits, checkpoints = _list_log(path)
+    current = max(commits[-1] if commits else 0,
+                  checkpoints[-1] if checkpoints else 0)
+    if current == 0:
+        return None
+    if version is None:
+        version = current
+    if not 1 <= version <= current:
+        raise IndexError(
+            f"version {version} outside committed range 1..{current}"
         )
-    for i, c in enumerate(out, start=1):
-        if c.version != i:
+    base = [v for v in checkpoints if v <= version]
+    if base:
+        cp = _load_checkpoint(path, base[-1])
+        state = _State(
+            version=cp["version"],
+            files=dict(cp["files"]),
+            schema=cp["schema"],
+            stream_txns=dict(cp.get("stream_txns") or {}),
+        )
+    else:
+        state = _State(version=0, files={}, schema="", stream_txns={})
+    present = set(commits)
+    for v in range(state.version + 1, version + 1):
+        if v not in present:
+            if not base and (commits and commits[0] > 1):
+                raise VersionExpiredError(
+                    f"version {version} expired at {path}: commits "
+                    f"before {commits[0]} were dropped by expire_log "
+                    "and no checkpoint at or below it survives"
+                )
+            raise IOError(
+                f"transaction log corrupt at {path}: commit {v} "
+                f"missing while folding to version {version}"
+            )
+        c = _read_commit(path, v)
+        if c.version != v:
+            raise IOError(
+                f"transaction log corrupt at {path}: file for version "
+                f"{v} records version {c.version}"
+            )
+        for r in c.remove:
+            state.files.pop(r, None)
+        for a in c.add:
+            state.files[a] = (c.stats or {}).get(a)
+        state.schema = c.schema
+        if c.stream_txn is not None:
+            app, batch = c.stream_txn
+            prev = state.stream_txns.get(app)
+            state.stream_txns[app] = batch if prev is None else max(prev, batch)
+        state.version = v
+    return state
+
+
+def read_log(path: str) -> list[Commit]:
+    """All RETAINED commits, version order.  Contiguity within the
+    retained range is asserted — a gap means a deleted commit file,
+    which breaks snapshot folding.  After :func:`expire_log` the list
+    starts at the oldest retained commit (the expired prefix lives on,
+    folded, in a checkpoint)."""
+    commits, checkpoints = _list_log(path)
+    out = [_read_commit(path, v) for v in commits]
+    for want, c in zip(
+        range(commits[0], commits[0] + len(commits)) if commits else [], out
+    ):
+        if c.version != want:
             raise IOError(
                 f"transaction log corrupt at {path}: expected version "
-                f"{i}, found {c.version} (a commit file was deleted?)"
+                f"{want}, found {c.version} (a commit file was deleted?)"
             )
+    if commits and commits[0] > 1 and not any(
+        v >= commits[0] - 1 for v in checkpoints
+    ):
+        raise IOError(
+            f"transaction log corrupt at {path}: commits start at "
+            f"{commits[0]} but no checkpoint covers the missing prefix"
+        )
     return out
 
 
 def snapshot(path: str, version: int | None = None) -> Snapshot | None:
     """Resolve the live file set at ``version`` (None = latest).
     Returns None for a table with no commits; raises for a version
-    beyond the log."""
-    log = read_log(path)
-    if not log:
+    beyond the log, and :class:`VersionExpiredError` for one dropped
+    by :func:`expire_log`."""
+    state = _fold_state(path, version)
+    if state is None:
         return None
-    if version is None:
-        version = log[-1].version
-    if not 1 <= version <= log[-1].version:
-        raise IndexError(
-            f"version {version} outside committed range 1..{log[-1].version}"
-        )
-    live: dict[str, None] = {}
-    stats: dict[str, dict] = {}
-    schema = log[0].schema
-    for c in log[:version]:
-        for r in c.remove:
-            live.pop(r, None)
-            stats.pop(r, None)
-        for a in c.add:
-            live[a] = None
-            if c.stats and a in c.stats:
-                stats[a] = c.stats[a]
-        schema = c.schema
     return Snapshot(
-        version=version, files=tuple(live), schema=schema, stats=stats
+        version=state.version,
+        files=tuple(state.files),
+        schema=state.schema,
+        stats={f: s for f, s in state.files.items() if s is not None},
     )
 
 
@@ -231,8 +338,104 @@ def read_table(
 
 
 def table_version(path: str) -> int:
-    log = read_log(path)
-    return log[-1].version if log else 0
+    commits, checkpoints = _list_log(path)
+    return max(commits[-1] if commits else 0,
+               checkpoints[-1] if checkpoints else 0)
+
+
+def oldest_readable_version(path: str) -> int:
+    """Smallest version :func:`snapshot` can still resolve: 1 while the
+    full commit history is retained, else the oldest surviving
+    checkpoint.  0 for an empty table."""
+    commits, checkpoints = _list_log(path)
+    if commits and commits[0] == 1:
+        return 1
+    if checkpoints:
+        return min(checkpoints)
+    return 0
+
+
+def write_checkpoint(path: str, version: int | None = None) -> int | None:
+    """Persist the folded state at ``version`` (None = latest) as a
+    checkpoint file.  Idempotent — an existing checkpoint at that
+    version is left alone (its content is a pure function of the
+    immutable commit prefix, so whoever wrote it wrote the same
+    thing).  Published with the same stage-then-``link(2)`` protocol
+    as commits: the file appears atomically with complete content, and
+    a crash before the link leaves only a swept-later tmp orphan —
+    readers never see a partial checkpoint."""
+    state = _fold_state(path, version)
+    if state is None:
+        return None
+    target = _checkpoint_path(path, state.version)
+    if os.path.exists(target):
+        return state.version
+    body = json.dumps(
+        {
+            "version": state.version,
+            "files": state.files,
+            "schema": state.schema,
+            "stream_txns": state.stream_txns,
+            "txn": uuid.uuid4().hex,
+        },
+        indent=0,
+    ).encode()
+    tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.tmp")
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        os.write(fd, body)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        pass  # a racing writer checkpointed the same immutable prefix
+    os.unlink(tmp)
+    return state.version
+
+
+def expire_log(
+    path: str,
+    retain_versions: int | None = None,
+    before_version: int | None = None,
+) -> list[str]:
+    """Drop the commit files a checkpoint subsumes — the log-retention
+    half of :func:`vacuum` (which drops unreferenced DATA files).
+    Keeps every version from ``K`` onward readable, where ``K`` is
+    ``before_version`` or ``current - retain_versions + 1``: a
+    checkpoint is written AT ``K`` first (so version ``K`` itself
+    stays resolvable), then commit files ``<= K`` and checkpoints
+    ``< K`` are deleted.  Time travel below ``K`` raises
+    :class:`VersionExpiredError` afterwards.  At one commit per
+    micro-batch a 100 TB table's log would otherwise grow without
+    bound and every cold read would fold months of commits."""
+    current = table_version(path)
+    if current == 0:
+        return []
+    if before_version is not None:
+        k = before_version
+    elif retain_versions is not None:
+        k = current - retain_versions + 1
+    else:
+        raise ValueError("expire_log needs retain_versions or before_version")
+    k = max(1, min(k, current))
+    if k < oldest_readable_version(path):
+        raise VersionExpiredError(
+            f"cannot expire before version {k}: already expired past it"
+        )
+    write_checkpoint(path, k)
+    commits, checkpoints = _list_log(path)
+    deleted: list[str] = []
+    for v in commits:
+        if v <= k:
+            os.remove(_commit_path(path, v))
+            deleted.append(os.path.basename(_commit_path(path, v)))
+    for v in checkpoints:
+        if v < k:
+            os.remove(_checkpoint_path(path, v))
+            deleted.append(os.path.basename(_checkpoint_path(path, v)))
+    return deleted
 
 
 # ---------------------------------------------------------------- write
@@ -508,20 +711,30 @@ def commit(
     """
     os.makedirs(_log_dir(path), exist_ok=True)
     while True:
-        log = read_log(path)
-        current = log[-1].version if log else 0
-        _validate_against(action, remove, log[read_version:])
+        current = table_version(path)
+        intervening = [
+            _read_commit(path, v) for v in range(read_version + 1, current + 1)
+        ]
+        _validate_against(action, remove, intervening)
         if stream_txn is not None:
-            # scan the WHOLE log, not just commits after read_version:
-            # a replayed micro-batch reads a snapshot that already
-            # CONTAINS its own earlier commit.  Inside the retry loop
-            # so a racing duplicate replay also stays exactly-once.
-            for c in log:
-                if c.stream_txn == tuple(stream_txn):
-                    raise ConcurrentWriteError(
-                        f"stream batch {stream_txn} already committed "
-                        f"as version {c.version}"
-                    )
+            # check the WHOLE history, not just commits after
+            # read_version: a replayed micro-batch reads a snapshot
+            # that already CONTAINS its own earlier commit.  Inside
+            # the retry loop so a racing duplicate replay also stays
+            # exactly-once.  History expired into a checkpoint is
+            # covered by the per-app batch floor the checkpoint
+            # carries (batches commit in order per app, so
+            # ``batch <= floor`` means already committed — the same
+            # txn-action floor Delta checkpoints persist).
+            app, batch = stream_txn
+            state = _fold_state(path)
+            floor = (state.stream_txns.get(app) if state is not None
+                     else None)
+            if floor is not None and batch <= floor:
+                raise ConcurrentWriteError(
+                    f"stream batch {tuple(stream_txn)} already committed "
+                    f"(app floor is batch {floor})"
+                )
         body = json.dumps(
             {
                 "version": current + 1,
@@ -559,6 +772,14 @@ def commit(
             os.unlink(tmp)
             continue  # lost the race: loop re-reads and re-validates
         os.unlink(tmp)
+        if (current + 1) % CHECKPOINT_INTERVAL == 0:
+            # post-commit, best-effort: the table is already durable;
+            # a failed checkpoint only means readers fold a longer
+            # tail until the next interval lands one
+            try:
+                write_checkpoint(path, current + 1)
+            except OSError:
+                pass
         return current + 1
 
 
@@ -625,8 +846,8 @@ def _union_schema(existing_schema: str, df: DataFrame) -> str:
 def tx_append(df: DataFrame, path: str) -> int:
     """Append under the additive-evolution contract; first write
     creates the table (version 1)."""
-    log = read_log(path)
-    if not log:
+    state = _fold_state(path)
+    if state is None:
         files = _stage_files(df, path)
         return commit(
             path,
@@ -637,15 +858,15 @@ def tx_append(df: DataFrame, path: str) -> int:
             0,
             stats=_footer_stats(path, files),
         )
-    read_version = log[-1].version
-    df = _check_evolution(log[-1].schema, df)
+    read_version = state.version
+    df = _check_evolution(state.schema, df)
     files = _stage_files(df, path)
     return commit(
         path,
         "append",
         files,
         [],
-        _union_schema(log[-1].schema, df),
+        _union_schema(state.schema, df),
         read_version,
         stats=_footer_stats(path, files),
     )
@@ -694,12 +915,12 @@ def tx_upsert(
         upsert_snapshot,
     )
 
-    log = read_log(path)
-    if not log:
+    state = _fold_state(path)
+    if state is None:
         raise ValueError(f"tx_upsert on a table with no commits: {path}")
-    read_version = log[-1].version
+    read_version = state.version
     snap = snapshot(path, read_version)
-    changes = _check_evolution(log[-1].schema, changes)
+    changes = _check_evolution(state.schema, changes)
 
     current = read_table(spark, path, read_version)
     affected_paths = {
@@ -713,7 +934,7 @@ def tx_upsert(
     assert set(affected) <= set(snap.files), (
         "pruning probe returned files outside the snapshot"
     )
-    union_schema = _union_schema(log[-1].schema, changes)
+    union_schema = _union_schema(state.schema, changes)
     if affected:
         base = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(path, f) for f in affected]
@@ -764,10 +985,10 @@ def tx_compact(
     on that column (``operators/compaction.py`` semantics), so a
     sorted/Z-ordered table KEEPS its clustering and footer min/max
     stats stay selective."""
-    log = read_log(path)
-    if not log:
+    state = _fold_state(path)
+    if state is None:
         return None
-    read_version = log[-1].version
+    read_version = state.version
     snap = snapshot(path, read_version)
     sized = [
         (f, os.path.getsize(os.path.join(path, f))) for f in snap.files
@@ -796,7 +1017,7 @@ def tx_compact(
         "compact",
         files,
         [f for f, _ in victims],
-        log[-1].schema,
+        state.schema,
         read_version,
         stats=_footer_stats(path, files),
     )
@@ -825,10 +1046,10 @@ def tx_delete(
     a table rewrite.  Concurrency: like upsert, any concurrent data
     change invalidates the read snapshot (strict branch of
     ``_validate_against``)."""
-    log = read_log(path)
-    if not log:
+    state = _fold_state(path)
+    if state is None:
         raise ValueError(f"tx_delete on a table with no commits: {path}")
-    read_version = log[-1].version
+    read_version = state.version
     snap = snapshot(path, read_version)
     candidates, _pruned = prune_files(path, where, read_version)
     fstats = snap.stats or {}
@@ -862,7 +1083,7 @@ def tx_delete(
         "delete",
         added,
         whole + straddle,
-        log[-1].schema,
+        state.schema,
         read_version,
         stats=stats,
     )
