@@ -654,16 +654,66 @@ def _where_expr(where: Sequence[tuple]):
     return expr
 
 
+def _file_disjoint_from_ranges(fstats: dict | None, ranges: dict) -> bool:
+    """Can the file's logged stats PROVE that no row carries a key
+    inside ``ranges`` (the change-key bounding box, one ``[lo, hi]``
+    per key column)?  Disjointness on ANY single key column suffices: a
+    row matches a change key only if every key column matches, and the
+    box over-approximates the change-key set.  NULL key cells never
+    join, so an all-NULL column also proves disjointness.  Missing or
+    incomparable stats prove nothing (returns False)."""
+    for col, bounds in ranges.items():
+        if bounds is None or not fstats or col not in fstats:
+            continue
+        lo, hi = bounds
+        s = fstats[col]
+        if s["rows"] == s["nulls"]:
+            return True
+        if not _comparable(s["min"], lo):
+            continue
+        if s["max"] < lo or s["min"] > hi:
+            return True
+    return False
+
+
 def _validate_against(
-    action: str, remove: Sequence[str], intervening: Sequence[Commit]
+    action: str,
+    remove: Sequence[str],
+    intervening: Sequence[Commit],
+    conflict: dict | None = None,
 ) -> None:
     """Optimistic-concurrency rules for a transaction that lost the
     version race.  ``intervening`` = commits that landed after the
-    transaction's read_version."""
+    transaction's read_version.
+
+    ``conflict`` narrows the strict abort-on-any-data-change rule for
+    upsert/delete to FILE/RANGE-DISJOINT detection (the granularity
+    Delta's WriteSerializable achieves with per-file stats):
+
+    - ``{"kind": "empty"}`` — the transaction's change set is empty; it
+      commutes with any concurrent add.
+    - ``{"kind": "keys", "ranges": {col: [lo, hi]}}`` — a MERGE's
+      change-key bounding box.  A concurrent commit commutes iff it
+      removed none of this transaction's rewrite victims AND every file
+      it added is provably key-disjoint (its rows cannot contain any
+      change key, so both serial orders produce the identical table —
+      strictly serializable, not merely write-serializable).
+    - ``{"kind": "where", "clauses": [(col, op, val), ...]}`` — a
+      DELETE's predicate.  A concurrent append commutes iff its files
+      provably contain no matching row (again: both serial orders
+      agree).
+
+    Without ``conflict`` (or when stats can't prove disjointness) the
+    strict rule applies: any concurrent data change aborts.  The common
+    100 TB livelock case this unlocks — streaming ingest appending new
+    event-time data while a periodic MERGE reconciles an old key range
+    — now commits on both sides."""
     if action == "append":
         # pure additive: commutes with everything (schema compatibility
         # was checked against the read snapshot; an intervening type
-        # migration is expressed as remove+add and caught below)
+        # migration is expressed as remove+add and caught below; an
+        # intervening ADDITIVE evolution is re-unioned by the commit
+        # loop so the logged schema never regresses)
         for c in intervening:
             if c.action == "evolve-rewrite":
                 raise ConcurrentWriteError(
@@ -680,14 +730,86 @@ def _validate_against(
                 "compaction victim was removed by a concurrent commit"
             )
         return
-    # upsert/delete/evolve-rewrite: the merge result depends on every
-    # row of the read snapshot — any concurrent data change invalidates
+    # upsert/delete/evolve-rewrite: the result depends on the rows the
+    # transaction read — concurrent changes abort unless provably
+    # disjoint from the transaction's conflict domain
     for c in intervening:
-        if c.add or c.remove:
+        if c.action == "evolve-rewrite":
+            raise ConcurrentWriteError(
+                f"{action} lost to a concurrent schema rewrite"
+            )
+        if set(c.remove) & set(remove):
+            raise ConcurrentWriteError(
+                f"{action} read version is stale: concurrent {c.action} "
+                f"(version {c.version}) removed file(s) this transaction "
+                "rewrites"
+            )
+        if not c.add:
+            # pure removal of files this transaction doesn't touch
+            # (e.g. a whole-file DELETE elsewhere in the table): every
+            # file holding this transaction's keys/predicate rows is in
+            # its own remove set, so a disjoint removal commutes
+            continue
+        if conflict is None:
             raise ConcurrentWriteError(
                 f"{action} read version is stale: concurrent "
                 f"{c.action} committed version {c.version}"
             )
+        kind = conflict.get("kind")
+        if kind == "empty":
+            continue
+        for f in c.add:
+            fstats = (c.stats or {}).get(f)
+            if kind == "keys":
+                ok = _file_disjoint_from_ranges(fstats, conflict["ranges"])
+            elif kind == "where":
+                ok = any(
+                    not _clause_may_match(fstats, col, op, v)
+                    for col, op, v in conflict["clauses"]
+                )
+            else:
+                raise ValueError(f"unknown conflict kind: {kind!r}")
+            if not ok:
+                raise ConcurrentWriteError(
+                    f"{action} read version is stale: concurrent "
+                    f"{c.action} committed version {c.version}; its file "
+                    f"{f} is not provably disjoint from this "
+                    "transaction's "
+                    + (
+                        "change-key range"
+                        if kind == "keys"
+                        else "delete predicate"
+                    )
+                )
+
+
+def _union_schema_json(base: str, other: str) -> str:
+    """Union two schema JSONs: ``base`` fields first (original order),
+    then fields only in ``other``.  Used by the commit retry loop to
+    absorb a concurrent ADDITIVE evolution — without it, a writer that
+    lost the version race to an evolving append would publish its stale
+    (narrower) schema and the fold (which takes the LAST commit's
+    schema) would silently drop the new column from the logged table
+    schema.  A genuine type conflict is a concurrency error, not a
+    schema error: the caller must re-read and re-validate."""
+    from pyspark.sql.types import StructType
+
+    a = StructType.fromJson(json.loads(base))
+    b = StructType.fromJson(json.loads(other))
+    by_name = {f.name: f for f in a.fields}
+    for f in b.fields:
+        old = by_name.get(f.name)
+        if old is not None and old.dataType != f.dataType:
+            raise ConcurrentWriteError(
+                f"schema conflict on column '{f.name}': the table holds "
+                f"{old.dataType.simpleString()} but this transaction "
+                f"wrote {f.dataType.simpleString()}; re-read and "
+                "re-validate"
+            )
+    names = set(by_name)
+    return StructType(
+        list(a.fields) + [f for f in b.fields if f.name not in names]
+    ).json()
 
 
 def commit(
@@ -699,11 +821,15 @@ def commit(
     read_version: int,
     stream_txn: tuple[str, int] | None = None,
     stats: dict | None = None,
+    conflict: dict | None = None,
 ) -> int:
     """Publish a transaction: validate against any commits that landed
     since ``read_version``, then atomically create the next commit
     file.  Returns the committed version; raises
-    :class:`ConcurrentWriteError` if validation fails.
+    :class:`ConcurrentWriteError` if validation fails.  ``conflict``
+    (see :func:`_validate_against`) narrows upsert/delete validation to
+    file/range-disjoint detection using the per-file stats the log
+    already records.
 
     The create-if-absent (``O_CREAT|O_EXCL``) is the entire publish —
     losing the race to a version number is NOT an error by itself, it
@@ -715,7 +841,15 @@ def commit(
         intervening = [
             _read_commit(path, v) for v in range(read_version + 1, current + 1)
         ]
-        _validate_against(action, remove, intervening)
+        _validate_against(action, remove, intervening, conflict)
+        commit_schema = schema
+        if intervening:
+            # absorb a concurrent additive evolution: the table schema
+            # is the union of what the intervening commits left and
+            # what this transaction wrote (files written before either
+            # evolution surface the other side's columns as NULL via
+            # mergeSchema)
+            commit_schema = _union_schema_json(intervening[-1].schema, schema)
         if stream_txn is not None:
             # check the WHOLE history, not just commits after
             # read_version: a replayed micro-batch reads a snapshot
@@ -741,7 +875,7 @@ def commit(
                 "action": action,
                 "add": list(add),
                 "remove": list(remove),
-                "schema": schema,
+                "schema": commit_schema,
                 "read_version": read_version,
                 "txn": uuid.uuid4().hex,
                 "stream_txn": list(stream_txn) if stream_txn else None,
@@ -910,6 +1044,13 @@ def tx_upsert(
     files carry over into the new version by reference; at 100 TB an
     upsert touching 0.1% of keys rewrites ~0.1% of files, not the
     table.
+
+    Concurrency: the change-key bounding box (per key column) travels
+    to :func:`commit` as the conflict domain, so a concurrent append
+    whose files are provably key-disjoint (the streaming-ingest +
+    periodic-MERGE pattern) COMMUTES instead of aborting; overlapping
+    or unprovable concurrent adds still abort
+    (:class:`ConcurrentWriteError`).
     """
     from event_streaming_toy_example_spark.operators.upsert import (
         upsert_snapshot,
@@ -957,6 +1098,30 @@ def tx_upsert(
     merged = upsert_snapshot(touched, changes, keys, order_by).unionByName(
         kept
     )
+    # conflict domain: the change-key bounding box (one tiny agg over
+    # the small MERGE batch) — lets commit() prove a concurrent append
+    # key-disjoint instead of aborting
+    bounds = changes.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            agg
+            for k in keys
+            for agg in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
+        ],
+    ).collect()[0]
+    if bounds["__n"] == 0:
+        conflict: dict | None = {"kind": "empty"}
+    else:
+        ranges = {}
+        for k in keys:
+            lo = _norm_stat(bounds[f"__lo_{k}"])
+            hi = _norm_stat(bounds[f"__hi_{k}"])
+            ranges[k] = None if lo is None or hi is None else [lo, hi]
+        conflict = (
+            {"kind": "keys", "ranges": ranges}
+            if any(v is not None for v in ranges.values())
+            else None  # no indexable key column: strict validation
+        )
     files = _stage_files(merged, path)
     return commit(
         path,
@@ -967,6 +1132,7 @@ def tx_upsert(
         read_version,
         stream_txn=stream_txn,
         stats=_footer_stats(path, files),
+        conflict=conflict,
     )
 
 
@@ -1043,9 +1209,10 @@ def tx_delete(
 
     At 100 TB a retention delete on a time-clustered table (``ts <
     horizon``) is almost entirely whole-file drops — O(metadata), not
-    a table rewrite.  Concurrency: like upsert, any concurrent data
-    change invalidates the read snapshot (strict branch of
-    ``_validate_against``)."""
+    a table rewrite.  Concurrency: the predicate itself is the conflict
+    domain — a concurrent append whose files provably contain NO
+    matching row commutes (both serial orders agree); anything stats
+    can't prove disjoint aborts (:class:`ConcurrentWriteError`)."""
     state = _fold_state(path)
     if state is None:
         raise ValueError(f"tx_delete on a table with no commits: {path}")
@@ -1086,6 +1253,7 @@ def tx_delete(
         state.schema,
         read_version,
         stats=stats,
+        conflict={"kind": "where", "clauses": [tuple(cl) for cl in where]},
     )
 
 
@@ -1098,14 +1266,17 @@ def _parquet_rows(path: str, name: str) -> int:
 def last_committed_batch(path: str, app_id: str) -> int | None:
     """Highest micro-batch id this ``app_id`` has committed, or None.
     The streaming sink's exactly-once floor: replayed batches at or
-    below it are skipped without re-running the merge."""
-    log = read_log(path)
-    batches = [
-        c.stream_txn[1]
-        for c in log
-        if c.stream_txn is not None and c.stream_txn[0] == app_id
-    ]
-    return max(batches) if batches else None
+    below it are skipped without re-running the merge.
+
+    Computed from the FOLDED state, not the retained commit files —
+    :func:`expire_log` drops old commits but their per-app batch floors
+    live on in the checkpoint, so a replayed batch from the expired era
+    is still skipped idempotently here instead of bouncing off
+    :func:`commit`'s floor check as a streaming-query failure."""
+    state = _fold_state(path)
+    if state is None:
+        return None
+    return state.stream_txns.get(app_id)
 
 
 def tx_upsert_stream(
@@ -1178,30 +1349,52 @@ def tx_change_feed(
     return diff_snapshots(base, nxt, key_col, content_cols)
 
 
-def vacuum(path: str, retain_versions: int = 2) -> list[str]:
+def vacuum(
+    path: str,
+    retain_versions: int = 2,
+    min_age_seconds: float = 3600.0,
+) -> list[str]:
     """Delete data files unreferenced by the newest ``retain_versions``
     snapshots — the physical-delete step snapshot isolation defers.
     Also sweeps staging orphans from crashed writers.  Returns the
-    deleted table-relative names."""
-    log = read_log(path)
-    if not log:
+    deleted table-relative names.
+
+    ``min_age_seconds`` protects IN-FLIGHT writers: ``_stage_files``
+    moves a writer's data files into ``data/`` BEFORE its commit lands,
+    so an unreferenced-but-younger-than-the-window file may belong to a
+    transaction about to commit — deleting it would let that commit
+    publish a version referencing missing files (an unreadable table).
+    Same modification-time guard Delta's VACUUM applies (its default is
+    7 days; ours is an hour because the tests that exercise crash
+    orphans pass 0 explicitly).  The window composes with
+    :func:`expire_log`: the retention scan is clamped to the oldest
+    still-readable version instead of crashing on expired history."""
+    import time as _time
+
+    current = table_version(path)
+    if current == 0:
         return []
-    current = log[-1].version
     keep: set[str] = set()
-    for v in range(max(1, current - retain_versions + 1), current + 1):
+    start = max(
+        1, current - retain_versions + 1, oldest_readable_version(path)
+    )
+    for v in range(start, current + 1):
         keep.update(snapshot(path, v).files)
+    horizon = _time.time() - min_age_seconds
     deleted: list[str] = []
     ddir = _data_dir(path)
     if os.path.isdir(ddir):
         for name in sorted(os.listdir(ddir)):
             rel = f"{_DATA_DIR}/{name}"
-            if rel not in keep:
-                os.remove(os.path.join(ddir, name))
+            full = os.path.join(ddir, name)
+            if rel not in keep and os.path.getmtime(full) <= horizon:
+                os.remove(full)
                 deleted.append(rel)
     import shutil
 
     for name in os.listdir(path):
-        if name.startswith("_stage_"):
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        full = os.path.join(path, name)
+        if name.startswith("_stage_") and os.path.getmtime(full) <= horizon:
+            shutil.rmtree(full, ignore_errors=True)
             deleted.append(name)
     return deleted

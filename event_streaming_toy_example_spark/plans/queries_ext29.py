@@ -109,7 +109,7 @@ def _build_tx_table(spark: SparkSession, sf_dir: str) -> str:
         assert (v1, v2, v3, v4) == (1, 2, 3, 4), (v1, v2, v3, v4)
         # exercise the physical-delete path with a window wide enough
         # to keep every version time-travelable
-        tx.vacuum(tmp, retain_versions=10)
+        tx.vacuum(tmp, retain_versions=10, min_age_seconds=0.0)
 
     return stage_dir_once(build, "txtable_v3", sf_dir)
 

@@ -199,7 +199,7 @@ def test_crash_before_commit_leaves_readers_untouched(spark, tmp_path):
     orphans = tx._stage_files(_df(spark, [(2, 1, "b")]), p)
     assert _content(spark, p) == [(1, 1, "a")]
     assert tx.table_version(p) == 1
-    deleted = tx.vacuum(p, retain_versions=10)
+    deleted = tx.vacuum(p, retain_versions=10, min_age_seconds=0.0)
     assert set(orphans) <= set(deleted)
     # table still intact and appendable after the sweep
     tx.tx_append(_df(spark, [(3, 1, "c")]), p)
@@ -267,7 +267,9 @@ def test_concurrent_upsert_vs_append_aborts_the_upsert(spark, tmp_path):
         )
     # table unharmed; the orphaned merge files are vacuumable
     assert _content(spark, p) == [(1, 1, "a"), (2, 1, "b")]
-    assert set(merged) <= set(tx.vacuum(p, retain_versions=10))
+    assert set(merged) <= set(
+        tx.vacuum(p, retain_versions=10, min_age_seconds=0.0)
+    )
 
 
 def test_concurrent_compaction_vs_append_commits(spark, tmp_path):
@@ -401,7 +403,7 @@ def test_vacuum_respects_retention_window(spark, tmp_path):
     tx.tx_upsert(spark, p, _df(spark, [(1, 2, "a2")]), ["k"], ["ts"])
     tx.tx_upsert(spark, p, _df(spark, [(1, 3, "a3")]), ["k"], ["ts"])
     # retain 2 newest: version 1's files may go, 2 and 3 must stay
-    tx.vacuum(p, retain_versions=2)
+    tx.vacuum(p, retain_versions=2, min_age_seconds=0.0)
     assert _content(spark, p, version=2) == [(1, 2, "a2")]
     assert _content(spark, p, version=3) == [(1, 3, "a3")]
     with pytest.raises(Exception):
@@ -539,3 +541,284 @@ def test_tx_upsert_stream_end_to_end_and_restart(spark, tmp_path):
     run(str(tmp_path / "ck2"))
     assert tx.table_version(p) == v_first  # zero new commits
     assert _content(spark, p) == after_first
+
+
+# ------------------------------- round 6: OCC range-disjoint + expiry
+
+
+def test_vacuum_age_guard_protects_inflight_writer(spark, tmp_path):
+    """ADVICE r5: `_stage_files` moves a writer's files into data/
+    BEFORE its commit lands; a vacuum racing that writer must NOT
+    delete the young unreferenced files (default min_age window), or
+    the writer would commit a version referencing deleted files."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    staged = tx._stage_files(_df(spark, [(2, 1, "b")]), p)
+    # default window: the freshly staged (in-flight) files survive
+    deleted = tx.vacuum(p, retain_versions=1)
+    assert not set(staged) & set(deleted)
+    # the in-flight writer can still commit and the table reads clean
+    tx.commit(p, "append", staged, [], tx.read_log(p)[-1].schema, 1)
+    assert _content(spark, p) == [(1, 1, "a"), (2, 1, "b")]
+    # a crashed writer's week-old orphans DO get swept
+    orphans = tx._stage_files(_df(spark, [(9, 1, "x")]), p)
+    for f in orphans:
+        os.utime(os.path.join(p, f), (1, 1))
+    deleted = tx.vacuum(p, retain_versions=10)
+    assert set(orphans) <= set(deleted)
+
+
+def test_append_race_absorbs_concurrent_additive_evolution(spark, tmp_path):
+    """ADVICE r5: a plain append that lost the version race to a
+    concurrent ADDITIVE-evolving append must commit the UNION schema —
+    otherwise the fold regresses the table schema and a later upsert's
+    align drops the evolved column's data from every rewritten file."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    # writer A stages a plain append against version 1
+    files = tx._stage_files(_df(spark, [(2, 1, "b")]), p)
+    schema_v1 = tx.read_log(p)[-1].schema
+    # writer B wins the race with an additive evolution (+score), its
+    # file holding two keys so a later upsert rewrites a carried row
+    tx.tx_append(
+        spark.createDataFrame(
+            [(3, 1, "c", 0.5), (4, 1, "d", 0.25)],
+            "k int, ts int, v string, score double",
+        ).coalesce(1),
+        p,
+    )
+    # A commits with its stale schema: the log must carry the union
+    tx.commit(p, "append", files, [], schema_v1, read_version=1)
+    assert "score" in tx.snapshot(p).schema
+    # upsert of k=4 rewrites the file also holding k=3; the carried
+    # row must keep its evolved-column value
+    tx.tx_upsert(spark, p, _df(spark, [(4, 2, "d2")]), ["k"], ["ts"])
+    rows = {r["k"]: r["score"] for r in tx.read_table(spark, p).collect()}
+    assert rows[3] == 0.5 and rows[4] is None and rows[1] is None
+
+
+def test_append_race_type_conflict_is_loud(spark, tmp_path):
+    """Same race, but the concurrent evolution CHANGES a type the
+    loser also writes: must abort, never commit a mismatched union."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    files = tx._stage_files(_df(spark, [(2, 1, "b")]), p)
+    schema_v1 = tx.read_log(p)[-1].schema
+    # hand-craft an intervening commit whose schema retypes v
+    other = tx._stage_files(
+        spark.createDataFrame([(3, 1, 9.0)], "k int, ts int, v double"), p
+    )
+    import json as _json
+
+    retyped = _json.loads(schema_v1)
+    for f in retyped["fields"]:
+        if f["name"] == "v":
+            f["type"] = "double"
+    tx.commit(p, "evolve-rewrite-lite", other, [], _json.dumps(retyped), 1)
+    with pytest.raises(tx.ConcurrentWriteError, match="schema conflict"):
+        tx.commit(p, "append", files, [], schema_v1, read_version=1)
+
+
+def test_upsert_commutes_with_key_disjoint_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r5 item 2: the streaming-ingest + periodic-MERGE
+    pattern.  An append of a PROVABLY key-disjoint range lands between
+    the upsert's read and its commit: the upsert must commit (stats
+    prove commutativity), and the final table holds both effects."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1), p)
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_):
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent ingest append, far away in key space
+            tx.tx_append(_df(spark, [(100, 1, "ingest")]).coalesce(1), p)
+        return orig(df, path_)
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    v = tx.tx_upsert(spark, p, _df(spark, [(1, 5, "a5")]), ["k"], ["ts"])
+    assert v == 3  # append took 2, upsert landed at 3 without aborting
+    assert _content(spark, p) == [
+        (1, 5, "a5"), (2, 1, "b"), (100, 1, "ingest"),
+    ]
+    assert [c.action for c in tx.read_log(p)] == [
+        "append", "append", "upsert",
+    ]
+
+
+def test_upsert_aborts_on_key_overlapping_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """The overlapping twin: the concurrent append's file range covers
+    a change key, so stats cannot prove disjointness — abort."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1), p)
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_):
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_append(_df(spark, [(1, 9, "race")]).coalesce(1), p)
+        return orig(df, path_)
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    with pytest.raises(tx.ConcurrentWriteError, match="disjoint"):
+        tx.tx_upsert(spark, p, _df(spark, [(1, 5, "a5")]), ["k"], ["ts"])
+    # table unharmed: both appends visible, no partial merge
+    assert _content(spark, p) == [(1, 1, "a"), (1, 9, "race"), (2, 1, "b")]
+
+
+def test_delete_commutes_with_predicate_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    p = str(tmp_path / "t")
+    tx.tx_append(
+        _df(spark, [(i, 1, f"r{i}") for i in range(10)]).coalesce(1), p
+    )
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_):
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_append(_df(spark, [(100, 1, "new")]).coalesce(1), p)
+        return orig(df, path_)
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    # straddling delete (forces a staged rewrite, so the hook fires)
+    tx.tx_delete(spark, p, [("k", ">=", 5), ("k", "<", 8)])
+    got = _content(spark, p)
+    assert (100, 1, "new") in got
+    assert all(not (5 <= k < 8) for k, _, _ in got)
+
+
+def test_delete_aborts_on_predicate_matching_append(
+    spark, tmp_path, monkeypatch
+):
+    p = str(tmp_path / "t")
+    tx.tx_append(
+        _df(spark, [(i, 1, f"r{i}") for i in range(10)]).coalesce(1), p
+    )
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_):
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_append(_df(spark, [(6, 9, "late")]).coalesce(1), p)
+        return orig(df, path_)
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    with pytest.raises(tx.ConcurrentWriteError, match="disjoint"):
+        tx.tx_delete(spark, p, [("k", ">=", 5), ("k", "<", 8)])
+    # the late row survives — the delete never half-applied
+    assert (6, 9, "late") in _content(spark, p)
+
+
+# ------------------------------------------------ log expiry (round 6)
+
+
+def _many_appends(spark, p, n, start=0):
+    for i in range(start, start + n):
+        tx.tx_append(_df(spark, [(i, 1, f"r{i}")]).coalesce(1), p)
+
+
+def test_expire_log_time_travel_window_and_loud_expiry(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _many_appends(spark, p, 6)
+    before = {v: _content(spark, p, version=v) for v in range(1, 7)}
+    deleted = tx.expire_log(p, retain_versions=3)  # K = 4
+    assert deleted  # commits 1..4 dropped (checkpoint at 4 covers them)
+    assert tx.oldest_readable_version(p) == 4
+    for v in (4, 5, 6):
+        assert _content(spark, p, version=v) == before[v]
+    for v in (1, 2, 3):
+        with pytest.raises(tx.VersionExpiredError):
+            tx.snapshot(p, v)
+    # read_log passes its prefix check and starts at the retained tail
+    log = tx.read_log(p)
+    assert [c.version for c in log] == [5, 6]
+    # the table stays writable after expiry
+    tx.tx_append(_df(spark, [(99, 1, "post")]), p)
+    assert tx.table_version(p) == 7
+    assert len(_content(spark, p)) == 7
+    # a generous vacuum window clamps instead of crashing (ADVICE r5)
+    tx.vacuum(p, retain_versions=100, min_age_seconds=0.0)
+    assert _content(spark, p, version=4) == before[4]
+
+
+def test_expire_log_missing_prefix_without_checkpoint_is_corrupt(
+    spark, tmp_path
+):
+    p = str(tmp_path / "t")
+    _many_appends(spark, p, 3)
+    os.remove(tx._commit_path(p, 1))  # manual deletion, no checkpoint
+    with pytest.raises(IOError, match="corrupt"):
+        tx.read_log(p)
+
+
+def test_checkpoint_fold_equals_full_fold(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _many_appends(spark, p, 5)
+    tx.tx_upsert(spark, p, _df(spark, [(2, 9, "u")]), ["k"], ["ts"])
+    full = _content(spark, p)
+    v = tx.write_checkpoint(p)
+    assert v == 6
+    assert tx.write_checkpoint(p) == 6  # idempotent
+    # drop every commit the checkpoint subsumes; fold must still agree
+    tx.expire_log(p, before_version=6)
+    assert _content(spark, p) == full
+    assert tx.oldest_readable_version(p) == 6
+
+
+def test_stream_floor_survives_log_expiry(spark, tmp_path):
+    """ADVICE r5: the exactly-once floor must come from the FOLDED
+    state (checkpoint carries per-app floors), not the retained commit
+    files — a replayed batch from the expired era must skip
+    idempotently, not crash the stream."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 0, "init")]), p)
+    for b in range(3):
+        tx.tx_upsert(
+            spark, p, _df(spark, [(1, b + 1, f"b{b}")]), ["k"], ["ts"],
+            stream_txn=("app", b),
+        )
+    tx.expire_log(p, retain_versions=1)
+    assert tx.last_committed_batch(p, "app") == 2
+    # the sink's skip check: a replayed expired batch is a no-op
+    floor = tx.last_committed_batch(p, "app")
+    assert 0 <= floor and 1 <= floor  # batches 0,1 skip via floor
+    # and the commit-level guard agrees rather than corrupting history
+    with pytest.raises(tx.ConcurrentWriteError, match="already committed"):
+        tx.tx_upsert(
+            spark, p, _df(spark, [(1, 9, "replay")]), ["k"], ["ts"],
+            stream_txn=("app", 1),
+        )
+
+
+def test_vacuum_keeps_pinned_reader_version_readable(spark, tmp_path):
+    """VERDICT r5 item 5: a reader pinned on version N survives a
+    concurrent vacuum whose window retains N; a version OUTSIDE the
+    window fails loudly (missing files), never silently returns wrong
+    rows."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    tx.tx_upsert(spark, p, _df(spark, [(1, 2, "a2")]), ["k"], ["ts"])
+    tx.tx_upsert(spark, p, _df(spark, [(1, 3, "a3")]), ["k"], ["ts"])
+    pinned = tx.read_table(spark, p, version=2)  # lazy, inside window
+    tx.vacuum(p, retain_versions=2, min_age_seconds=0.0)
+    assert sorted(tuple(r) for r in pinned.collect()) == [(1, 2, "a2")]
+    with pytest.raises(Exception):
+        tx.read_table(spark, p, version=1).collect()
+    # after log expiry the failure is the TYPED loud error
+    tx.expire_log(p, retain_versions=2)
+    with pytest.raises(tx.VersionExpiredError):
+        tx.read_table(spark, p, version=1)

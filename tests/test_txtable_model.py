@@ -68,7 +68,10 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
 
     for _ in range(14):
         op = rng.choice(
-            ["append", "append", "upsert", "compact", "vacuum", "delete"]
+            [
+                "append", "append", "upsert", "compact", "vacuum",
+                "delete", "expire",
+            ]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 4))
@@ -101,14 +104,36 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             v = tx.tx_compact(spark, p, target_bytes=1 << 30)
             if v is not None:
                 history[v] = sorted(applied)  # content-invariant
-        else:
-            tx.vacuum(p, retain_versions=3)
+        elif op == "vacuum":
+            tx.vacuum(p, retain_versions=3, min_age_seconds=0.0)
             current = tx.table_version(p)
             # versions older than the retention window may now be
             # physically unreadable — drop them from the checkable set
             history = {
                 v: s for v, s in history.items() if v > current - 3
             }
+            # a reader pinned INSIDE the window survives the vacuum
+            for v, snap in history.items():
+                assert _read(spark, p, version=v) == snap, (
+                    f"seed={seed} vacuum broke pinned version {v}"
+                )
+        else:  # expire: drop the commit files a checkpoint subsumes
+            current = tx.table_version(p)
+            if max(1, current - 2) < tx.oldest_readable_version(p):
+                continue  # an earlier expire already passed this horizon
+            tx.expire_log(p, retain_versions=3)
+            k = tx.oldest_readable_version(p)
+            assert k == max(1, current - 2)
+            # below the horizon: LOUD typed error, never wrong data
+            if k > 1:
+                with pytest.raises(tx.VersionExpiredError):
+                    tx.snapshot(p, k - 1)
+            history = {v: s for v, s in history.items() if v >= k}
+            # at-or-above the horizon: still bit-exact (checkpoint fold)
+            for v, snap in history.items():
+                assert _read(spark, p, version=v) == snap, (
+                    f"seed={seed} expire broke retained version {v}"
+                )
         assert _read(spark, p) == sorted(applied), f"seed={seed} op={op}"
 
     # every retained historical version reads back its model snapshot
