@@ -1,4 +1,12 @@
-"""Small-file compaction: bin-pack many small parquet files into
+"""LEGACY ADAPTER — manifest-protocol small-file compaction for PLAIN
+parquet directories (no transaction log).  On the engine's unified
+table stack the same operation is ``txtable.tx_compact`` — one commit
+in the same log as append/MERGE/DELETE, snapshot-isolated against
+readers.  This module remains for compacting directories that are not
+transactional tables (staging areas, foreign datasets); its recovery
+suite (``tests/test_compaction_recovery.py``) still runs.
+
+Small-file compaction: bin-pack many small parquet files into
 target-size files, preserving the table's clustering layout.
 
 The reference's own README targets 100 MB-1 GB parquet files

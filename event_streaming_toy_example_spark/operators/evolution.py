@@ -1,4 +1,11 @@
-"""Schema evolution for append-mode parquet tables.
+"""LEGACY ADAPTER — schema evolution for PLAIN append-mode parquet
+directories (no transaction log).  On the engine's unified table stack
+the same additive contract is enforced by ``txtable.tx_append`` /
+``tx_upsert`` against the LOGGED schema (no footer listing needed, and
+the round-6 commit loop re-unions schemas across concurrent writers).
+This module remains for tables that are bare directories.
+
+Schema evolution for append-mode parquet tables.
 
 The reference hard-codes one inferred schema forever (``toy_glue.py:36``
 — SURVEY.md §8.6 shows the enrichment columns being silently dropped

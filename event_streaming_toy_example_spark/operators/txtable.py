@@ -1257,6 +1257,104 @@ def tx_delete(
     )
 
 
+def tx_replace_where(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    where: Sequence[tuple] | None = None,
+) -> int:
+    """Atomic REPLACE: remove every row satisfying the conjunction of
+    ``(col, op, value)`` clauses and add ``df``'s rows, in ONE commit —
+    Delta's ``replaceWhere``, the idempotent unit of incremental
+    (partition-scoped) compaction: re-running the same batch replaces
+    the same region with identical content instead of doubling it.
+    ``where=None`` replaces the whole table (idempotent full
+    overwrite); the first write creates it.
+
+    ``df`` must lie entirely inside the replaced region (checked with
+    one bounded probe) — otherwise a replay would leak rows outside the
+    region it replaces and idempotence breaks.
+
+    File accounting mirrors :func:`tx_delete`: provably-all-matching
+    files drop whole (never opened), straddlers are rewritten without
+    their matching rows, non-matching files carry over by reference.
+    Concurrency: a concurrent append commutes — the composed state
+    equals the serial order replace-then-append (the replace removes
+    only files of ITS read snapshot), so for ``where=None`` any add
+    commutes, and for a predicate the appended files must be provably
+    region-disjoint (else the two serial orders diverge and we abort).
+    """
+    state = _fold_state(path)
+    if state is None:
+        files = _stage_files(df, path)
+        return commit(
+            path,
+            "replace",
+            files,
+            [],
+            _schema_json(df),
+            0,
+            stats=_footer_stats(path, files),
+        )
+    read_version = state.version
+    df = _check_evolution(state.schema, df)
+    union_schema = _union_schema(state.schema, df)
+    out = _align(df, union_schema)
+    snap = snapshot(path, read_version)
+    if where:
+        stray = out.where(
+            ~F.coalesce(_where_expr(where), F.lit(False))
+        ).limit(1).count()
+        if stray:
+            raise ValueError(
+                "tx_replace_where: df contains rows OUTSIDE the "
+                f"replaced region {list(where)!r}; a replay would leak "
+                "them — widen the predicate or filter the batch"
+            )
+        candidates, _pruned = prune_files(path, where, read_version)
+        fstats = snap.stats or {}
+        whole = [
+            f
+            for f in candidates
+            if all(
+                _clause_all_match(fstats.get(f), c, op, v)
+                for c, op, v in where
+            )
+        ]
+        straddle = [f for f in candidates if f not in set(whole)]
+        remove = whole + straddle
+        if straddle:
+            sdf = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, f) for f in straddle]
+            )
+            survivors = _align(
+                sdf.where(~F.coalesce(_where_expr(where), F.lit(False))),
+                union_schema,
+            )
+            out = out.unionByName(survivors)
+        conflict: dict | None = {
+            "kind": "where",
+            "clauses": [tuple(cl) for cl in where],
+        }
+    else:
+        remove = list(snap.files)
+        # a full replace reads nothing: composed state with any
+        # concurrent add equals the serial order replace-then-append,
+        # so adds commute (remove-set collisions still abort)
+        conflict = {"kind": "empty"}
+    files = _stage_files(out, path)
+    return commit(
+        path,
+        "replace",
+        files,
+        remove,
+        union_schema,
+        read_version,
+        stats=_footer_stats(path, files),
+        conflict=conflict,
+    )
+
+
 def _parquet_rows(path: str, name: str) -> int:
     import pyarrow.parquet as pq
 

@@ -25,9 +25,6 @@ from event_streaming_toy_example_spark.operators.metrics import (
     PipelineMetrics,
     dir_size_mbytes,
 )
-from event_streaming_toy_example_spark.operators.partitioning import (
-    write_processed_parquet,
-)
 from event_streaming_toy_example_spark.sources.kinesis import decode_kinesis_records
 from event_streaming_toy_example_spark.sources.ndjson import (
     read_staged_events,
@@ -154,15 +151,31 @@ def compact_staging(
     metrics: PipelineMetrics | None = None,
     incremental: bool = False,
 ) -> BatchResult:
-    """The "glue" job: staged NDJSON -> dedup -> partitioned Parquet,
-    with the duplicate metric observed on the same single pass.
+    """The "glue" job: staged NDJSON -> dedup -> the processed
+    TRANSACTIONAL TABLE (``operators/txtable.py``), with the duplicate
+    metric observed on the same single pass.
+
+    Round 6 migrated the processed store from a plain partitioned
+    parquet directory onto the unified commit log, so the flagship
+    pipeline and the table operators share ONE table stack: the full
+    compaction is one atomic ``tx_replace_where(None)`` (idempotent
+    overwrite, readers pinned to the previous version are undisturbed),
+    and the incremental shape is one atomic REPLACE per touched
+    event-time partition — Delta's ``replaceWhere`` unit, idempotent
+    per batch.  Event-time partition values stay DATA columns; a reader
+    filtering on them prunes via the log's per-file stats
+    (:func:`txtable.prune_files`) instead of directory layout.
 
     ``incremental=True`` + a ``where`` partition filter is the hourly
     production shape: read ONLY the selected staging partitions
-    (pruned at the scan) and dynamically overwrite ONLY the processed
-    partitions this batch touches — idempotent per batch, and the rest
-    of the store is never read or rewritten.
+    (pruned at the scan) and replace ONLY the processed partitions this
+    batch touches — the rest of the store is never read or rewritten.
     """
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.sources.ndjson import (
+        with_time_partitions,
+    )
+
     staged = read_staged_events(spark, staging_path, where=where)
     # partition cols come back from partition discovery; drop them so the
     # write re-derives from event time (identical values, but keeps the
@@ -173,16 +186,51 @@ def compact_staging(
 
     enriched = with_language_id(staged)
 
-    obs_in = Observation("compact_in")
-    observed = enriched.observe(obs_in, F.count(F.lit(1)).alias("rows"))
-    deduped = dedup_exact(observed, ["event_uuid"])
-    obs_out = Observation("compact_out")
-    final = deduped.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+    if not incremental:
+        obs_in = Observation("compact_in")
+        observed = enriched.observe(obs_in, F.count(F.lit(1)).alias("rows"))
+        deduped = dedup_exact(observed, ["event_uuid"])
+        obs_out = Observation("compact_out")
+        final = with_time_partitions(
+            deduped.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+        )
+        tx.tx_replace_where(spark, processed_path, final, None)
+        input_rows = int(obs_in.get["rows"])
+        output_rows = int(obs_out.get["rows"])
+    else:
+        enriched = enriched.persist()
+        input_rows = int(enriched.count())
+        final = with_time_partitions(
+            dedup_exact(enriched, ["event_uuid"])
+        ).persist()
+        output_rows = int(final.count())
+        # one atomic REPLACE per touched partition (the hourly job
+        # touches one; a backfill touches a bounded handful) — each
+        # commit independently idempotent, exactly the partition-level
+        # replay contract dynamic partition overwrite gave the old
+        # directory store
+        touched = final.select("year", "month", "day", "hour").distinct().collect()
+        for t in touched:
+            clauses = [
+                ("year", "=", t["year"]),
+                ("month", "=", t["month"]),
+                ("day", "=", t["day"]),
+                ("hour", "=", t["hour"]),
+            ]
+            tx.tx_replace_where(
+                spark,
+                processed_path,
+                final.where(
+                    (F.col("year") == t["year"])
+                    & (F.col("month") == t["month"])
+                    & (F.col("day") == t["day"])
+                    & (F.col("hour") == t["hour"])
+                ),
+                clauses,
+            )
+        enriched.unpersist()
+        final.unpersist()
 
-    write_processed_parquet(final, processed_path, dynamic_overwrite=incremental)
-
-    input_rows = int(obs_in.get["rows"])
-    output_rows = int(obs_out.get["rows"])
     dups = input_rows - output_rows
     if metrics is not None:
         metrics.glue_invocations += 1
@@ -190,3 +238,17 @@ def compact_staging(
         metrics.ingested_events += output_rows
         metrics.used_processed_storage_in_mbytes = dir_size_mbytes(processed_path)
     return BatchResult(input_rows, output_rows, dups)
+
+
+def read_processed(
+    spark: SparkSession,
+    processed_path: str,
+    version: int | None = None,
+    where=None,
+):
+    """Snapshot read of the processed transactional table (time travel
+    via ``version``; ``where`` = ``(col, op, value)`` clauses pruned by
+    the log's per-file stats before touching parquet)."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    return tx.read_table(spark, processed_path, version, where)

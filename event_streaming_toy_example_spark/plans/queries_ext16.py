@@ -62,22 +62,23 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
 
 
 def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC apply: the event stream MERGEs into a keyed
-    latest-row-per-user snapshot via ``foreachBatch`` +
-    ``upsert_snapshot`` (``streaming/upsert_sink.py``), multiple
+    """Streaming CDC apply on the UNIFIED table stack: the event
+    stream MERGEs into a keyed latest-row-per-user transactional table
+    via ``txtable.tx_upsert_stream`` (one commit per micro-batch,
+    exactly-once via the ``(app, batch)`` token), multiple
     micro-batches forced with ``maxFilesPerTrigger`` so the
-    merge-into-state loop actually iterates.  The final snapshot must
-    equal the batch latest-per-key — which is exactly what the oracle
+    merge-into-state loop actually iterates.  Round 6 migrated this
+    entry off the legacy generation-pointer sink
+    (``streaming/upsert_sink.py``, kept as an adapter) onto the one
+    commit log the batch operators use.  The final snapshot must equal
+    the batch latest-per-key — which is exactly what the oracle
     computes."""
     import tempfile
     import uuid
 
+    from event_streaming_toy_example_spark.operators import txtable as tx
     from event_streaming_toy_example_spark.plans.queries_ext import (
         stage_stream_input,
-    )
-    from event_streaming_toy_example_spark.streaming.upsert_sink import (
-        read_state,
-        start_upsert_stream,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -94,17 +95,20 @@ def q_stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix=f"upsink_{uuid.uuid4().hex[:8]}_")
     try:
-        q = start_upsert_stream(
+        table = f"{base}/state"
+        tx.tx_append(ev.limit(0), table)  # explicit create, empty v1
+        q = tx.tx_upsert_stream(
             changes,
-            state_dir=f"{base}/state",
-            checkpoint_dir=f"{base}/ckpt",
+            table,
+            f"{base}/ckpt",
             keys=["user_id"],
             order_by=["ts", "event_id"],
+            app_id="upsink",
         )
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("upsert stream did not finish within 300 s")
-        state = read_state(spark, f"{base}/state")
+        state = tx.read_table(spark, table)
         if state is None:
             raise RuntimeError("upsert stream committed no state")
         # materialize the (per-key, tiny) snapshot so the state/

@@ -1,4 +1,13 @@
-"""Streaming MERGE sink: apply a change stream to a keyed table via
+"""LEGACY ADAPTER — streaming MERGE sink over a generation-pointer
+snapshot store.  The engine's table stack is the unified transactional
+log (``operators/txtable.py``); the streaming MERGE surface on it is
+``txtable.tx_upsert_stream`` (exactly-once via the per-app batch token)
+and the catalog's ``stream_upsert_sink`` entry commits through it since
+round 6.  This module remains for deployments that want a
+whole-snapshot-per-commit store with no log to manage; its
+crash-injection suite (``tests/test_upsert.py``) still runs.
+
+Streaming MERGE sink: apply a change stream to a keyed table via
 ``foreachBatch``.
 
 The reference appends NDJSON per batch and rewrites whole partitions

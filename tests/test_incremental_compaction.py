@@ -5,7 +5,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from event_streaming_toy_example_spark.plans.pipeline import compact_staging
+from event_streaming_toy_example_spark.plans.pipeline import (
+    compact_staging,
+    read_processed,
+)
 from event_streaming_toy_example_spark.sources import generate_events
 from event_streaming_toy_example_spark.operators.enrich import enrich_events
 from event_streaming_toy_example_spark.sources.ndjson import write_staged_events
@@ -22,7 +25,7 @@ def test_incremental_compaction_preserves_other_partitions(spark, tmp_path):
 
     # full first compaction
     r1 = compact_staging(spark, staging, processed)
-    base = spark.read.parquet(processed)
+    base = read_processed(spark, processed)
     total1 = base.count()
     assert total1 == r1.output_rows
 
@@ -37,7 +40,7 @@ def test_incremental_compaction_preserves_other_partitions(spark, tmp_path):
     r2 = compact_staging(spark, staging, processed, where=where, incremental=True)
     assert 0 < r2.output_rows < total1
 
-    after = spark.read.parquet(processed)
+    after = read_processed(spark, processed)
     # nothing lost: every partition (incl. untouched ones) still there
     assert after.count() == total1
     assert (

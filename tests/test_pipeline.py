@@ -63,7 +63,9 @@ def test_compaction_dedups_and_partitions(staged):
     assert res.output_rows == n
     assert res.batch_duplicates == res.input_rows - n > 0
     assert metrics.batch_duplicates == res.batch_duplicates
-    out = spark.read.parquet(processed)
+    from event_streaming_toy_example_spark.plans.pipeline import read_processed
+
+    out = read_processed(spark, processed)
     assert out.count() == n
     assert {"language_id", "event_type", "event_subtype", "created_datetime"} <= set(
         out.columns

@@ -21,7 +21,9 @@ def test_run_reference_pipeline(spark, tmp_path):
     assert m.ingested_events > 0
     assert m.glue_invocations == 1
     # compaction saw every staged row and produced a clean parquet set
-    processed = spark.read.parquet(str(tmp_path / "processed"))
+    from event_streaming_toy_example_spark.plans.pipeline import read_processed
+
+    processed = read_processed(spark, str(tmp_path / "processed"))
     assert processed.count() == m.ingested_events - m.batch_duplicates
     assert os.path.exists(tmp_path / "cloudwatch_report.md")
     text = (tmp_path / "cloudwatch_report.md").read_text()

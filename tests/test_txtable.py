@@ -822,3 +822,75 @@ def test_vacuum_keeps_pinned_reader_version_readable(spark, tmp_path):
     tx.expire_log(p, retain_versions=2)
     with pytest.raises(tx.VersionExpiredError):
         tx.read_table(spark, p, version=1)
+
+
+# --------------------------------------------- replaceWhere (round 6)
+
+
+def test_replace_where_full_overwrite_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t")
+    v = tx.tx_replace_where(spark, p, _df(spark, [(1, 1, "a"), (2, 1, "b")]))
+    assert v == 1  # first write creates the table
+    tx.tx_replace_where(spark, p, _df(spark, [(3, 1, "c")]))
+    assert _content(spark, p) == [(3, 1, "c")]
+    # re-running the same batch replaces with identical content
+    tx.tx_replace_where(spark, p, _df(spark, [(3, 1, "c")]))
+    assert _content(spark, p) == [(3, 1, "c")]
+    # prior versions still time-travel
+    assert _content(spark, p, version=1) == [(1, 1, "a"), (2, 1, "b")]
+
+
+def test_replace_where_region_scoped_and_idempotent(spark, tmp_path):
+    """The incremental-compaction unit: replace one region, leave the
+    rest untouched BY REFERENCE, replay idempotently."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(i, 1, f"old{i}") for i in range(0, 5)]).coalesce(1), p)
+    tx.tx_append(_df(spark, [(i, 1, f"old{i}") for i in range(10, 15)]).coalesce(1), p)
+    untouched = set(tx.snapshot(p).files)
+    batch = _df(spark, [(11, 2, "new11"), (12, 2, "new12")])
+    region = [("k", ">=", 10), ("k", "<", 15)]
+    tx.tx_replace_where(spark, p, batch, region)
+    got = _content(spark, p)
+    assert got == [
+        (0, 1, "old0"), (1, 1, "old1"), (2, 1, "old2"), (3, 1, "old3"),
+        (4, 1, "old4"), (11, 2, "new11"), (12, 2, "new12"),
+    ]
+    log = tx.read_log(p)
+    assert log[-1].action == "replace"
+    # the low-range file survives by reference (stats-pruned, unopened)
+    low_file = [f for f in untouched if f not in set(log[-1].remove)]
+    assert len(low_file) == 1 and low_file[0] in tx.snapshot(p).files
+    # replaying the same region+batch converges
+    tx.tx_replace_where(spark, p, batch, region)
+    assert _content(spark, p) == got
+
+
+def test_replace_where_refuses_rows_outside_region(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    with pytest.raises(ValueError, match="OUTSIDE the replaced region"):
+        tx.tx_replace_where(
+            spark, p, _df(spark, [(50, 1, "stray")]), [("k", "<", 10)]
+        )
+
+
+def test_full_replace_commutes_with_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A full replace reads nothing: a concurrent append composes as
+    replace-then-append (the appended rows survive)."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]).coalesce(1), p)
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_):
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_append(_df(spark, [(7, 1, "late")]).coalesce(1), p)
+        return orig(df, path_)
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    tx.tx_replace_where(spark, p, _df(spark, [(2, 1, "b")]))
+    assert _content(spark, p) == [(2, 1, "b"), (7, 1, "late")]
