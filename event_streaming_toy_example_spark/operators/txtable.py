@@ -1190,7 +1190,10 @@ def tx_compact(
 
 
 def tx_delete(
-    spark: SparkSession, path: str, where: Sequence[tuple]
+    spark: SparkSession,
+    path: str,
+    where: Sequence[tuple],
+    stream_txn: tuple[str, int] | None = None,
 ) -> int:
     """DELETE every row satisfying the conjunction of ``(col, op,
     value)`` clauses.  Rows where the predicate is NULL are KEPT (SQL
@@ -1252,8 +1255,96 @@ def tx_delete(
         whole + straddle,
         state.schema,
         read_version,
+        stream_txn=stream_txn,
         stats=stats,
         conflict={"kind": "where", "clauses": [tuple(cl) for cl in where]},
+    )
+
+
+def tx_delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_cols: Sequence[str],
+    stream_txn: tuple[str, int] | None = None,
+) -> int:
+    """DELETE every row whose key appears in ``keys_df`` — the key-set
+    twin of the predicate :func:`tx_delete`, and the CDC-apply shape a
+    change-feed consumer needs (a batch of deleted keys, not a range).
+
+    Same scale contract as :func:`tx_upsert`: the narrow key-column
+    probe (:func:`upsert_prune_probe`) finds the files that MIGHT hold
+    a doomed key, only those rewrite (anti-join against the broadcast
+    key set), everything else carries over by reference, and the
+    key-set bounding box travels as the conflict domain so concurrent
+    key-disjoint appends commute."""
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_delete_keys on a table with no commits: {path}")
+    read_version = state.version
+    snap = snapshot(path, read_version)
+    keys_df = keys_df.select(*key_cols).distinct()
+
+    current = read_table(spark, path, read_version)
+    affected_paths = {
+        r["f"]
+        for r in upsert_prune_probe(current, keys_df, key_cols).collect()
+    }
+
+    def _rel(name: str) -> str:
+        return f"{_DATA_DIR}/{name.rsplit('/', 1)[-1]}"
+
+    affected = sorted({_rel(p) for p in affected_paths})
+    assert set(affected) <= set(snap.files)
+    added: list[str] = []
+    stats: dict | None = None
+    if affected:
+        base = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in affected]
+        )
+        kept = _align(
+            base.join(F.broadcast(keys_df), list(key_cols), "left_anti"),
+            state.schema,
+        )
+        staged = _stage_files(kept, path)
+        stats = _footer_stats(path, staged)
+        for f in staged:  # an all-deleted rewrite stages nothing
+            if _parquet_rows(path, f) == 0:
+                os.remove(os.path.join(path, f))
+            else:
+                added.append(f)
+        stats = {f: s for f, s in stats.items() if f in added}
+    bounds = keys_df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            agg
+            for k in key_cols
+            for agg in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
+        ],
+    ).collect()[0]
+    if bounds["__n"] == 0:
+        conflict: dict | None = {"kind": "empty"}
+    else:
+        ranges = {}
+        for k in key_cols:
+            lo = _norm_stat(bounds[f"__lo_{k}"])
+            hi = _norm_stat(bounds[f"__hi_{k}"])
+            ranges[k] = None if lo is None or hi is None else [lo, hi]
+        conflict = (
+            {"kind": "keys", "ranges": ranges}
+            if any(v is not None for v in ranges.values())
+            else None
+        )
+    return commit(
+        path,
+        "delete",
+        added,
+        affected,
+        state.schema,
+        read_version,
+        stream_txn=stream_txn,
+        stats=stats,
+        conflict=conflict,
     )
 
 
@@ -1445,6 +1536,107 @@ def tx_change_feed(
     base = read_table(spark, path, from_version)
     nxt = read_table(spark, path, to_version)
     return diff_snapshots(base, nxt, key_col, content_cols)
+
+
+def commit_change_rows(
+    path: str,
+    version: int,
+    key_cols: Sequence[str],
+    content_cols: Sequence[str],
+) -> list[tuple]:
+    """Row-level CDC for ONE commit, computed from the commit's own
+    add/remove file lists — O(commit delta), never O(table): an append
+    reads only the appended files; an upsert/delete/replace reads its
+    removed files (old rows) and added files (new rows) and diffs them
+    by key; a compaction is content-invariant by contract and emits
+    nothing.  This is the incremental reader the batch
+    :func:`tx_change_feed` (full snapshot diff) scales up to — the same
+    removed+added-files contract Delta's change-data-feed reads.
+
+    Pure Python (pyarrow + pandas, no SparkSession): callable from a
+    ``SimpleDataSourceStreamReader`` (``sources/txfeed.py``), which
+    runs driver-side outside any Spark job.  Per-commit deltas are
+    bounded by the write size, so a driver-side read matches the
+    Simple-reader API's own prefetch contract; a giant backfill commit
+    would use the partition-planning reader instead.
+
+    Returns tuples ``(*keys, *content, change_type, version)`` with
+    change_type in insert/update/delete; delete rows carry the OLD
+    content values.  Keys are assumed unique per side (the keyed-table
+    contract ``tx_upsert`` maintains).  Raises :class:`IOError` naming
+    the file if a referenced delta file was already vacuumed — the
+    feed, like Delta's, is readable only within the vacuum retention
+    window."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    c = _read_commit(path, version)
+    cols = list(key_cols) + list(content_cols)
+
+    def load(names: Sequence[str]) -> pd.DataFrame:
+        frames = []
+        for n in names:
+            full = os.path.join(path, n)
+            if not os.path.exists(full):
+                raise IOError(
+                    f"change feed for version {version} needs {n}, which "
+                    "was already vacuumed; widen the vacuum retention or "
+                    "consume the feed sooner"
+                )
+            pf = pq.ParquetFile(full)
+            have = [col for col in cols if col in pf.schema_arrow.names]
+            df = pf.read(columns=have).to_pandas()
+            for col in cols:  # pre-evolution files lack new columns
+                if col not in df.columns:
+                    df[col] = None
+            frames.append(df[cols])
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)
+
+    def _py(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
+        if hasattr(v, "item"):
+            return v.item()
+        return v
+
+    keys = list(key_cols)
+    if c.action == "compact":
+        return []
+    if c.action == "append":
+        new = load(c.add)
+        return [
+            tuple(_py(v) for v in row) + ("insert", version)
+            for row in new.itertuples(index=False, name=None)
+        ]
+    old, new = load(c.remove), load(c.add)
+    if old.empty and new.empty:
+        return []
+    if old.empty or new.empty:  # pure add / pure drop: no diff needed
+        side_df, ctype = (new, "insert") if old.empty else (old, "delete")
+        return [
+            tuple(_py(v) for v in row) + (ctype, version)
+            for row in side_df.itertuples(index=False, name=None)
+        ]
+    merged = old.merge(
+        new, on=keys, how="outer", suffixes=("__o", "__n"), indicator=True
+    )
+    out: list[tuple] = []
+    for rec in merged.to_dict("records"):
+        key_vals = tuple(_py(rec[k]) for k in keys)
+        side = str(rec["_merge"])
+        o = tuple(_py(rec[f"{col}__o"]) for col in content_cols)
+        n = tuple(_py(rec[f"{col}__n"]) for col in content_cols)
+        if side == "right_only":
+            out.append(key_vals + n + ("insert", version))
+        elif side == "left_only":
+            out.append(key_vals + o + ("delete", version))
+        elif o != n:
+            out.append(key_vals + n + ("update", version))
+    return out
 
 
 def vacuum(

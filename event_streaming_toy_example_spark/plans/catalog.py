@@ -158,6 +158,10 @@ from event_streaming_toy_example_spark.plans.queries_ext30 import (
     EXT30_ORACLES,
     EXT30_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext31 import (
+    EXT31_ORACLES,
+    EXT31_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -173,6 +177,14 @@ FAMILY_REP: dict[str, str] = {
     # the HLL sketch is engine-specific and could only ever be
     # rows-only; its <5% accuracy test carries the sketch evidence)
     "approx_distinct_users": "distinct_users_daily",
+    # round 6: the streaming change-feed FOLLOWER (the log as a
+    # streaming source, VERDICT r5 item 3) takes a PRIMARY slot; the
+    # event-time partition-derivation entry (hash-passed rounds 1-5)
+    # cedes it — P5's year/month/day/hour columns are deterministic
+    # derivations of the same created_at timestamp whose semantics the
+    # enrich rep pins (P2), and the staging/processed writes exercised
+    # by the pipeline reps re-derive them on every driver round
+    "pipe_hourly_partitions": "pipe_enrich",
     # round 5: the HLL entry became the family's ERROR-CONTRACT form
     # (exact counts + err-within-budget flags, fully value-hashable)
     # and takes the PRIMARY slot freed by text_fingerprint below; the
@@ -597,6 +609,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT28_QUERIES,
     **EXT29_QUERIES,
     **EXT30_QUERIES,
+    **EXT31_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -631,6 +644,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT28_ORACLES,
     **EXT29_ORACLES,
     **EXT30_ORACLES,
+    **EXT31_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -1,0 +1,277 @@
+"""Streaming change-data-feed SOURCE over the transactional table's
+commit log (VERDICT r5 item 3): ``spark.readStream.format
+("tx_change_feed")`` with offset = committed log version.
+
+The batch ``txtable.tx_change_feed`` answers "what changed between two
+versions" by diffing two snapshot reads; a downstream consumer that
+maintains itself continuously needs the INCREMENTAL form — an
+offset-tracked stream whose unit of progress is the log version, so a
+restarted query resumes from its checkpointed version and replays any
+committed range deterministically (the ``readBetweenOffsets`` contract,
+same pattern as ``sources/pysource.py``'s sensor stream).
+
+Row production is :func:`txtable.commit_change_rows`: per commit,
+O(commit delta) — an append reads only its added files, a MERGE/DELETE
+reads its removed+added files and diffs by key (exactly the
+removed+added-files contract Delta's change feed reads).  Nothing ever
+re-scans the table.
+
+Scale posture: the Simple stream-reader API prefetches rows driver-side
+(the right tool here — per-commit deltas are bounded by write size,
+and a micro-batch covers at most ``maxversionsperbatch`` commits).  A
+backfill-scale feed would promote to the partitioned
+``DataSourceStreamReader`` with one partition per (commit, file); the
+offset design — contiguous log versions — is identical.
+
+The reference has no table maintenance at all (its "table" is a
+directory rewritten wholesale, ``toy_glue.py:58-65``); this surface is
+greenfield lakehouse engineering.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource
+
+from event_streaming_toy_example_spark.operators import txtable as tx
+
+try:
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - older runtime
+    SimpleDataSourceStreamReader = None  # type: ignore[assignment]
+
+
+def _feed_schema(table_path: str, keys: Sequence[str], content: Sequence[str]):
+    """The feed's typed schema, derived from the table's LOGGED schema:
+    key + content fields keep their table types, plus ``change_type``
+    and the originating ``version``."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    snap = tx.snapshot(table_path)
+    if snap is None:
+        raise ValueError(f"tx_change_feed on a table with no commits: {table_path}")
+    logged = StructType.fromJson(json.loads(snap.schema))
+    by_name = {f.name: f for f in logged.fields}
+    fields = []
+    for c in list(keys) + list(content):
+        if c not in by_name:
+            raise ValueError(
+                f"column '{c}' not in the table schema at {table_path}"
+            )
+        fields.append(StructField(c, by_name[c].dataType, True))
+    fields.append(StructField("change_type", StringType(), False))
+    fields.append(StructField("version", LongType(), False))
+    return StructType(fields)
+
+
+if SimpleDataSourceStreamReader is not None:
+
+    class TxFeedStreamReader(SimpleDataSourceStreamReader):
+        """Offset = ``{"version": v}`` (all changes up to and including
+        log version v have been delivered).  ``read`` advances by at
+        most ``maxversionsperbatch`` commits per micro-batch;
+        ``readBetweenOffsets`` replays any committed version range
+        bit-identically — commits are immutable, so replay determinism
+        is free."""
+
+        def __init__(self, options: dict) -> None:
+            self.path = options["path"]
+            self.keys = options["keys"].split(",")
+            self.content = options["contentcols"].split(",")
+            self.start = int(options.get("fromversion", "0"))
+            self.per_batch = int(options.get("maxversionsperbatch", "1"))
+
+        def initialOffset(self) -> dict:
+            return {"version": self.start}
+
+        def _rows(self, lo: int, hi: int) -> list[tuple]:
+            rows: list[tuple] = []
+            for v in range(lo + 1, hi + 1):
+                rows.extend(
+                    tx.commit_change_rows(self.path, v, self.keys, self.content)
+                )
+            return rows
+
+        def read(self, start: dict):
+            s = int(start["version"])
+            current = tx.table_version(self.path)
+            if current <= s:
+                return iter([]), start
+            e = min(s + self.per_batch, current)
+            return self._rows(s, e), {"version": e}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._rows(int(start["version"]), int(end["version"]))
+
+    class TxFeedDataSource(DataSource):
+        """``spark.readStream.format("tx_change_feed")`` — options:
+        ``path`` (table root), ``keys`` (comma-separated key columns),
+        ``contentCols`` (comma-separated content columns),
+        ``fromVersion`` (deliver changes AFTER this version; default 0
+        = since table creation), ``maxVersionsPerBatch``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "tx_change_feed"
+
+        def schema(self):
+            return _feed_schema(
+                self.options["path"],
+                self.options["keys"].split(","),
+                self.options["contentcols"].split(","),
+            )
+
+        def simpleStreamReader(self, schema) -> "TxFeedStreamReader":
+            return TxFeedStreamReader(self.options)
+
+
+def register_tx_feed_source(spark: SparkSession) -> None:
+    """Idempotent registration; raises a named error if the runtime
+    lacks the streaming half of the Python DataSource API."""
+    if SimpleDataSourceStreamReader is None:  # pragma: no cover
+        raise NotImplementedError(
+            "pyspark.sql.datasource.SimpleDataSourceStreamReader "
+            "unavailable in this runtime"
+        )
+    spark.dataSource.register(TxFeedDataSource)
+
+
+def read_change_feed_stream(
+    spark: SparkSession,
+    table_path: str,
+    keys: Sequence[str],
+    content_cols: Sequence[str],
+    from_version: int = 0,
+    max_versions_per_batch: int = 1,
+) -> DataFrame:
+    register_tx_feed_source(spark)
+    return (
+        spark.readStream.format("tx_change_feed")
+        .option("path", table_path)
+        .option("keys", ",".join(keys))
+        .option("contentCols", ",".join(content_cols))
+        .option("fromVersion", str(from_version))
+        .option("maxVersionsPerBatch", str(max_versions_per_batch))
+        .load()
+    )
+
+
+def follow_table(
+    spark: SparkSession,
+    source_path: str,
+    follower_path: str,
+    checkpoint_dir: str,
+    key: str,
+    content_cols: Sequence[str],
+    app_id: str = "txfeed-follower",
+    timeout_seconds: float = 300.0,
+):
+    """Maintain a FOLLOWER transactional table purely from the source
+    table's change feed — the materialized-replica pattern a lakehouse
+    log exists to serve.  Each micro-batch applies its NET effect per
+    key (the row with the highest feed version wins): surviving keys
+    MERGE via ``tx_upsert``, finally-deleted keys drop via ``tx_delete
+    (key IN ...)``.  Exactly-once: the batch's LAST commit carries the
+    ``(app_id, batch_id)`` token, so a restarted query that re-delivers
+    a committed batch skips it at the floor check; a crash between the
+    batch's delete and its token-carrying upsert replays both — the
+    delete is content-idempotent, so the follower converges.
+
+    The follower must exist (``tx_append`` an empty or seed snapshot
+    first), mirroring ``tx_upsert_stream``'s explicit-create contract.
+
+    BLOCKING: drives the query with ``processAllAvailable`` until the
+    feed has delivered every commit available at call time, then stops
+    it (the Simple stream-reader's catch-up idiom — ``availableNow``
+    would bind "available" to the first prefetched offset range).  A
+    production deployment starts the same query with a processing-time
+    trigger and never stops.
+    """
+    import time as _time
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    feed = read_change_feed_stream(
+        spark, source_path, [key], content_cols, from_version=0
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        floor = tx.last_committed_batch(follower_path, app_id)
+        if floor is not None and batch_id <= floor:
+            return  # replayed batch: already applied exactly-once
+        # net effect per key: highest feed version wins inside a batch
+        w_latest = batch_df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key).orderBy(
+                    F.col("version").desc(), F.col("change_type")
+                )
+            ),
+        ).where(F.col("__rn") == 1)
+        finals = w_latest.persist()
+        try:
+            dels = finals.where(F.col("change_type") == "delete").select(key)
+            ups = finals.where(F.col("change_type") != "delete").select(
+                key, *content_cols, "version"
+            )
+            has_dels = not dels.isEmpty()
+            has_ups = not ups.isEmpty()
+            if has_dels:
+                # key-SET delete (anti-join rewrite of the probed
+                # files) — never a collected IN-list on the driver
+                tx.tx_delete_keys(
+                    spark,
+                    follower_path,
+                    dels,
+                    [key],
+                    stream_txn=None if has_ups else (app_id, batch_id),
+                )
+            if has_ups:
+                tx.tx_upsert(
+                    spark,
+                    follower_path,
+                    ups,
+                    keys=[key],
+                    order_by=["version"],
+                    stream_txn=(app_id, batch_id),
+                )
+        finally:
+            finals.unpersist()
+
+    q = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        import ast
+
+        target = tx.table_version(source_path)
+        deadline = _time.monotonic() + timeout_seconds
+        while True:
+            q.processAllAvailable()
+            prog = q.lastProgress
+            # the engine serializes the Python source's offset dict with
+            # repr (single quotes) — literal_eval, not json
+            raw = prog["sources"][0]["endOffset"] if prog else None
+            end = ast.literal_eval(raw) if raw else None
+            if end is not None and int(end["version"]) >= target:
+                break
+            if _time.monotonic() >= deadline:
+                raise TimeoutError(
+                    f"change-feed follower did not catch up to version "
+                    f"{target} within {timeout_seconds}s (at {end})"
+                )
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    return q

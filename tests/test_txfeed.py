@@ -1,0 +1,135 @@
+"""Streaming change-data-feed source over the transaction log
+(`sources/txfeed.py`) and the per-commit CDC reader
+(`txtable.commit_change_rows`): offset = log version, O(commit delta)
+row production, follower-table maintenance with exactly-once replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_toy_example_spark.operators import txtable as tx
+from event_streaming_toy_example_spark.sources import txfeed
+
+
+def _df(spark, rows, schema="k int, ts int, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _content(spark, path, cols=("k", "v")):
+    df = tx.read_table(spark, path).select(*cols)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _build_source(spark, p):
+    """append → upsert (update+insert) → delete → compact: one commit
+    per action, every delta oracle-predictable."""
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]), p)
+    tx.tx_upsert(
+        spark, p, _df(spark, [(2, 5, "b2"), (9, 1, "new")]),
+        keys=["k"], order_by=["ts"],
+    )
+    tx.tx_delete(spark, p, [("k", "=", 3)])
+    tx.tx_compact(spark, p, target_bytes=1 << 30)
+
+
+def test_commit_change_rows_per_action(spark, tmp_path):
+    p = str(tmp_path / "src")
+    _build_source(spark, p)
+    rows_v1 = tx.commit_change_rows(p, 1, ["k"], ["v"])
+    assert sorted(rows_v1) == [
+        (1, "a", "insert", 1), (2, "b", "insert", 1), (3, "c", "insert", 1),
+    ]
+    rows_v2 = tx.commit_change_rows(p, 2, ["k"], ["v"])
+    assert sorted(rows_v2) == [(2, "b2", "update", 2), (9, "new", "insert", 2)]
+    rows_v3 = tx.commit_change_rows(p, 3, ["k"], ["v"])
+    assert rows_v3 == [(3, "c", "delete", 3)]  # delete carries OLD content
+    # compaction is content-invariant: the feed emits nothing
+    assert tx.commit_change_rows(p, 4, ["k"], ["v"]) == []
+
+
+def test_commit_change_rows_unchanged_carryover_drops_out(spark, tmp_path):
+    """A MERGE rewrites whole files; carried-over rows that did not
+    change must NOT appear in the feed."""
+    p = str(tmp_path / "src")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1), p)
+    tx.tx_upsert(spark, p, _df(spark, [(1, 5, "a5")]), ["k"], ["ts"])
+    rows = tx.commit_change_rows(p, 2, ["k"], ["v"])
+    assert rows == [(1, "a5", "update", 2)]  # k=2 carried over silently
+
+
+def test_commit_change_rows_vacuumed_delta_is_loud(spark, tmp_path):
+    p = str(tmp_path / "src")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    tx.tx_upsert(spark, p, _df(spark, [(1, 2, "a2")]), ["k"], ["ts"])
+    tx.vacuum(p, retain_versions=1, min_age_seconds=0.0)  # drops v1 files
+    with pytest.raises(IOError, match="already vacuumed"):
+        tx.commit_change_rows(p, 2, ["k"], ["v"])
+
+
+def test_feed_stream_one_batch_per_version(spark, tmp_path):
+    p = str(tmp_path / "src")
+    _build_source(spark, p)
+    seen: list[tuple] = []
+    batches: list[int] = []
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batches.append(batch_id)
+            seen.extend((r["k"], r["v"], r["change_type"], r["version"]) for r in rows)
+
+    q = (
+        txfeed.read_change_feed_stream(spark, p, ["k"], ["v"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    # maxVersionsPerBatch=1 → each commit delivered in its own batch
+    versions = {v for _, _, _, v in seen}
+    assert versions == {1, 2, 3}  # compact emits nothing
+    assert len(batches) == 3
+    assert (3, "c", "delete", 3) in seen and (2, "b2", "update", 2) in seen
+
+
+def test_follower_matches_source_and_replay_is_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    fol = str(tmp_path / "fol")
+    _build_source(spark, src)
+
+    seed = spark.createDataFrame([], "k int, v string, version long")
+    tx.tx_append(seed, fol)
+
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck1"), key="k", content_cols=["v"]
+    )
+    assert _content(spark, fol) == _content(spark, src) == [
+        (1, "a"), (2, "b2"), (9, "new"),
+    ]
+    v_after = tx.table_version(fol)
+
+    # fresh checkpoint forces FULL re-delivery of every feed batch:
+    # the (app, batch) floor must skip them all — zero new commits
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck2"), key="k", content_cols=["v"]
+    )
+    assert tx.table_version(fol) == v_after
+    assert _content(spark, fol) == _content(spark, src)
+
+    # the source advances; the SAME checkpoint resumes from its offset
+    tx.tx_upsert(
+        spark, src, _df(spark, [(1, 9, "a9"), (7, 1, "seven")]),
+        keys=["k"], order_by=["ts"],
+    )
+    tx.tx_delete(spark, src, [("k", "=", 9)])
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck2"), key="k", content_cols=["v"]
+    )
+    assert _content(spark, fol) == _content(spark, src) == [
+        (1, "a9"), (2, "b2"), (7, "seven"),
+    ]
