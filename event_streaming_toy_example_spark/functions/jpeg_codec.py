@@ -27,11 +27,14 @@ pixel round-trip is approximate; the *dimensions* round-trip exactly
 (that is what the arithmetic SQL oracle checks) and the tests bound the
 pixel error of an encode→decode cycle on smooth images.
 
-Scope (documented, asserted): baseline DCT (SOF0) and progressive
-Huffman DCT (SOF2), 8-bit precision, 1- or 3-component frames.
-Arithmetic coding, 12-bit precision, lossless, and hierarchical modes
-raise ``NotImplementedError`` naming the feature; truncated or corrupt
-streams raise ``ValueError`` naming the offending structure.
+Scope (documented, asserted): baseline DCT (SOF0, 8-bit), extended
+sequential DCT (SOF1, 8- or 12-bit — the precision scientific/medical
+corpora carry; round 6 closed this gap with :func:`encode_jpeg12_gray`
+as the conforming producer), and progressive Huffman DCT (SOF2,
+8-bit), 1- or 3-component frames, 8- and 16-bit quantization tables.
+Arithmetic coding, lossless, hierarchical, and 12-bit progressive
+modes raise ``NotImplementedError`` naming the feature; truncated or
+corrupt streams raise ``ValueError`` naming the offending structure.
 
 Codec boundary only — the Spark-side plumbing (Arrow batches,
 ``mapInPandas`` signatures, schemas) lives in
@@ -432,6 +435,93 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+# ---------------------------------------- 12-bit extended sequential
+#
+# 12-bit JPEG is the precision real scientific/medical corpora carry
+# (DICOM's lossy transfer syntaxes, astronomy quick-looks).  The
+# entropy model is identical to baseline — only the ranges widen: DC
+# difference categories reach 15, AC magnitude categories reach 14 —
+# so the Annex K tables (built for 8-bit ranges) can't encode it;
+# conforming 12-bit files embed custom DHT tables, and so do we.  The
+# tables below are flat canonical codes (all DC symbols at 5 bits, all
+# AC symbols at 8) — deliberately simple over optimal: correctness and
+# round-trip verification are the point, and the decoder reads
+# WHATEVER tables the DHT declares, so real files with tuned tables
+# decode identically.
+
+_DC12_VALS = list(range(16))  # categories 0..15 (cat 16 not emitted)
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_AC12_VALS = [0x00, 0xF0] + [
+    (r << 4) | c for r in range(16) for c in range(1, 15)
+]
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, 226] + [0] * 8
+
+
+def encode_jpeg12_gray(arr: np.ndarray, quality: int = 90,
+                       restart_interval: int = 0) -> bytes:
+    """Encode a uint16 ``(h, w)`` grayscale array (values 0..4095) as
+    a 12-bit EXTENDED SEQUENTIAL (SOF1) Huffman JPEG.  Deterministic
+    like :func:`encode_jpeg`; the quant table is the Annex K luma
+    table scaled by ``quality`` (values stay <= 255, so Pq=0).  Level
+    shift is 2048 per the spec's ``2^(P-1)``."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError(f"expected (h, w) grayscale array, got {arr.shape}")
+    if arr.dtype != np.uint16 or int(arr.max(initial=0)) > 4095:
+        raise ValueError("12-bit encode needs uint16 samples in 0..4095")
+    h, w = arr.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"invalid image dimensions {w}x{h}")
+    q_luma, _ = _quality_tables(quality)
+    mcus_y, mcus_x = -(-h // 8), -(-w // 8)
+    blocks = _component_blocks(arr.astype(np.float64), mcus_y, mcus_x)
+    blocks = blocks - 2048.0
+    coef = np.einsum("ux,byxw,wv->byuv", _DCT, blocks, _IDCT)
+    q = q_luma.reshape(8, 8).astype(np.float64)
+    qz = np.round(coef / q).astype(np.int64)
+    comp_zz = qz.reshape(mcus_y, mcus_x, 64)[:, :, _ZIGZAG]
+
+    dc_codes = [_build_code_strings(_DC12_BITS, _DC12_VALS)]
+    ac_codes = [_build_code_strings(_AC12_BITS, _AC12_VALS)]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0])
+    out += bytes(int(q_luma[i]) for i in _ZIGZAG)
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, h, w, 1)
+    out += bytes([1, 0x11, 0])  # component 1, 1x1 sampling, qtable 0
+    for tc_th, bits, vals in (
+        (0x00, _DC12_BITS, _DC12_VALS),
+        (0x10, _AC12_BITS, _AC12_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    bw = _BitWriter()
+    pred = [0]
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]
+                )
+                pred = [0]
+            mcu_count += 1
+            _encode_block(bw, comp_zz[my, mx], pred, 0, dc_codes, ac_codes)
+    bw.flush()
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00])
+    out += b"\x00\x3f\x00"
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------- progressive scan encoding
 
 
@@ -750,6 +840,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps) ; comps = [(cid, hs, vs, qid)]
+    precision = 8
     progressive = False
     state = None  # progressive: per-component coefficient accumulators
     restart_interval = 0
@@ -770,11 +861,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("invalid JPEG: EOI before scan data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers carry no length segment
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential DCT (SOF0) and progressive "
-                f"Huffman DCT (SOF2) are supported; "
+                f"only baseline (SOF0), extended sequential (SOF1) and "
+                f"progressive (SOF2) Huffman DCT are supported; "
                 f"got SOF marker 0xFF{marker:02X}"
             )
         if pos + 2 > n:
@@ -789,20 +880,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = body_pos
             while p < seg_end:
                 pq, tq = data[p] >> 4, data[p] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError(
-                        "16-bit quantization tables are not supported"
-                    )
-                if p + 65 > seg_end:
+                if pq not in (0, 1):
+                    raise ValueError(f"invalid JPEG: DQT precision {pq}")
+                width = 2 if pq else 1
+                if p + 1 + 64 * width > seg_end:
                     raise ValueError(
                         "truncated JPEG: DQT table overruns the segment"
                     )
-                zz = np.frombuffer(data, dtype=np.uint8, count=64,
+                dt = ">u2" if pq else np.uint8
+                zz = np.frombuffer(data, dtype=dt, count=64,
                                    offset=p + 1).astype(np.int64)
                 natural = np.empty(64, dtype=np.int64)
                 natural[_ZIGZAG] = zz
                 qtables[tq] = natural.reshape(8, 8)
-                p += 65
+                p += 1 + 64 * width
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = body_pos
             while p < seg_end:
@@ -816,15 +907,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(data[p + 17:p + 17 + nvals])
                 htables[tc_th] = _build_decode_table(bits, vals)
                 p += 17 + nvals
-        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             progressive = marker == 0xC2
             if body_pos + 6 > seg_end:
                 raise ValueError("truncated JPEG: SOF0 header too short")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", data, body_pos)
-            if prec != 8:
-                raise NotImplementedError(
-                    f"only 8-bit precision supported, got {prec}"
+            if marker == 0xC0 and prec != 8:
+                raise ValueError(
+                    f"invalid JPEG: baseline SOF0 requires 8-bit "
+                    f"precision, got {prec}"
                 )
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"only 8- or 12-bit precision supported, got {prec}"
+                )
+            if progressive and prec != 8:
+                raise NotImplementedError(
+                    "12-bit progressive (SOF2) decode is not supported; "
+                    "use extended sequential (SOF1)"
+                )
+            precision = prec
             if nc not in (1, 3):
                 raise NotImplementedError(
                     f"only 1- or 3-component frames supported, got {nc}"
@@ -883,7 +985,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not progressive:
                 return _decode_scan(
                     data, pos, frame, scan_tbl, qtables, htables,
-                    restart_interval,
+                    restart_interval, precision,
                 )
             if state is None:
                 state = _init_progressive_state(frame)
@@ -1124,7 +1226,7 @@ def _finish_progressive(frame, qtables, state) -> np.ndarray:
 
 
 def _decode_scan(data, pos, frame, scan_tbl, qtables, htables,
-                 restart_interval) -> np.ndarray:
+                 restart_interval, precision=8) -> np.ndarray:
     fh, fw, comps = frame
     if fh == 0 or fw == 0:
         raise ValueError(f"invalid JPEG dimensions {fw}x{fh}")
@@ -1170,9 +1272,14 @@ def _decode_scan(data, pos, frame, scan_tbl, qtables, htables,
                     for bx in range(hs):
                         bi = (my * vs + by) * n_bx + (mx * hs + bx)
                         sym = _huff_decode(br, dc)
-                        if sym > 11:
+                        if sym > (11 if precision == 8 else 15):
+                            if precision == 12 and sym == 16:
+                                raise NotImplementedError(
+                                    "12-bit DC difference category 16 "
+                                    "(diff = 32768) is not supported"
+                                )
                             raise ValueError(
-                                "invalid JPEG: DC category > 11"
+                                "invalid JPEG: DC category out of range"
                             )
                         pred[ci] += _extend(br.receive(sym), sym)
                         row = coefs[bi]
@@ -1205,21 +1312,25 @@ def _decode_scan(data, pos, frame, scan_tbl, qtables, htables,
             for (hs, vs, q, _dc, _ac, coefs, n_bx) in meta
         ],
         mcus_y,
+        precision,
     )
 
 
-def _assemble(fh, fw, hmax, vmax, comps, mcus_y) -> np.ndarray:
+def _assemble(fh, fw, hmax, vmax, comps, mcus_y, precision=8) -> np.ndarray:
     """Shared decode tail (baseline and progressive): batch transform
     per component — unzigzag + dequantize + IDCT over all blocks at
     once — then stitch the block grid into the plane and upsample
     (replicate) to full frame resolution."""
+    center = float(1 << (precision - 1))
+    peak = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
     full = []
     for (hs, vs, q, coefs, n_bx) in comps:
         n_by = mcus_y * vs
         nat = np.zeros_like(coefs, dtype=np.float64)
         nat[:, _ZIGZAG] = coefs
         blocks = (nat * q.reshape(1, 64)).reshape(-1, 8, 8)
-        px = np.einsum("ux,nxw,wv->nuv", _IDCT, blocks, _DCT) + 128.0
+        px = np.einsum("ux,nxw,wv->nuv", _IDCT, blocks, _DCT) + center
         plane = (
             px.reshape(n_by, n_bx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -1232,11 +1343,11 @@ def _assemble(fh, fw, hmax, vmax, comps, mcus_y) -> np.ndarray:
         full.append(plane[:fh, :fw])
 
     if len(full) == 1:
-        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        y = np.clip(np.round(full[0]), 0, peak).astype(dtype)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, peak).astype(dtype)

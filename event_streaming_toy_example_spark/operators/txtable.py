@@ -115,6 +115,9 @@ class Commit:
     #: Optional — commits written before stats existed (or files whose
     #: footers carried no usable stats) simply never skip.
     stats: dict | None = None
+    #: table properties (``partition_by``/``cluster_by`` declarations);
+    #: set at create, carried forward by the fold.  None = inherit.
+    properties: dict | None = None
 
     def __hash__(self) -> int:  # stats dict is unhashable; id by txn
         return hash((self.version, self.txn))
@@ -182,6 +185,7 @@ def _read_commit(path: str, version: int) -> Commit:
         txn=c["txn"],
         stream_txn=(st[0], st[1]) if st else None,
         stats=c.get("stats"),
+        properties=c.get("properties"),
     )
 
 
@@ -199,6 +203,7 @@ class _State:
     files: dict  # name -> per-file stats dict or None
     schema: str
     stream_txns: dict  # app_id -> highest committed batch id
+    properties: dict  # table properties (partition/cluster declarations)
 
 
 def _fold_state(path: str, version: int | None = None) -> _State | None:
@@ -226,9 +231,12 @@ def _fold_state(path: str, version: int | None = None) -> _State | None:
             files=dict(cp["files"]),
             schema=cp["schema"],
             stream_txns=dict(cp.get("stream_txns") or {}),
+            properties=dict(cp.get("properties") or {}),
         )
     else:
-        state = _State(version=0, files={}, schema="", stream_txns={})
+        state = _State(
+            version=0, files={}, schema="", stream_txns={}, properties={}
+        )
     present = set(commits)
     for v in range(state.version + 1, version + 1):
         if v not in present:
@@ -253,6 +261,8 @@ def _fold_state(path: str, version: int | None = None) -> _State | None:
         for a in c.add:
             state.files[a] = (c.stats or {}).get(a)
         state.schema = c.schema
+        if c.properties is not None:
+            state.properties = dict(c.properties)
         if c.stream_txn is not None:
             app, batch = c.stream_txn
             prev = state.stream_txns.get(app)
@@ -343,6 +353,12 @@ def table_version(path: str) -> int:
                checkpoints[-1] if checkpoints else 0)
 
 
+def table_properties(path: str) -> dict:
+    """The table's declared properties (empty for none)."""
+    state = _fold_state(path)
+    return dict(state.properties) if state is not None else {}
+
+
 def oldest_readable_version(path: str) -> int:
     """Smallest version :func:`snapshot` can still resolve: 1 while the
     full commit history is retained, else the oldest surviving
@@ -376,6 +392,7 @@ def write_checkpoint(path: str, version: int | None = None) -> int | None:
             "files": state.files,
             "schema": state.schema,
             "stream_txns": state.stream_txns,
+            "properties": state.properties,
             "txn": uuid.uuid4().hex,
         },
         indent=0,
@@ -545,6 +562,61 @@ def _footer_stats(path: str, names: Sequence[str]) -> dict:
     return out
 
 
+# ----------------------------------------- partition-column transforms
+#
+# Real tables declare partition TRANSFORMS (Iceberg's day(ts) /
+# month(ts) / bucket(id)) so predicates on the derived value prune
+# without a physical partition column.  Here the time-truncation
+# family needs no stored stats at all: the logged raw-column stats are
+# ISO-8601 strings (``_norm_stat``), and truncating an ISO string to a
+# fixed prefix IS the time transform — and prefix truncation is
+# monotone, so [prefix(min), prefix(max)] is a correct min/max range
+# for the derived value.  A predicate clause may therefore name a
+# derived column ``"day(ts)"`` (year/month/day/hour) and both pruning
+# directions (may-match for scans, all-match for whole-file DELETE
+# drops) work off the raw stats already in the log.  bucket(n, id) is
+# deliberately absent: it is not monotone, so it needs stored
+# per-file bucket ids — a different mechanism, added when a caller
+# needs it.
+
+import re as _re
+
+_TRANSFORM_RE = _re.compile(r"^(year|month|day|hour)\((\w+)\)$")
+_TRANSFORM_PREFIX = {"year": 4, "month": 7, "day": 10, "hour": 13}
+#: Spark expression for each transform (must agree with the ISO-prefix
+#: stats derivation above; session timezone is UTC)
+_TRANSFORM_FMT = {
+    "year": "yyyy",
+    "month": "yyyy-MM",
+    "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd'T'HH",
+}
+
+
+def _resolve_clause_stats(fstats: dict | None, col: str) -> dict | None:
+    """Per-file stats for a clause column: direct, or DERIVED from the
+    raw column's ISO-string stats when the column is a supported time
+    transform.  None when nothing can be proven."""
+    if fstats and col in fstats:
+        return fstats[col]
+    m = _TRANSFORM_RE.match(col)
+    if not m or not fstats:
+        return None
+    fn, raw = m.group(1), m.group(2)
+    s = fstats.get(raw)
+    if s is None or not isinstance(s["min"], str) or not isinstance(s["max"], str):
+        return None
+    n = _TRANSFORM_PREFIX[fn]
+    if len(s["min"]) < n or len(s["max"]) < n:
+        return None  # raw values too coarse for this transform
+    return {
+        "min": s["min"][:n],
+        "max": s["max"][:n],
+        "nulls": s["nulls"],
+        "rows": s["rows"],
+    }
+
+
 def _comparable(a, b) -> bool:
     num = (int, float)
     if isinstance(a, bool) != isinstance(b, bool):
@@ -557,10 +629,11 @@ def _comparable(a, b) -> bool:
 def _clause_may_match(fstats: dict | None, col: str, op: str, val) -> bool:
     """Could ANY row of the file satisfy ``col op val``?  True when
     unknowable.  NULL cells never satisfy a comparison, so only the
-    non-null min/max range matters."""
-    if not fstats or col not in fstats:
+    non-null min/max range matters.  ``col`` may be a time transform
+    (``day(ts)`` etc.) derived from the raw column's stats."""
+    s = _resolve_clause_stats(fstats, col)
+    if s is None:
         return True
-    s = fstats[col]
     lo, hi = s["min"], s["max"]
     if s["rows"] == s["nulls"]:
         return False  # all-NULL column: no comparison can hold
@@ -587,10 +660,11 @@ def _clause_may_match(fstats: dict | None, col: str, op: str, val) -> bool:
 def _clause_all_match(fstats: dict | None, col: str, op: str, val) -> bool:
     """Does EVERY row of the file satisfy ``col op val``?  Only a
     provable yes returns True (needs zero nulls — NULL never
-    satisfies).  Lets DELETE drop a file without reading it."""
-    if not fstats or col not in fstats:
+    satisfies).  Lets DELETE drop a file without reading it.  ``col``
+    may be a time transform derived from the raw column's stats."""
+    s = _resolve_clause_stats(fstats, col)
+    if s is None:
         return False
-    s = fstats[col]
     lo, hi = s["min"], s["max"]
     if s["nulls"] != 0:
         return False
@@ -636,6 +710,18 @@ def prune_files(
     return scan, skip
 
 
+def _clause_col(col: str):
+    """The clause column as a Spark expression: plain column, or the
+    ISO-prefix string form of a supported time transform (must agree
+    with :func:`_resolve_clause_stats`'s derivation; session tz is
+    UTC, matching the naive-UTC stat normalization)."""
+    m = _TRANSFORM_RE.match(col)
+    if not m:
+        return F.col(col)
+    fn, raw = m.group(1), m.group(2)
+    return F.date_format(F.col(raw), _TRANSFORM_FMT[fn])
+
+
 def _where_expr(where: Sequence[tuple]):
     """The conjunction as a Spark Column — pruning is an optimization,
     this is the actual filter applied to the surviving rows."""
@@ -650,7 +736,7 @@ def _where_expr(where: Sequence[tuple]):
     }
     expr = F.lit(True)
     for col, op, val in where:
-        expr = expr & ops[op](F.col(col), val)
+        expr = expr & ops[op](_clause_col(col), val)
     return expr
 
 
@@ -822,6 +908,7 @@ def commit(
     stream_txn: tuple[str, int] | None = None,
     stats: dict | None = None,
     conflict: dict | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Publish a transaction: validate against any commits that landed
     since ``read_version``, then atomically create the next commit
@@ -880,6 +967,7 @@ def commit(
                 "txn": uuid.uuid4().hex,
                 "stream_txn": list(stream_txn) if stream_txn else None,
                 "stats": stats,
+                "properties": properties,
             },
             indent=0,
         ).encode()
@@ -977,9 +1065,16 @@ def _union_schema(existing_schema: str, df: DataFrame) -> str:
     return StructType(merged).json()
 
 
-def tx_append(df: DataFrame, path: str) -> int:
+def tx_append(
+    df: DataFrame, path: str, properties: dict | None = None
+) -> int:
     """Append under the additive-evolution contract; first write
-    creates the table (version 1)."""
+    creates the table (version 1).  ``properties`` (create only)
+    declares layout intent the log carries forward — recognized keys:
+    ``partition_by`` (a transform like ``"day(ts)"`` whose predicates
+    prune via derived stats) and ``cluster_by`` (the column
+    :func:`tx_compact` re-clusters on by default, so compaction never
+    destroys the layout the properties promised)."""
     state = _fold_state(path)
     if state is None:
         files = _stage_files(df, path)
@@ -991,6 +1086,12 @@ def tx_append(df: DataFrame, path: str) -> int:
             _schema_json(df),
             0,
             stats=_footer_stats(path, files),
+            properties=properties,
+        )
+    if properties is not None:
+        raise ValueError(
+            "table properties are declared at create (version 1); "
+            f"{path} already exists"
         )
     read_version = state.version
     df = _check_evolution(state.schema, df)
@@ -1150,10 +1251,20 @@ def tx_compact(
     removed).  With ``order_col`` the rewrite range-partitions + sorts
     on that column (``operators/compaction.py`` semantics), so a
     sorted/Z-ordered table KEEPS its clustering and footer min/max
-    stats stay selective."""
+    stats stay selective.  When ``order_col`` is omitted, the table's
+    declared properties govern: ``cluster_by``, else the raw column of
+    the ``partition_by`` transform — so compacting a table that
+    promised ``day(ts)`` pruning re-clusters on ``ts`` and the derived
+    stats stay tight instead of being destroyed by a bin-pack."""
     state = _fold_state(path)
     if state is None:
         return None
+    if order_col is None and state.properties:
+        order_col = state.properties.get("cluster_by")
+        if order_col is None:
+            part = state.properties.get("partition_by")
+            m = _TRANSFORM_RE.match(part) if part else None
+            order_col = m.group(2) if m else part
     read_version = state.version
     snap = snapshot(path, read_version)
     sized = [

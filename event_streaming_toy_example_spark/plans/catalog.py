@@ -214,6 +214,11 @@ FAMILY_REP: dict[str, str] = {
     # entry
     "text_fingerprint_rolling": "text_token_stats",
     "text_fingerprint": "text_token_stats",
+    # round 6: the declared-partition-transform pruning entry joins the
+    # data-skipping family below (same derived-stats mechanism, read
+    # side instead of delete side); its staged build asserts the files
+    # were actually skipped
+    "tx_partition_pruning": "tx_delete_where",
     # round 5: data-skipping family — the DELETE entry is the rep (its
     # staged build asserts whole-drop + straddle accounting AND that
     # the log stats skip files); the pruned-range-read twin stays

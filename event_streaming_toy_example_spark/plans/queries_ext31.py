@@ -157,10 +157,86 @@ FROM final GROUP BY event_type
 """
 
 
+# ------------------------------------ partition-transform pruning
+
+_PRUNE_DAY = "2024-01-10"
+
+
+def _build_partitioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a day(ts)-declared transactional table once per corpus:
+    create with ``partition_by`` properties, append ts-range-clustered
+    files, compact WITHOUT an explicit order column (the declared
+    property must govern), and assert the derived-stat pruning
+    actually skips files — a clustering regression fails the build,
+    not just a plan reader."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        import os
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        tx.tx_append(
+            ev.repartitionByRange(8, "ts"),
+            tmp,
+            properties={"partition_by": "day(ts)"},
+        )
+        # scale-invariant target: ~6 clustered files at ANY SF, so the
+        # pruning assertion below is meaningful from sf0.001 up
+        total = sum(
+            os.path.getsize(os.path.join(tmp, f))
+            for f in tx.snapshot(tmp).files
+        )
+        v = tx.tx_compact(spark, tmp, target_bytes=max(8192, total // 6))
+        assert tx.table_properties(tmp) == {"partition_by": "day(ts)"}
+        _scan, skip = tx.prune_files(tmp, [("day(ts)", "=", _PRUNE_DAY)])
+        assert skip, (
+            "declared day(ts) layout failed to prune any file "
+            f"(compact={v}, files={len(tx.snapshot(tmp).files)})"
+        )
+
+    return stage_dir_once(build, "tx_partitioned_v1", sf_dir)
+
+
+def q_tx_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r5 item 6: a ``partition_by`` TRANSFORM declared in the
+    log (``day(ts)``) prunes reads on the DERIVED value — no physical
+    partition column, no directory layout: the raw ts column's
+    per-file ISO-string stats truncate to day stats (prefix truncation
+    is the transform, and it is monotone).  The staged build asserts
+    files are actually skipped and that a default ``tx_compact``
+    preserved the declared clustering; this query reads exactly one
+    day through the pruned path and aggregates it — identical by
+    construction to the oracle's plain filter over raw events."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    path = _build_partitioned_table(spark, sf_dir)
+    day = tx.read_table(spark, path, where=[("day(ts)", "=", _PRUNE_DAY)])
+    return day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_TX_PARTITION_PRUNING = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) = DATE '{_PRUNE_DAY}'
+GROUP BY event_type
+"""
+
+
 EXT31_QUERIES = {
     "tx_feed_follower": q_tx_feed_follower,
+    "tx_partition_pruning": q_tx_partition_pruning,
 }
 
 EXT31_ORACLES = {
     "tx_feed_follower": SQL_TX_FEED_FOLLOWER,
+    "tx_partition_pruning": SQL_TX_PARTITION_PRUNING,
 }

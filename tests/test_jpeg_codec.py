@@ -308,3 +308,99 @@ def test_progressive_corrupt_payloads_raise_never_hang():
             assert out.dtype == np.uint8 and out.ndim == 3
         except (ValueError, NotImplementedError):
             pass
+
+
+# --------------------------------- 12-bit extended sequential (round 6)
+
+
+def test_jpeg12_roundtrip_dims_and_bounded_error():
+    from event_streaming_toy_example_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg12_gray,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:17]
+    arr = ((yy * 64 + xx * 32) % 4096).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg12_gray(arr, quality=100))
+    assert out.shape == (24, 17, 3) and out.dtype == np.uint16
+    assert int(out.max()) <= 4095
+    # grayscale replicates across channels; q100 on smoothish content
+    # stays within a small absolute error at 12-bit scale
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    err = np.abs(out[:, :, 0].astype(np.int64) - arr.astype(np.int64))
+    assert err.max() <= 32, int(err.max())
+
+
+def test_jpeg12_flat_image_near_lossless_and_restarts():
+    from event_streaming_toy_example_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg12_gray,
+    )
+
+    flat = np.full((16, 16), 3000, dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg12_gray(flat, quality=100))
+    assert np.abs(out[:, :, 0].astype(np.int64) - 3000).max() <= 1
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 4096, size=(24, 24), dtype=np.uint16)
+    plain = decode_jpeg(encode_jpeg12_gray(arr, quality=95))
+    rst = decode_jpeg(
+        encode_jpeg12_gray(arr, quality=95, restart_interval=2)
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg12_16bit_quant_tables_decode():
+    """Pq=1 (16-bit DQT entries) — the table precision real 12-bit
+    files use.  Rewrite the encoder's Pq=0 segment to Pq=1 with the
+    same values; the decode must be bit-identical."""
+    import struct
+
+    from event_streaming_toy_example_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg12_gray,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    arr = ((yy * 100 + xx * 50) % 4096).astype(np.uint16)
+    data = encode_jpeg12_gray(arr, quality=90)
+    i = data.find(b"\xff\xdb")
+    assert i >= 0
+    vals = data[i + 5 : i + 5 + 64]
+    wide = b"".join(struct.pack(">H", v) for v in vals)
+    patched = (
+        data[:i]
+        + b"\xff\xdb"
+        + struct.pack(">H", 3 + 128)
+        + bytes([0x10])  # Pq=1, Tq=0
+        + wide
+        + data[i + 69 :]
+    )
+    assert np.array_equal(decode_jpeg(patched), decode_jpeg(data))
+
+
+def test_jpeg12_gates_and_validation():
+    from event_streaming_toy_example_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg12_gray,
+    )
+
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg12_gray(np.full((8, 8), 5000, dtype=np.uint16))
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg12_gray(np.zeros((8, 8, 3), dtype=np.uint16))
+    # a 12-bit PROGRESSIVE frame is refused by name (SOF2 + prec 12)
+    data = bytearray(
+        encode_jpeg12_gray(np.zeros((8, 8), dtype=np.uint16))
+    )
+    i = data.find(b"\xff\xc1")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="12-bit progressive"):
+        decode_jpeg(bytes(data))
+    # baseline SOF0 claiming 12-bit precision is invalid, not a gate
+    data = bytearray(
+        encode_jpeg12_gray(np.zeros((8, 8), dtype=np.uint16))
+    )
+    i = data.find(b"\xff\xc1")
+    data[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="baseline SOF0 requires 8-bit"):
+        decode_jpeg(bytes(data))

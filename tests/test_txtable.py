@@ -894,3 +894,103 @@ def test_full_replace_commutes_with_concurrent_append(
     monkeypatch.setattr(tx, "_stage_files", hook)
     tx.tx_replace_where(spark, p, _df(spark, [(2, 1, "b")]))
     assert _content(spark, p) == [(2, 1, "b"), (7, 1, "late")]
+
+
+# ------------------------------- partition transforms (round 6)
+
+
+def _ts_df(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts timestamp, v string")
+
+
+def _day_rows(day, n=3):
+    import datetime as dt
+
+    return [
+        (day * 100 + i, dt.datetime(2024, 1, day, 6 + i, 30), f"d{day}r{i}")
+        for i in range(n)
+    ]
+
+
+def test_day_transform_prunes_and_filters_identically(spark, tmp_path):
+    """A predicate on day(ts) prunes via stats DERIVED from the raw
+    ts column (ISO-prefix truncation is the transform), and the row
+    filter applies the same transform — result identical to filtering
+    a full read."""
+    p = str(tmp_path / "t")
+    for day in (1, 2, 3):
+        tx.tx_append(_ts_df(spark, _day_rows(day)).coalesce(1), p)
+    scan, skip = tx.prune_files(p, [("day(ts)", "=", "2024-01-02")])
+    assert len(scan) == 1 and len(skip) == 2
+    got = sorted(
+        r["k"]
+        for r in tx.read_table(
+            spark, p, where=[("day(ts)", "=", "2024-01-02")]
+        ).collect()
+    )
+    full = tx.read_table(spark, p)
+    want = sorted(
+        r["k"]
+        for r in full.where(
+            F.date_format("ts", "yyyy-MM-dd") == "2024-01-02"
+        ).collect()
+    )
+    assert got == want == [200, 201, 202]
+    # month/hour grains derive from the same raw stats
+    scan_m, _ = tx.prune_files(p, [("month(ts)", "=", "2024-01")])
+    assert len(scan_m) == 3
+    scan_h, skip_h = tx.prune_files(p, [("hour(ts)", "=", "2024-01-03T07")])
+    assert len(scan_h) == 1 and len(skip_h) == 2
+
+
+def test_day_transform_whole_file_delete_is_metadata_only(spark, tmp_path):
+    """A retention delete keyed on day(ts) must drop the doomed day's
+    file WITHOUT reading it (all-match proven from derived stats) and
+    carry the other days over by reference."""
+    p = str(tmp_path / "t")
+    for day in (1, 2, 3):
+        tx.tx_append(_ts_df(spark, _day_rows(day)).coalesce(1), p)
+    before = set(tx.snapshot(p).files)
+    tx.tx_delete(spark, p, [("day(ts)", "<", "2024-01-02")])
+    log = tx.read_log(p)
+    assert log[-1].action == "delete"
+    assert log[-1].add == () and len(log[-1].remove) == 1  # whole drop
+    assert set(tx.snapshot(p).files) == before - set(log[-1].remove)
+    assert sorted(r["k"] for r in tx.read_table(spark, p).collect()) == [
+        200, 201, 202, 300, 301, 302,
+    ]
+
+
+def test_table_properties_govern_compaction_clustering(spark, tmp_path):
+    """Properties declared at create survive fold + checkpoint, and a
+    default tx_compact re-clusters on the partition transform's raw
+    column so derived-stat pruning stays selective after bin-packing."""
+    p = str(tmp_path / "t")
+    tx.tx_append(
+        _ts_df(spark, _day_rows(1)).coalesce(1),
+        p,
+        properties={"partition_by": "day(ts)"},
+    )
+    for day in (2, 3, 1, 2, 3):
+        tx.tx_append(_ts_df(spark, _day_rows(day)).coalesce(1), p)
+    assert tx.table_properties(p) == {"partition_by": "day(ts)"}
+    with pytest.raises(ValueError, match="declared at create"):
+        tx.tx_append(_ts_df(spark, _day_rows(1)), p, properties={"x": 1})
+    n_before = tx.read_table(spark, p).count()
+    v = tx.tx_compact(spark, p, target_bytes=2500)  # no order_col: property
+    assert v is not None
+    assert tx.read_table(spark, p).count() == n_before
+    assert 1 < len(tx.snapshot(p).files) < 6
+    # pruning on day(ts) is still selective post-compaction: the
+    # clustered rewrite keeps day ranges tight, so an edge-day query
+    # provably skips the files holding only later days (a boundary
+    # file may straddle two days — that scans, correctly)
+    scan, skip = tx.prune_files(p, [("day(ts)", "=", "2024-01-01")])
+    assert skip, "compaction destroyed the declared clustering"
+    got = tx.read_table(
+        spark, p, where=[("day(ts)", "=", "2024-01-01")]
+    ).count()
+    assert got == 6
+    # properties survive log expiry (carried by the checkpoint)
+    tx.expire_log(p, retain_versions=2)
+    assert tx.table_properties(p) == {"partition_by": "day(ts)"}
