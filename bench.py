@@ -191,6 +191,11 @@ HEADLINE = [
     # read on the transactional table
     "tx_delete_where",
     "tx_stats_skipping",
+    # round-6 additions (appended; pre-existing names unchanged): the
+    # streaming change-feed follower and the declared-partition-
+    # transform pruned read
+    "tx_feed_follower",
+    "tx_partition_pruning",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -218,6 +223,8 @@ PRESTAGE = [
     "stream_session_window",
     "tx_snapshot_isolation",
     "tx_delete_where",
+    "tx_feed_follower",
+    "tx_partition_pruning",
 ]
 
 
