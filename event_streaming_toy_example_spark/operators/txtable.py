@@ -1681,6 +1681,19 @@ def commit_change_rows(
     import pandas as pd
     import pyarrow.parquet as pq
 
+    if not os.path.exists(_commit_path(path, version)):
+        commits, checkpoints = _list_log(path)
+        expired = (commits and version < commits[0]) or (
+            not commits and checkpoints and version <= checkpoints[-1]
+        )
+        if expired:
+            oldest = commits[0] if commits else checkpoints[-1] + 1
+            raise VersionExpiredError(
+                f"change feed needs commit {version}, but expire_log "
+                f"already dropped it (oldest retained commit is "
+                f"{oldest}); start the feed from a retained version "
+                "or expire less aggressively"
+            )
     c = _read_commit(path, version)
     cols = list(key_cols) + list(content_cols)
 

@@ -133,3 +133,15 @@ def test_follower_matches_source_and_replay_is_exactly_once(spark, tmp_path):
     assert _content(spark, fol) == _content(spark, src) == [
         (1, "a9"), (2, "b2"), (7, "seven"),
     ]
+
+
+def test_feed_from_expired_version_is_loud(spark, tmp_path):
+    """A feed asked for commits expire_log already dropped must raise
+    the TYPED error, never FileNotFoundError or silent emptiness."""
+    p = str(tmp_path / "src")
+    _build_source(spark, p)
+    tx.expire_log(p, retain_versions=2)  # drops commits 1..3
+    with pytest.raises(tx.VersionExpiredError, match="change feed"):
+        tx.commit_change_rows(p, 2, ["k"], ["v"])
+    # retained tail still feeds fine
+    assert tx.commit_change_rows(p, 4, ["k"], ["v"]) == []

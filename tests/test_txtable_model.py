@@ -66,11 +66,11 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 by_key[k] = (ts, v)
         return kept + [(k, ts, v) for k, (ts, v) in by_key.items()]
 
-    for _ in range(14):
+    for _ in range(16):
         op = rng.choice(
             [
                 "append", "append", "upsert", "compact", "vacuum",
-                "delete", "expire",
+                "delete", "expire", "replace", "delete_keys",
             ]
         )
         if op == "append":
@@ -99,6 +99,38 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             lo = rng.randrange(40)
             tx.tx_delete(spark, p, [("k", ">=", lo), ("k", "<", lo + 8)])
             applied = [r for r in applied if not (lo <= r[0] < lo + 8)]
+            history[tx.table_version(p)] = sorted(applied)
+        elif op == "replace":
+            # replaceWhere over a random key range: model = drop the
+            # range, add the batch (all batch keys inside the range)
+            lo = rng.randrange(40)
+            region = [("k", ">=", lo), ("k", "<", lo + 10)]
+            batch = [
+                (lo + rng.randrange(10), ts, v)
+                for _, ts, v in fresh_rows(rng.randrange(1, 4))
+            ]
+            tx.tx_replace_where(
+                spark,
+                p,
+                spark.createDataFrame(batch, "k int, ts int, v string"),
+                region,
+            )
+            applied = [
+                r for r in applied if not (lo <= r[0] < lo + 10)
+            ] + batch
+            history[tx.table_version(p)] = sorted(applied)
+        elif op == "delete_keys":
+            # key-set delete: model = filter those keys out verbatim
+            doomed = sorted(
+                {rng.randrange(40) for _ in range(rng.randrange(1, 5))}
+            )
+            tx.tx_delete_keys(
+                spark,
+                p,
+                spark.createDataFrame([(k,) for k in doomed], "k int"),
+                ["k"],
+            )
+            applied = [r for r in applied if r[0] not in set(doomed)]
             history[tx.table_version(p)] = sorted(applied)
         elif op == "compact":
             v = tx.tx_compact(spark, p, target_bytes=1 << 30)
