@@ -1649,6 +1649,40 @@ def tx_change_feed(
     return diff_snapshots(base, nxt, key_col, content_cols)
 
 
+def history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per RETAINED commit, newest first —
+    the operational surface an engineer reads before time-traveling or
+    debugging a concurrency abort.  Pure metadata (no data-file I/O):
+    version, action, files added/removed, row counts where the commit
+    recorded stats, schema width, the streaming idempotence token, and
+    read_version (whose gap to the prior version exposes how contended
+    the commit was)."""
+    out = []
+    for c in reversed(read_log(path)):
+        rows = None
+        if c.stats:
+            counted = [
+                s.get(next(iter(s)), {}).get("rows")
+                for s in (c.stats.get(f) for f in c.add)
+                if s
+            ]
+            rows = sum(r for r in counted if r is not None) or None
+        out.append(
+            {
+                "version": c.version,
+                "action": c.action,
+                "n_added": len(c.add),
+                "n_removed": len(c.remove),
+                "rows_added": rows,
+                "n_columns": len(json.loads(c.schema).get("fields", [])),
+                "read_version": c.read_version,
+                "stream_app": c.stream_txn[0] if c.stream_txn else None,
+                "stream_batch": c.stream_txn[1] if c.stream_txn else None,
+            }
+        )
+    return out
+
+
 def commit_change_rows(
     path: str,
     version: int,

@@ -994,3 +994,22 @@ def test_table_properties_govern_compaction_clustering(spark, tmp_path):
     # properties survive log expiry (carried by the checkpoint)
     tx.expire_log(p, retain_versions=2)
     assert tx.table_properties(p) == {"partition_by": "day(ts)"}
+
+
+def test_history_surface(spark, tmp_path):
+    """DESCRIBE HISTORY: newest-first metadata-only view of the log,
+    including the streaming token and contention evidence."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]), p)
+    tx.tx_upsert(
+        spark, p, _df(spark, [(2, 5, "b2")]), ["k"], ["ts"],
+        stream_txn=("app", 0),
+    )
+    tx.tx_delete(spark, p, [("k", "=", 1)])
+    h = tx.history(p)
+    assert [e["version"] for e in h] == [3, 2, 1]
+    assert [e["action"] for e in h] == ["delete", "upsert", "append"]
+    assert h[1]["stream_app"] == "app" and h[1]["stream_batch"] == 0
+    assert h[2]["stream_app"] is None
+    assert all(e["n_columns"] == 3 for e in h)
+    assert h[2]["rows_added"] == 2  # stats-backed row accounting
