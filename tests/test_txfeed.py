@@ -145,3 +145,50 @@ def test_feed_from_expired_version_is_loud(spark, tmp_path):
         tx.commit_change_rows(p, 2, ["k"], ["v"])
     # retained tail still feeds fine
     assert tx.commit_change_rows(p, 4, ["k"], ["v"]) == []
+
+
+def test_distributed_feed_matches_simple_reader(spark, tmp_path):
+    """The executor-parallel (partitioned DataSourceStreamReader) form
+    must deliver exactly the rows the Simple reader delivers, with the
+    whole committed range planned as one batch of per-commit tasks."""
+    p = str(tmp_path / "src")
+    _build_source(spark, p)
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r["k"], r["v"], r["change_type"], r["version"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        txfeed.read_change_feed_stream_dist(spark, p, ["k"], ["v"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    want = []
+    for v in range(1, tx.table_version(p) + 1):
+        want.extend(tx.commit_change_rows(p, v, ["k"], ["v"]))
+    assert sorted(seen) == sorted(want)
+    # restart on the SAME checkpoint after the source advances:
+    # resumes from the committed offset, delivers only the delta
+    tx.tx_upsert(spark, p, _df(spark, [(1, 9, "a9")]), ["k"], ["ts"])
+    seen.clear()
+    q = (
+        txfeed.read_change_feed_stream_dist(spark, p, ["k"], ["v"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    assert seen == [(1, "a9", "update", 5)]
