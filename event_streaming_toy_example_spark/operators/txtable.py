@@ -1649,6 +1649,83 @@ def tx_change_feed(
     return diff_snapshots(base, nxt, key_col, content_cols)
 
 
+def tx_restore(path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION — roll the table BACK as a new commit
+    (history is preserved; the rollback itself is auditable and
+    revertible), O(metadata): the commit removes the files that joined
+    after ``version`` and re-adds the ones that left, with their
+    original stats, so data skipping keeps working on the restored
+    snapshot.  No data file is read or written.
+
+    Fails loudly if a file the target snapshot needs was already
+    physically deleted by :func:`vacuum` (restore reaches only as far
+    as the vacuum retention window — same contract as Delta RESTORE).
+    Concurrency: strict — the restored state supersedes everything, so
+    any concurrent data change aborts the restore (re-issue it)."""
+    target = snapshot(path, version)
+    cur = snapshot(path)
+    if target is None or cur is None:
+        raise ValueError(f"tx_restore on a table with no commits: {path}")
+    cur_files = set(cur.files)
+    tgt_files = set(target.files)
+    add = [f for f in target.files if f not in cur_files]
+    remove = [f for f in cur.files if f not in tgt_files]
+    missing = [f for f in add if not os.path.exists(os.path.join(path, f))]
+    if missing:
+        raise VersionExpiredError(
+            f"cannot restore {path} to version {version}: vacuum already "
+            f"deleted {len(missing)} of its files (e.g. {missing[0]}); "
+            "restores reach only as far as the vacuum retention window"
+        )
+    stats = {
+        f: s
+        for f, s in ((f, (target.stats or {}).get(f)) for f in add)
+        if s is not None
+    }
+    return commit(
+        path,
+        "restore",
+        add,
+        remove,
+        target.schema,
+        cur.version,
+        stats=stats or None,
+    )
+
+
+def tx_evolve_types(
+    spark: SparkSession, path: str, casts: dict[str, str]
+) -> int:
+    """Deliberate TYPE MIGRATION — the change :func:`tx_append` refuses
+    by contract ("type migrations must rewrite, not append").  Rewrites
+    EVERY live file with the casts applied and commits it as the
+    ``evolve-rewrite`` action, which the OCC rules treat as superseding
+    all concurrent work: writers racing it abort in both directions
+    (they'd otherwise publish files in the OLD types into a NEW-typed
+    table).  This is the one whole-table-rewrite operation in the
+    stack; everything else is incremental by design."""
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_evolve_types on a table with no commits: {path}")
+    read_version = state.version
+    snap = snapshot(path, read_version)
+    df = read_table(spark, path, read_version)
+    for col, new_type in casts.items():
+        if col not in df.columns:
+            raise ValueError(f"tx_evolve_types: no column '{col}' in {path}")
+        df = df.withColumn(col, F.col(col).cast(new_type))
+    files = _stage_files(df, path)
+    return commit(
+        path,
+        "evolve-rewrite",
+        files,
+        list(snap.files),
+        _schema_json(df),
+        read_version,
+        stats=_footer_stats(path, files),
+    )
+
+
 def history(path: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per RETAINED commit, newest first —
     the operational surface an engineer reads before time-traveling or

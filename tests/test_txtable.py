@@ -1013,3 +1013,69 @@ def test_history_surface(spark, tmp_path):
     assert h[2]["stream_app"] is None
     assert all(e["n_columns"] == 3 for e in h)
     assert h[2]["rows_added"] == 2  # stats-backed row accounting
+
+
+# ------------------------------------- restore + type migration (r6)
+
+
+def test_restore_is_metadata_only_and_auditable(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]), p)
+    tx.tx_upsert(spark, p, _df(spark, [(2, 5, "b2")]), ["k"], ["ts"])
+    tx.tx_delete(spark, p, [("k", "=", 1)])
+    v1_content = _content(spark, p, version=1)
+    v = tx.tx_restore(p, 1)
+    assert v == 4  # rollback IS a commit: history preserved
+    assert _content(spark, p) == v1_content
+    # the rolled-back states remain time-travelable (auditable)
+    assert _content(spark, p, version=3) == [(2, 5, "b2")]
+    log = tx.read_log(p)
+    assert log[-1].action == "restore"
+    # restored files carry their ORIGINAL stats: pruning still works
+    scan, skip = tx.prune_files(p, [("k", "=", 1)])
+    assert scan, "restored snapshot lost its files"
+    # re-restore to the pre-restore state also works (revertible)
+    tx.tx_restore(p, 3)
+    assert _content(spark, p) == [(2, 5, "b2")]
+
+
+def test_restore_past_vacuum_horizon_is_loud(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    tx.tx_upsert(spark, p, _df(spark, [(1, 2, "a2")]), ["k"], ["ts"])
+    tx.tx_upsert(spark, p, _df(spark, [(1, 3, "a3")]), ["k"], ["ts"])
+    tx.vacuum(p, retain_versions=1, min_age_seconds=0.0)
+    with pytest.raises(tx.VersionExpiredError, match="vacuum already"):
+        tx.tx_restore(p, 1)
+    assert _content(spark, p) == [(1, 3, "a3")]  # table unharmed
+
+
+def test_evolve_types_migration_and_occ_supersedes(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1), p)
+    # append with a retyped column is refused (the contract pointing
+    # here)...
+    with pytest.raises(ValueError, match="must rewrite"):
+        tx.tx_append(
+            spark.createDataFrame([(3, 1.0, "c")], "k int, ts double, v string"),
+            p,
+        )
+    # ...and the explicit migration rewrites the table
+    v = tx.tx_evolve_types(spark, p, {"ts": "double"})
+    assert tx.read_log(p)[-1].action == "evolve-rewrite"
+    assert v == 2
+    df = tx.read_table(spark, p)
+    assert dict(df.dtypes)["ts"] == "double"
+    assert _content(spark, p) == [(1, 1.0, "a"), (2, 1.0, "b")]
+    # new-typed appends flow; old-typed appends refuse
+    tx.tx_append(
+        spark.createDataFrame([(3, 2.5, "c")], "k int, ts double, v string"), p
+    )
+    with pytest.raises(ValueError, match="schema evolution refused"):
+        tx.tx_append(_df(spark, [(4, 1, "d")]), p)
+    # a writer that staged against the PRE-migration snapshot aborts
+    files = tx._stage_files(
+        spark.createDataFrame([(9, 9.0, "z")], "k int, ts double, v string"), p
+    )
+    with pytest.raises(tx.ConcurrentWriteError, match="schema rewrite"):
+        tx.commit(p, "append", files, [], tx.read_log(p)[1].schema, 1)

@@ -70,10 +70,23 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
         op = rng.choice(
             [
                 "append", "append", "upsert", "compact", "vacuum",
-                "delete", "expire", "replace", "delete_keys",
+                "delete", "expire", "replace", "delete_keys", "restore",
             ]
         )
-        if op == "append":
+        if op == "restore" and history:
+            # roll back to any version whose files are still retained
+            # (history only holds checkable = retained versions); the
+            # model state becomes that snapshot verbatim
+            v = rng.choice(sorted(history))
+            try:
+                tx.tx_restore(p, v)
+            except tx.VersionExpiredError:
+                continue  # vacuumed past it: legal, loud, skip
+            applied = list(history[v])
+            history[tx.table_version(p)] = sorted(applied)
+        elif op == "restore":
+            continue  # nothing to roll back to yet
+        elif op == "append":
             rows = fresh_rows(rng.randrange(1, 4))
             tx.tx_append(
                 spark.createDataFrame(rows, "k int, ts int, v string").coalesce(1),
