@@ -289,7 +289,7 @@ def follow_table(
     source_path: str,
     follower_path: str,
     checkpoint_dir: str,
-    key: str,
+    key: str | Sequence[str],
     content_cols: Sequence[str],
     app_id: str = "txfeed-follower",
     timeout_seconds: float = 300.0,
@@ -319,8 +319,9 @@ def follow_table(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    keys = [key] if isinstance(key, str) else list(key)
     feed = read_change_feed_stream(
-        spark, source_path, [key], content_cols, from_version=0
+        spark, source_path, keys, content_cols, from_version=0
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -331,16 +332,16 @@ def follow_table(
         w_latest = batch_df.withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy(key).orderBy(
+                Window.partitionBy(*keys).orderBy(
                     F.col("version").desc(), F.col("change_type")
                 )
             ),
         ).where(F.col("__rn") == 1)
         finals = w_latest.persist()
         try:
-            dels = finals.where(F.col("change_type") == "delete").select(key)
+            dels = finals.where(F.col("change_type") == "delete").select(*keys)
             ups = finals.where(F.col("change_type") != "delete").select(
-                key, *content_cols, "version"
+                *keys, *content_cols, "version"
             )
             has_dels = not dels.isEmpty()
             has_ups = not ups.isEmpty()
@@ -351,7 +352,7 @@ def follow_table(
                     spark,
                     follower_path,
                     dels,
-                    [key],
+                    keys,
                     stream_txn=None if has_ups else (app_id, batch_id),
                 )
             if has_ups:
@@ -359,7 +360,7 @@ def follow_table(
                     spark,
                     follower_path,
                     ups,
-                    keys=[key],
+                    keys=keys,
                     order_by=["version"],
                     stream_txn=(app_id, batch_id),
                 )

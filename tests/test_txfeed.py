@@ -192,3 +192,36 @@ def test_distributed_feed_matches_simple_reader(spark, tmp_path):
         q.stop()
     q.awaitTermination(60)
     assert seen == [(1, "a9", "update", 5)]
+
+
+def test_follower_composite_key(spark, tmp_path):
+    """Composite-key follower: net-effect window, MERGE, and key-set
+    delete all partition on the full key tuple."""
+    src = str(tmp_path / "src")
+    fol = str(tmp_path / "fol")
+    df = spark.createDataFrame(
+        [(1, "x", 1, "a"), (1, "y", 1, "b"), (2, "x", 1, "c")],
+        "k1 int, k2 string, ts int, v string",
+    )
+    tx.tx_append(df, src)
+    tx.tx_upsert(
+        spark, src,
+        spark.createDataFrame([(1, "y", 5, "b2")], "k1 int, k2 string, ts int, v string"),
+        keys=["k1", "k2"], order_by=["ts"],
+    )
+    tx.tx_delete(spark, src, [("k1", "=", 2)])
+    tx.tx_append(
+        spark.createDataFrame(
+            [], "k1 int, k2 string, v string, version long"
+        ),
+        fol,
+    )
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck"),
+        key=["k1", "k2"], content_cols=["v"],
+    )
+    got = sorted(
+        (r["k1"], r["k2"], r["v"])
+        for r in tx.read_table(spark, fol).collect()
+    )
+    assert got == [(1, "x", "a"), (1, "y", "b2")]
