@@ -353,6 +353,34 @@ def table_version(path: str) -> int:
                checkpoints[-1] if checkpoints else 0)
 
 
+def tx_set_properties(path: str, properties: dict) -> int:
+    """ALTER TABLE SET TBLPROPERTIES — a metadata-only commit that
+    MERGES ``properties`` into the table's declared set (a key mapped
+    to None is removed).  Commutes with every concurrent commit (it
+    touches no files); racing property writers resolve last-writer-wins
+    via the fold.  Changing ``cluster_by``/``partition_by`` takes
+    effect on the NEXT compaction — existing files keep their layout
+    until rewritten, exactly like Delta/Iceberg."""
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_set_properties on a table with no commits: {path}")
+    merged = dict(state.properties)
+    for k, v in properties.items():
+        if v is None:
+            merged.pop(k, None)
+        else:
+            merged[k] = v
+    return commit(
+        path,
+        "set-properties",
+        [],
+        [],
+        state.schema,
+        state.version,
+        properties=merged,
+    )
+
+
 def table_properties(path: str) -> dict:
     """The table's declared properties (empty for none)."""
     state = _fold_state(path)
@@ -794,12 +822,14 @@ def _validate_against(
     100 TB livelock case this unlocks — streaming ingest appending new
     event-time data while a periodic MERGE reconciles an old key range
     — now commits on both sides."""
-    if action == "append":
-        # pure additive: commutes with everything (schema compatibility
-        # was checked against the read snapshot; an intervening type
-        # migration is expressed as remove+add and caught below; an
-        # intervening ADDITIVE evolution is re-unioned by the commit
-        # loop so the logged schema never regresses)
+    if action in ("append", "set-properties"):
+        # pure additive / metadata-only: commutes with everything
+        # (schema compatibility was checked against the read snapshot;
+        # an intervening type migration is expressed as remove+add and
+        # caught below; an intervening ADDITIVE evolution is re-unioned
+        # by the commit loop so the logged schema never regresses; for
+        # racing set-properties the fold's latest-wins is the intended
+        # last-writer-wins)
         for c in intervening:
             if c.action == "evolve-rewrite":
                 raise ConcurrentWriteError(
@@ -1090,8 +1120,8 @@ def tx_append(
         )
     if properties is not None:
         raise ValueError(
-            "table properties are declared at create (version 1); "
-            f"{path} already exists"
+            "table properties are declared at create (version 1) or "
+            f"altered via tx_set_properties; {path} already exists"
         )
     read_version = state.version
     df = _check_evolution(state.schema, df)

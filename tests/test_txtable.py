@@ -1079,3 +1079,32 @@ def test_evolve_types_migration_and_occ_supersedes(spark, tmp_path):
     )
     with pytest.raises(tx.ConcurrentWriteError, match="schema rewrite"):
         tx.commit(p, "append", files, [], tx.read_log(p)[1].schema, 1)
+
+
+def test_set_properties_alter_and_commute(spark, tmp_path, monkeypatch):
+    p = str(tmp_path / "t")
+    tx.tx_append(_ts_df(spark, _day_rows(1)).coalesce(1), p)
+    for day in (2, 3):
+        tx.tx_append(_ts_df(spark, _day_rows(day)).coalesce(1), p)
+    assert tx.table_properties(p) == {}
+    tx.tx_set_properties(p, {"partition_by": "day(ts)", "owner": "etl"})
+    assert tx.table_properties(p) == {
+        "partition_by": "day(ts)", "owner": "etl",
+    }
+    # merge semantics: None removes, others persist
+    tx.tx_set_properties(p, {"owner": None})
+    assert tx.table_properties(p) == {"partition_by": "day(ts)"}
+    # the altered layout intent governs the next compaction
+    tx.tx_compact(spark, p, target_bytes=2500)
+    scan, skip = tx.prune_files(p, [("day(ts)", "=", "2024-01-01")])
+    assert skip, "altered partition_by did not govern compaction"
+    # metadata-only: commutes with a concurrent append (stale read)
+    files = tx._stage_files(_ts_df(spark, _day_rows(2)).coalesce(1), p)
+    schema = tx.read_log(p)[-1].schema
+    v_now = tx.table_version(p)
+    tx.tx_set_properties(p, {"owner": "etl2"})
+    tx.commit(p, "append", files, [], schema, read_version=v_now)
+    assert tx.table_version(p) == v_now + 2
+    # and survives checkpoint + expiry
+    tx.expire_log(p, retain_versions=1)
+    assert tx.table_properties(p)["owner"] == "etl2"
