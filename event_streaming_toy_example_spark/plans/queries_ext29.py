@@ -251,18 +251,25 @@ def _build_drift_table(spark: SparkSession, sf_dir: str) -> str:
             )
             .select(F.to_json(F.struct("*")).alias("value"))
         )
+        # stagger mtimes BY WAVE (identified right after each write —
+        # part-file names embed a random job UUID, so sorting by name
+        # would order the waves by coin flip) so the file-source
+        # stream, which delivers oldest-mtime first, replays wave 0
+        # before wave 1 deterministically
+        seen: set[str] = set()
+        base = None
         for i, wave in enumerate((pre, late)):
             wave.coalesce(1).write.mode(
                 "overwrite" if i == 0 else "append"
             ).text(tmp)
-        # stagger mtimes deterministically by name order so the
-        # file-source stream delivers wave 0 before wave 1 (text part
-        # files sort by task id: wave 0's single file precedes wave 1's)
-        base = os.path.getmtime(tmp)
-        for j, f in enumerate(sorted(glob.glob(f"{tmp}/part-*"))):
-            os.utime(f, (base + 60 * j, base + 60 * j))
+            if base is None:
+                base = os.path.getmtime(tmp)
+            for f in sorted(glob.glob(f"{tmp}/part-*")):
+                if f not in seen:
+                    seen.add(f)
+                    os.utime(f, (base + 60 * i, base + 60 * i))
 
-    waves = stage_dir_once(build_waves, "drift_waves_v1", sf_dir)
+    waves = stage_dir_once(build_waves, "drift_waves_v2", sf_dir)
 
     def build_table(tmp: str) -> None:
         import tempfile
@@ -297,7 +304,7 @@ def _build_drift_table(spark: SparkSession, sf_dir: str) -> str:
         await_or_raise(q, "stream_schema_drift")
         assert tx.table_version(tmp) == 2, tx.table_version(tmp)
 
-    return stage_dir_once(build_table, "drift_table_v1", sf_dir)
+    return stage_dir_once(build_table, "drift_table_v2", sf_dir)
 
 
 def q_stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
