@@ -50,10 +50,15 @@ MERGE path prunes untouched files with a key-column semi-join
 (reading ONLY the key columns, so a 100-column fact table pays a
 narrow scan to find the files worth rewriting — the same file-pruning
 contract Delta implements with stats, expressed as a join so it needs
-no stats collection).  Atomic create-if-absent is what the protocol
-needs from storage: local POSIX and HDFS renames provide it; S3
-deployments put this one primitive behind a coordination service,
-exactly as open-source lakehouse formats do.
+no stats collection).  Atomic put-if-absent is the ONE primitive the
+protocol needs from storage, and it is pluggable
+(``operators/logstore.py``): POSIX ``O_EXCL``+``link(2)`` by default,
+conditional PUT (``If-None-Match``) on object stores, with the
+protocol's storage-independence proven by deterministic two-writer
+interleaves over an in-memory store (``tests/test_logstore.py``).
+Data files never need that primitive — they publish invisibly and the
+commit file is the only publication point — so Spark's own
+HDFS/S3A-capable filesystem layer carries them unchanged.
 
 Cites: replaces the per-operator protocols of ``compaction.py:128-165``,
 ``upsert_sink.py:131-145``, ``evolution.py:50-66`` (all kept — their
@@ -70,6 +75,10 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.operators.logstore import (
+    get_log_store,
+)
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
@@ -118,6 +127,12 @@ class Commit:
     #: table properties (``partition_by``/``cluster_by`` declarations);
     #: set at create, carried forward by the fold.  None = inherit.
     properties: dict | None = None
+    #: DELETION VECTORS (merge-on-read): ``{live_file: sidecar_path}``
+    #: sets/replaces the file's deletion vector (a parquet of
+    #: ``(file, pos)`` row positions deleted from it — CUMULATIVE, so
+    #: the current mapping alone describes the live rows); a value of
+    #: None clears it.  Removing a file drops its DV entry in the fold.
+    dv: dict | None = None
 
     def __hash__(self) -> int:  # stats dict is unhashable; id by txn
         return hash((self.version, self.txn))
@@ -132,6 +147,9 @@ class Snapshot:
     #: (``{}`` when nothing was recorded — readers treat a missing
     #: entry as "may contain anything")
     stats: dict | None = None
+    #: live deletion vectors: ``{file: sidecar_path}`` for files whose
+    #: deleted row positions must be anti-joined away at scan time
+    dvs: dict | None = None
 
     def __hash__(self) -> int:
         return hash((self.version, self.files))
@@ -159,11 +177,8 @@ def _list_log(path: str) -> tuple[list[int], list[int]]:
     """One directory listing → (commit versions, checkpoint versions),
     each sorted ascending.  Every read path starts here; nothing below
     re-lists the directory."""
-    d = _log_dir(path)
-    if not os.path.isdir(d):
-        return [], []
     commits, checkpoints = [], []
-    for name in os.listdir(d):
+    for name in get_log_store(path).list_dir(_log_dir(path)):
         if name.endswith(".checkpoint.json"):
             checkpoints.append(int(name[: -len(".checkpoint.json")]))
         elif name.endswith(".json"):
@@ -172,8 +187,7 @@ def _list_log(path: str) -> tuple[list[int], list[int]]:
 
 
 def _read_commit(path: str, version: int) -> Commit:
-    with open(_commit_path(path, version)) as f:
-        c = json.load(f)
+    c = json.loads(get_log_store(path).read_bytes(_commit_path(path, version)))
     st = c.get("stream_txn")
     return Commit(
         version=c["version"],
@@ -186,12 +200,14 @@ def _read_commit(path: str, version: int) -> Commit:
         stream_txn=(st[0], st[1]) if st else None,
         stats=c.get("stats"),
         properties=c.get("properties"),
+        dv=c.get("dv"),
     )
 
 
 def _load_checkpoint(path: str, version: int) -> dict:
-    with open(_checkpoint_path(path, version)) as f:
-        return json.load(f)
+    return json.loads(
+        get_log_store(path).read_bytes(_checkpoint_path(path, version))
+    )
 
 
 @dataclass
@@ -204,6 +220,7 @@ class _State:
     schema: str
     stream_txns: dict  # app_id -> highest committed batch id
     properties: dict  # table properties (partition/cluster declarations)
+    dvs: dict  # live file -> deletion-vector sidecar path
 
 
 def _fold_state(path: str, version: int | None = None) -> _State | None:
@@ -232,10 +249,12 @@ def _fold_state(path: str, version: int | None = None) -> _State | None:
             schema=cp["schema"],
             stream_txns=dict(cp.get("stream_txns") or {}),
             properties=dict(cp.get("properties") or {}),
+            dvs=dict(cp.get("dvs") or {}),
         )
     else:
         state = _State(
-            version=0, files={}, schema="", stream_txns={}, properties={}
+            version=0, files={}, schema="", stream_txns={},
+            properties={}, dvs={},
         )
     present = set(commits)
     for v in range(state.version + 1, version + 1):
@@ -258,8 +277,14 @@ def _fold_state(path: str, version: int | None = None) -> _State | None:
             )
         for r in c.remove:
             state.files.pop(r, None)
+            state.dvs.pop(r, None)
         for a in c.add:
             state.files[a] = (c.stats or {}).get(a)
+        for f, sidecar in (c.dv or {}).items():
+            if sidecar is None:
+                state.dvs.pop(f, None)
+            else:
+                state.dvs[f] = sidecar
         state.schema = c.schema
         if c.properties is not None:
             state.properties = dict(c.properties)
@@ -310,7 +335,76 @@ def snapshot(path: str, version: int | None = None) -> Snapshot | None:
         files=tuple(state.files),
         schema=state.schema,
         stats={f: s for f, s in state.files.items() if s is not None},
+        dvs=dict(state.dvs) or None,
     )
+
+
+def _dv_positions_df(
+    spark: SparkSession, path: str, dv_map: dict
+) -> DataFrame:
+    """The LIVE deleted ``(file, pos)`` set described by ``dv_map``
+    (file -> sidecar).  Each sidecar is read once and filtered to the
+    files currently mapped to it — a sidecar is immutable and may also
+    carry rows for files whose DV a later commit replaced or dropped."""
+    from collections import defaultdict
+
+    by_sidecar: dict[str, list[str]] = defaultdict(list)
+    for f, s in dv_map.items():
+        by_sidecar[s].append(f)
+    out = None
+    for s, files in sorted(by_sidecar.items()):
+        df = (
+            spark.read.parquet(os.path.join(path, s))
+            .where(F.col("file").isin(files))
+            .select("file", "pos")
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _read_files(
+    spark: SparkSession,
+    path: str,
+    files: Sequence[str],
+    dvs: dict | None = None,
+    file_pos_cols: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Read an EXPLICIT file list with ``mergeSchema``, applying any
+    live deletion vectors: rows whose ``(file, row-position)`` is in a
+    DV sidecar are dropped with one broadcast anti-join on the parquet
+    ``_metadata`` columns — the merge-on-read half of the DV contract.
+    A file's physical row order is immutable (parquet), so the logged
+    positions identify rows exactly.
+
+    ``file_pos_cols`` keeps the (table-relative file, position) under
+    the given names for callers that need row identity (the MOR
+    writers); otherwise the result schema equals a plain read."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in files]
+    )
+    dv_map = {f: s for f, s in (dvs or {}).items() if f in set(files)}
+    if not dv_map and file_pos_cols is None:
+        return df
+    cols = df.columns
+    fcol, pcol = file_pos_cols or ("__dv_file", "__dv_pos")
+    rel = F.concat(
+        F.lit(f"{_DATA_DIR}/"),
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    )
+    tagged = df.select(
+        *cols,
+        rel.alias(fcol),
+        F.col("_metadata.row_index").alias(pcol),
+    )
+    if not dv_map:
+        return tagged
+    dvdf = (
+        _dv_positions_df(spark, path, dv_map)
+        .withColumnRenamed("file", fcol)
+        .withColumnRenamed("pos", pcol)
+    )
+    survivors = tagged.join(F.broadcast(dvdf), [fcol, pcol], "left_anti")
+    return survivors if file_pos_cols else survivors.select(*cols)
 
 
 def read_table(
@@ -341,9 +435,7 @@ def read_table(
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(json.loads(snap.schema)))
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in files]
-    )
+    df = _read_files(spark, path, files, snap.dvs)
     return df.where(_where_expr(where)) if where else df
 
 
@@ -411,8 +503,9 @@ def write_checkpoint(path: str, version: int | None = None) -> int | None:
     state = _fold_state(path, version)
     if state is None:
         return None
+    store = get_log_store(path)
     target = _checkpoint_path(path, state.version)
-    if os.path.exists(target):
+    if store.exists(target):
         return state.version
     body = json.dumps(
         {
@@ -421,22 +514,14 @@ def write_checkpoint(path: str, version: int | None = None) -> int | None:
             "schema": state.schema,
             "stream_txns": state.stream_txns,
             "properties": state.properties,
+            "dvs": state.dvs,
             "txn": uuid.uuid4().hex,
         },
         indent=0,
     ).encode()
-    tmp = os.path.join(_log_dir(path), f".{uuid.uuid4().hex}.tmp")
-    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        os.write(fd, body)
-        os.fsync(fd)
-    finally:
-        os.close(fd)
-    try:
-        os.link(tmp, target)
-    except FileExistsError:
-        pass  # a racing writer checkpointed the same immutable prefix
-    os.unlink(tmp)
+    # losing the put race is fine: a racing writer checkpointed the
+    # same immutable prefix
+    store.put_if_absent(target, body)
     return state.version
 
 
@@ -470,15 +555,16 @@ def expire_log(
             f"cannot expire before version {k}: already expired past it"
         )
     write_checkpoint(path, k)
+    store = get_log_store(path)
     commits, checkpoints = _list_log(path)
     deleted: list[str] = []
     for v in commits:
         if v <= k:
-            os.remove(_commit_path(path, v))
+            store.delete(_commit_path(path, v))
             deleted.append(os.path.basename(_commit_path(path, v)))
     for v in checkpoints:
         if v < k:
-            os.remove(_checkpoint_path(path, v))
+            store.delete(_checkpoint_path(path, v))
             deleted.append(os.path.basename(_checkpoint_path(path, v)))
     return deleted
 
@@ -504,6 +590,28 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
 
     shutil.rmtree(tmp, ignore_errors=True)
     return names
+
+
+def _stage_dv(df: DataFrame, path: str) -> str:
+    """Materialize a deletion-vector SIDECAR — one small parquet of
+    ``(file string, pos long)`` deleted row positions — under
+    ``data/`` and return its table-relative name.  Invisible until a
+    commit's ``dv`` mapping references it; sized by the DELETE, never
+    by the files it punches holes in (a real format would pack this
+    into roaring bitmaps; the contract — O(deleted rows) bytes per
+    commit — is identical)."""
+    os.makedirs(_data_dir(path), exist_ok=True)
+    tmp = os.path.join(path, f"_stage_{uuid.uuid4().hex[:12]}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    name = f"{_DATA_DIR}/dv-{uuid.uuid4().hex}.parquet"
+    for f in sorted(os.listdir(tmp)):
+        if f.endswith(".parquet") and not f.startswith("_"):
+            os.replace(os.path.join(tmp, f), os.path.join(path, name))
+            break
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return name
 
 
 # ------------------------------------------------- data-skipping stats
@@ -662,6 +770,10 @@ def _clause_may_match(fstats: dict | None, col: str, op: str, val) -> bool:
     s = _resolve_clause_stats(fstats, col)
     if s is None:
         return True
+    if op == "isnull":
+        return s["nulls"] > 0
+    if op == "notnull":
+        return s["rows"] > s["nulls"]
     lo, hi = s["min"], s["max"]
     if s["rows"] == s["nulls"]:
         return False  # all-NULL column: no comparison can hold
@@ -693,6 +805,10 @@ def _clause_all_match(fstats: dict | None, col: str, op: str, val) -> bool:
     s = _resolve_clause_stats(fstats, col)
     if s is None:
         return False
+    if op == "isnull":
+        return s["nulls"] == s["rows"]
+    if op == "notnull":
+        return s["nulls"] == 0
     lo, hi = s["min"], s["max"]
     if s["nulls"] != 0:
         return False
@@ -761,6 +877,10 @@ def _where_expr(where: Sequence[tuple]):
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
         "in": lambda c, v: c.isin(list(v)),
+        # NULL-region predicates (value ignored): let DELETE/REPLACE
+        # address the rows every comparison op skips by definition
+        "isnull": lambda c, v: c.isNull(),
+        "notnull": lambda c, v: c.isNotNull(),
     }
     expr = F.lit(True)
     for col, op, val in where:
@@ -837,13 +957,20 @@ def _validate_against(
                     "and re-validate the batch schema"
                 )
         return
-    removed_by_others = {r for c in intervening for r in c.remove}
+    # a file is MODIFIED by a commit if it was removed OR got a new
+    # deletion vector — either way, a transaction that read its rows
+    # (or plans to rewrite/DV it) computed from stale content
+    def _changed(c: Commit) -> set[str]:
+        return set(c.remove) | set(c.dv or {})
+
+    changed_by_others = {f for c in intervening for f in _changed(c)}
     if action == "compact":
         # compaction rewrites exactly its victims; it commutes with
         # commits that didn't touch them (e.g. concurrent appends)
-        if removed_by_others & set(remove):
+        if changed_by_others & set(remove):
             raise ConcurrentWriteError(
-                "compaction victim was removed by a concurrent commit"
+                "compaction victim was removed or deletion-vectored by "
+                "a concurrent commit"
             )
         return
     # upsert/delete/evolve-rewrite: the result depends on the rows the
@@ -854,12 +981,27 @@ def _validate_against(
             raise ConcurrentWriteError(
                 f"{action} lost to a concurrent schema rewrite"
             )
-        if set(c.remove) & set(remove):
+        if _changed(c) & set(remove):
             raise ConcurrentWriteError(
                 f"{action} read version is stale: concurrent {c.action} "
-                f"(version {c.version}) removed file(s) this transaction "
-                "rewrites"
+                f"(version {c.version}) removed or deletion-vectored "
+                "file(s) this transaction rewrites"
             )
+        if conflict is not None and conflict.get("kind") == "restore":
+            # restore-to-target-EXACTLY semantics: the restored state
+            # supersedes everything, so any concurrent data change
+            # aborts — including a remove-ONLY commit that dropped a
+            # file the target snapshot contains (that file is in both
+            # cur and target, hence in neither of restore's add/remove
+            # sets, so the generic checks above cannot see it)
+            if c.add or (_changed(c) & set(conflict["files"])):
+                raise ConcurrentWriteError(
+                    f"restore read version is stale: concurrent "
+                    f"{c.action} (version {c.version}) changed data the "
+                    "restored snapshot must supersede; re-issue the "
+                    "restore"
+                )
+            continue
         if not c.add:
             # pure removal of files this transaction doesn't touch
             # (e.g. a whole-file DELETE elsewhere in the table): every
@@ -939,6 +1081,7 @@ def commit(
     stats: dict | None = None,
     conflict: dict | None = None,
     properties: dict | None = None,
+    dv: dict | None = None,
 ) -> int:
     """Publish a transaction: validate against any commits that landed
     since ``read_version``, then atomically create the next commit
@@ -948,17 +1091,24 @@ def commit(
     file/range-disjoint detection using the per-file stats the log
     already records.
 
-    The create-if-absent (``O_CREAT|O_EXCL``) is the entire publish —
+    The atomic put-if-absent of the commit file is the ENTIRE publish —
     losing the race to a version number is NOT an error by itself, it
-    just re-runs validation against the newly landed commits.
+    just re-runs validation against the newly landed commits.  The
+    primitive comes from the table's :class:`~.logstore.LogStore`
+    (POSIX tmp+``link(2)`` by default; conditional PUT on object
+    stores), so the protocol below is storage-agnostic.
     """
-    os.makedirs(_log_dir(path), exist_ok=True)
+    store = get_log_store(path)
+    store.mkdirs(_log_dir(path))
     while True:
         current = table_version(path)
         intervening = [
             _read_commit(path, v) for v in range(read_version + 1, current + 1)
         ]
-        _validate_against(action, remove, intervening, conflict)
+        # files this transaction MODIFIES: rewritten/dropped ones plus
+        # any it attaches a deletion vector to (their content was read)
+        touched = sorted(set(remove) | set(dv or {}))
+        _validate_against(action, touched, intervening, conflict)
         commit_schema = schema
         if intervening:
             # absorb a concurrent additive evolution: the table schema
@@ -998,32 +1148,17 @@ def commit(
                 "stream_txn": list(stream_txn) if stream_txn else None,
                 "stats": stats,
                 "properties": properties,
+                "dv": dv,
             },
             indent=0,
         ).encode()
         target = _commit_path(path, current + 1)
-        # Stage the FULL body in a tmp file first, then claim the
-        # version slot with an atomic link(2).  Creating the target
-        # directly with O_EXCL would publish an empty file before the
-        # body lands — a concurrent read_log() would see zero bytes
-        # and fail to parse.  link() both claims the slot (it fails
-        # with EEXIST on a lost race, same retry semantics) and makes
-        # the commit file appear with its complete content.
-        tmp = os.path.join(
-            _log_dir(path), f".{uuid.uuid4().hex}.tmp"
-        )
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, body)
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
-            os.unlink(tmp)
+        # One atomic put-if-absent of the COMPLETE body claims the
+        # version slot: readers can never observe a partial commit
+        # file (the store contract), and a lost race just loops to
+        # re-read and re-validate against the commit that won.
+        if not store.put_if_absent(target, body):
             continue  # lost the race: loop re-reads and re-validates
-        os.unlink(tmp)
         if (current + 1) % CHECKPOINT_INTERVAL == 0:
             # post-commit, best-effort: the table is already durable;
             # a failed checkpoint only means readers fold a longer
@@ -1161,6 +1296,7 @@ def tx_upsert(
     keys: Sequence[str],
     order_by: Sequence[str],
     stream_txn: tuple[str, int] | None = None,
+    merge_on_read: bool = False,
 ) -> int:
     """MERGE ``changes`` into the table (newest row per key wins,
     changes beat table rows on order ties — the same
@@ -1182,6 +1318,14 @@ def tx_upsert(
     periodic-MERGE pattern) COMMUTES instead of aborting; overlapping
     or unprovable concurrent adds still abort
     (:class:`ConcurrentWriteError`).
+
+    ``merge_on_read=True`` switches the affected files from
+    copy-on-write to DELETION VECTORS: the old versions of the changed
+    keys are marked deleted by position in a sidecar, the merge result
+    lands as ONE new file, and every untouched row stays physically in
+    place — a k-key MERGE into 1 GB files commits O(k) bytes instead of
+    rewriting each touched gigabyte.  Reads apply DVs at scan;
+    :func:`tx_compact` materializes them away.
     """
     from event_streaming_toy_example_spark.operators.upsert import (
         upsert_snapshot,
@@ -1194,7 +1338,13 @@ def tx_upsert(
     snap = snapshot(path, read_version)
     changes = _check_evolution(state.schema, changes)
 
-    current = read_table(spark, path, read_version)
+    # probe over a RAW read of the snapshot files (input_file_name is
+    # only defined at the scan; a DV'd-out row still counting as
+    # "affected" merely rewrites/DVs a file that no longer holds the
+    # key's live row — wasteful at worst, never wrong)
+    current = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in snap.files]
+    )
     affected_paths = {
         r["f"] for r in upsert_prune_probe(current, changes, keys).collect()
     }
@@ -1207,28 +1357,64 @@ def tx_upsert(
         "pruning probe returned files outside the snapshot"
     )
     union_schema = _union_schema(state.schema, changes)
-    if affected:
-        base = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f) for f in affected]
-        )
-    else:
-        base = changes.limit(0)
-    base = _align(base, union_schema)
+    dv_commit: dict | None = None
     changes = _align(changes, union_schema)
-    # merge EXACTLY the changed keys; every other row in an affected
-    # file carries over verbatim.  (Folding the whole file through
-    # upsert_snapshot would also collapse duplicate keys that happen
-    # to share a file with a changed key — making the result depend on
-    # file LAYOUT, not content.  A keyed table shouldn't hold
-    # duplicate keys, but if appends introduced them, an upsert of
-    # OTHER keys must not silently rewrite history it wasn't asked to
-    # touch.)
     change_keys = F.broadcast(changes.select(*keys).distinct())
-    kept = base.join(change_keys, list(keys), "left_anti")
-    touched = base.join(change_keys, list(keys), "left_semi")
-    merged = upsert_snapshot(touched, changes, keys, order_by).unionByName(
-        kept
-    )
+    if merge_on_read and affected:
+        # DV the LIVE rows holding changed keys; merge only those with
+        # the changes into ONE new file; untouched rows stay in place
+        base = _read_files(
+            spark, path, affected, snap.dvs, file_pos_cols=("__f", "__p")
+        )
+        touched_meta = base.join(change_keys, list(keys), "left_semi").persist()
+        try:
+            doomed = touched_meta.select(
+                F.col("__f").alias("file"), F.col("__p").alias("pos")
+            )
+            touched = _align(touched_meta.drop("__f", "__p"), union_schema)
+            merged = upsert_snapshot(touched, changes, keys, order_by)
+            doomed_files = {
+                r["file"] for r in doomed.select("file").distinct().collect()
+            }
+            # the sidecar must carry each mapped file's FULL cumulative
+            # DV (current mapping alone describes the live rows)
+            existing = {
+                f: s
+                for f, s in (snap.dvs or {}).items()
+                if f in set(affected) and (f in doomed_files)
+            }
+            dv_rows = doomed
+            if existing:
+                dv_rows = dv_rows.unionByName(
+                    _dv_positions_df(spark, path, existing)
+                ).distinct()
+            if doomed_files:
+                sidecar = _stage_dv(dv_rows, path)
+                dv_commit = {f: sidecar for f in sorted(doomed_files)}
+            files = _stage_files(merged, path)
+        finally:
+            touched_meta.unpersist()
+        affected = []  # nothing rewritten: removals are all DV-borne
+    else:
+        if affected:
+            base = _read_files(spark, path, affected, snap.dvs)
+        else:
+            base = changes.limit(0)
+        base = _align(base, union_schema)
+        # merge EXACTLY the changed keys; every other row in an affected
+        # file carries over verbatim.  (Folding the whole file through
+        # upsert_snapshot would also collapse duplicate keys that happen
+        # to share a file with a changed key — making the result depend on
+        # file LAYOUT, not content.  A keyed table shouldn't hold
+        # duplicate keys, but if appends introduced them, an upsert of
+        # OTHER keys must not silently rewrite history it wasn't asked to
+        # touch.)
+        kept = base.join(change_keys, list(keys), "left_anti")
+        touched = base.join(change_keys, list(keys), "left_semi")
+        merged = upsert_snapshot(touched, changes, keys, order_by).unionByName(
+            kept
+        )
+        files = _stage_files(merged, path)
     # conflict domain: the change-key bounding box (one tiny agg over
     # the small MERGE batch) — lets commit() prove a concurrent append
     # key-disjoint instead of aborting
@@ -1253,7 +1439,6 @@ def tx_upsert(
             if any(v is not None for v in ranges.values())
             else None  # no indexable key column: strict validation
         )
-    files = _stage_files(merged, path)
     return commit(
         path,
         "upsert",
@@ -1264,6 +1449,7 @@ def tx_upsert(
         stream_txn=stream_txn,
         stats=_footer_stats(path, files),
         conflict=conflict,
+        dv=dv_commit,
     )
 
 
@@ -1309,9 +1495,10 @@ def tx_compact(
     n_out = max(1, -(-total // target_bytes))
     if len(victims) <= n_out:
         return None
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f, _ in victims]
-    )
+    # DV-aware: compacting a deletion-vectored file MATERIALIZES the
+    # DV away (only live rows are rewritten; the victim's dv entry
+    # drops with it in the fold)
+    df = _read_files(spark, path, [f for f, _ in victims], snap.dvs)
     if order_col is not None:
         packed = df.repartitionByRange(
             n_out, F.col(order_col)
@@ -1335,6 +1522,7 @@ def tx_delete(
     path: str,
     where: Sequence[tuple],
     stream_txn: tuple[str, int] | None = None,
+    merge_on_read: bool = False,
 ) -> int:
     """DELETE every row satisfying the conjunction of ``(col, op,
     value)`` clauses.  Rows where the predicate is NULL are KEPT (SQL
@@ -1356,7 +1544,15 @@ def tx_delete(
     a table rewrite.  Concurrency: the predicate itself is the conflict
     domain — a concurrent append whose files provably contain NO
     matching row commutes (both serial orders agree); anything stats
-    can't prove disjoint aborts (:class:`ConcurrentWriteError`)."""
+    can't prove disjoint aborts (:class:`ConcurrentWriteError`).
+
+    ``merge_on_read=True`` replaces the straddler REWRITE with
+    DELETION VECTORS: matching row positions land in a sidecar sized
+    by the delete (O(k) bytes for a k-row delete, however big the
+    files), reads anti-join them away at scan, and a straddler whose
+    every live row matches still drops whole.  Whole-file drops stay
+    metadata-only in both modes; :func:`tx_compact` materializes DVs
+    away."""
     state = _fold_state(path)
     if state is None:
         raise ValueError(f"tx_delete on a table with no commits: {path}")
@@ -1373,10 +1569,55 @@ def tx_delete(
     ]
     straddle = [f for f in candidates if f not in set(whole)]
     added: list[str] = []
-    if straddle:
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f) for f in straddle]
+    stats: dict | None = None
+    dv_commit: dict | None = None
+    if straddle and merge_on_read:
+        # doomed = (file, pos) of matching rows; union with the
+        # straddlers' EXISTING DVs (the sidecar must stay cumulative).
+        # Reading raw (without applying DVs first) is equivalent: an
+        # already-dead matching row's position is already in the old
+        # sidecar, and the union dedups it.
+        df = _read_files(
+            spark, path, straddle, dvs=None, file_pos_cols=("__f", "__p")
         )
+        doomed = df.where(
+            F.coalesce(_where_expr(where), F.lit(False))
+        ).select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
+        existing = {
+            f: s for f, s in (snap.dvs or {}).items() if f in set(straddle)
+        }
+        if existing:
+            doomed = doomed.unionByName(
+                _dv_positions_df(spark, path, existing)
+            ).distinct()
+        doomed = doomed.persist()
+        try:
+            per_file = {
+                r["file"]: r["n"]
+                for r in doomed.groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # a straddler whose every row is now dead drops WHOLE
+            fully = [
+                f
+                for f in straddle
+                if per_file.get(f, 0) == _parquet_rows(path, f)
+            ]
+            dv_files = sorted(
+                (set(per_file) | set(existing)) - set(fully)
+            )
+            if dv_files:
+                sidecar = _stage_dv(
+                    doomed.where(F.col("file").isin(dv_files)), path
+                )
+                dv_commit = {f: sidecar for f in dv_files}
+        finally:
+            doomed.unpersist()
+        whole = whole + fully
+        straddle = []  # nothing rewritten: removals are DV-borne
+    elif straddle:
+        df = _read_files(spark, path, straddle, snap.dvs)
         # keep rows where the predicate is FALSE or NULL
         survivors = df.where(~F.coalesce(_where_expr(where), F.lit(False)))
         staged = _stage_files(survivors, path)
@@ -1387,8 +1628,6 @@ def tx_delete(
             else:
                 added.append(f)
         stats = {f: s for f, s in stats.items() if f in added}
-    else:
-        stats = None
     return commit(
         path,
         "delete",
@@ -1399,6 +1638,7 @@ def tx_delete(
         stream_txn=stream_txn,
         stats=stats,
         conflict={"kind": "where", "clauses": [tuple(cl) for cl in where]},
+        dv=dv_commit,
     )
 
 
@@ -1426,7 +1666,11 @@ def tx_delete_keys(
     snap = snapshot(path, read_version)
     keys_df = keys_df.select(*key_cols).distinct()
 
-    current = read_table(spark, path, read_version)
+    # probe over a RAW read (input_file_name is only defined at the
+    # scan; DV'd-out rows over-approximate, never under)
+    current = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in snap.files]
+    )
     affected_paths = {
         r["f"]
         for r in upsert_prune_probe(current, keys_df, key_cols).collect()
@@ -1440,9 +1684,7 @@ def tx_delete_keys(
     added: list[str] = []
     stats: dict | None = None
     if affected:
-        base = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(path, f) for f in affected]
-        )
+        base = _read_files(spark, path, affected, snap.dvs)
         kept = _align(
             base.join(F.broadcast(keys_df), list(key_cols), "left_anti"),
             state.schema,
@@ -1556,9 +1798,7 @@ def tx_replace_where(
         straddle = [f for f in candidates if f not in set(whole)]
         remove = whole + straddle
         if straddle:
-            sdf = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, f) for f in straddle]
-            )
+            sdf = _read_files(spark, path, straddle, snap.dvs)
             survivors = _align(
                 sdf.where(~F.coalesce(_where_expr(where), F.lit(False))),
                 union_schema,
@@ -1700,7 +1940,20 @@ def tx_restore(path: str, version: int) -> int:
     tgt_files = set(target.files)
     add = [f for f in target.files if f not in cur_files]
     remove = [f for f in cur.files if f not in tgt_files]
-    missing = [f for f in add if not os.path.exists(os.path.join(path, f))]
+    # restore the DELETION-VECTOR mapping too: each target file whose
+    # effective DV differs from its current one gets the target's
+    # sidecar set (or cleared) in the same commit — otherwise a
+    # restored file would keep (or lack) holes the target version
+    # didn't have
+    cur_dvs = cur.dvs or {}
+    tgt_dvs = target.dvs or {}
+    dv = {
+        f: tgt_dvs.get(f)
+        for f in target.files
+        if tgt_dvs.get(f) != (cur_dvs.get(f) if f in cur_files else None)
+    }
+    needed = list(add) + [s for s in dv.values() if s is not None]
+    missing = [f for f in needed if not os.path.exists(os.path.join(path, f))]
     if missing:
         raise VersionExpiredError(
             f"cannot restore {path} to version {version}: vacuum already "
@@ -1720,6 +1973,11 @@ def tx_restore(path: str, version: int) -> int:
         target.schema,
         cur.version,
         stats=stats or None,
+        # the FULL target file set travels as the conflict domain: a
+        # concurrent remove-only commit dropping a target file is a
+        # data change the add/remove sets alone cannot detect
+        conflict={"kind": "restore", "files": sorted(tgt_files)},
+        dv=dv or None,
     )
 
 
@@ -1822,7 +2080,17 @@ def commit_change_rows(
     import pandas as pd
     import pyarrow.parquet as pq
 
-    if not os.path.exists(_commit_path(path, version)):
+    current = table_version(path)
+    if version > current:
+        # a feed checkpoint pointing PAST the log (e.g. at a restored /
+        # copied table) must fail actionably, not as a raw
+        # FileNotFoundError from _read_commit
+        raise IndexError(
+            f"change feed version {version} is beyond the committed "
+            f"range 1..{current} at {path}; the feed checkpoint points "
+            "past this table's log (restored or copied table?)"
+        )
+    if not get_log_store(path).exists(_commit_path(path, version)):
         commits, checkpoints = _list_log(path)
         expired = (commits and version < commits[0]) or (
             not commits and checkpoints and version <= checkpoints[-1]
@@ -1857,16 +2125,69 @@ def commit_change_rows(
             frames.append(df[cols])
         if not frames:
             return pd.DataFrame(columns=cols)
-        return pd.concat(frames, ignore_index=True)
+        out = pd.concat(frames, ignore_index=True)
+        # Move integer/boolean columns onto their NULLABLE pandas
+        # dtypes (int64 -> Int64 etc.) BEFORE any merge: the outer
+        # merge below puts missing-side markers into the __o/__n
+        # columns, and on plain numpy dtypes that upcasts the whole
+        # column to float64 — emitting Python floats for columns the
+        # feed schema declares as integers (Arrow conversion then
+        # fails or drifts).  Nullable dtypes hold pd.NA instead and
+        # keep their kind.
+        for col in out.columns:
+            dt = out[col].dtype
+            if pd.api.types.is_bool_dtype(dt):
+                out[col] = out[col].astype("boolean")
+            elif pd.api.types.is_integer_dtype(dt):
+                out[col] = out[col].astype(
+                    str(dt).replace("uint", "UInt").replace("int", "Int")
+                )
+        return out
 
     def _py(v):
-        if v is None or (isinstance(v, float) and v != v):
+        if v is None or v is pd.NA or (isinstance(v, float) and v != v):
             return None
         if isinstance(v, pd.Timestamp):
             return v.to_pydatetime()
         if hasattr(v, "item"):
             return v.item()
         return v
+
+    def _dv_pos(sidecar: str, f: str) -> set:
+        full = os.path.join(path, sidecar)
+        if not os.path.exists(full):
+            raise IOError(
+                f"change feed for version {version} needs DV sidecar "
+                f"{sidecar}, which was already vacuumed; widen the "
+                "vacuum retention or consume the feed sooner"
+            )
+        t = pq.read_table(full, columns=["file", "pos"]).to_pandas()
+        return set(t.loc[t["file"] == f, "pos"].tolist())
+
+    def dv_delta() -> pd.DataFrame:
+        """Rows NEWLY deleted by this commit's deletion vectors — the
+        per-file position delta between the commit's sidecar and the
+        file's previous DV, loaded from the still-live data file.
+        These join the 'old' side of the diff so a merge-on-read
+        DELETE/MERGE feeds exactly like its copy-on-write twin."""
+        if not c.dv:
+            return pd.DataFrame(columns=cols)
+        prev = _fold_state(path, version - 1) if version > 1 else None
+        prev_dvs = prev.dvs if prev is not None else {}
+        frames = []
+        for f, sidecar in sorted(c.dv.items()):
+            if sidecar is None:
+                continue
+            delta = _dv_pos(sidecar, f)
+            old_side = prev_dvs.get(f)
+            if old_side:
+                delta = delta - _dv_pos(old_side, f)
+            if not delta:
+                continue
+            frames.append(load([f]).iloc[sorted(delta)])
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)
 
     keys = list(key_cols)
     if c.action == "compact":
@@ -1878,6 +2199,9 @@ def commit_change_rows(
             for row in new.itertuples(index=False, name=None)
         ]
     old, new = load(c.remove), load(c.add)
+    dvd = dv_delta()
+    if not dvd.empty:
+        old = dvd if old.empty else pd.concat([old, dvd], ignore_index=True)
     if old.empty and new.empty:
         return []
     if old.empty or new.empty:  # pure add / pure drop: no diff needed
@@ -1934,7 +2258,9 @@ def vacuum(
         1, current - retain_versions + 1, oldest_readable_version(path)
     )
     for v in range(start, current + 1):
-        keep.update(snapshot(path, v).files)
+        snap = snapshot(path, v)
+        keep.update(snap.files)
+        keep.update((snap.dvs or {}).values())  # referenced DV sidecars
     horizon = _time.time() - min_age_seconds
     deleted: list[str] = []
     ddir = _data_dir(path)

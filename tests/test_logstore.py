@@ -1,0 +1,216 @@
+"""Pluggable LogStore (`operators/logstore.py`): the commit protocol
+must depend ONLY on atomic put-if-absent + list + read — proven by
+driving deterministic two-writer interleaves through an in-memory
+store (no filesystem, no sleeps) and by running the table's whole
+lifecycle with the LOG mounted on a simulated object store while data
+files stay on local disk (exactly the split a real S3 deployment has:
+Spark's FS layer handles data, the LogStore handles the one primitive
+S3 needs conditional PUT for)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_toy_example_spark.operators import txtable as tx
+from event_streaming_toy_example_spark.operators.logstore import (
+    InMemoryLogStore,
+    PosixLogStore,
+    S3ConditionalPutLogStore,
+    get_log_store,
+    register_log_store,
+    unregister_log_store,
+)
+
+
+@pytest.fixture()
+def mounted():
+    """Mount an in-memory store at a fake prefix; unmount after."""
+    store = InMemoryLogStore()
+    prefix = "/mem/tables"
+    register_log_store(prefix, store)
+    yield prefix, store
+    unregister_log_store(prefix)
+
+
+def _schema_json():
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+
+
+def test_default_store_is_posix_and_longest_prefix_wins(mounted):
+    prefix, store = mounted
+    assert isinstance(get_log_store("/somewhere/else"), PosixLogStore)
+    assert get_log_store(f"{prefix}/t1") is store
+    inner = InMemoryLogStore()
+    register_log_store(f"{prefix}/special", inner)
+    try:
+        assert get_log_store(f"{prefix}/special/t") is inner
+        assert get_log_store(f"{prefix}/specialX") is store  # no partial match
+    finally:
+        unregister_log_store(f"{prefix}/special")
+
+
+def test_two_writer_interleave_disjoint_appends_both_commit(mounted):
+    """Writer A loses the put race to writer B (forced at the exact
+    put-if-absent step via the hook) and must retry cleanly: re-read,
+    re-validate (appends commute), commit as the NEXT version.  Proves
+    the protocol needs nothing from storage beyond put-if-absent."""
+    prefix, store = mounted
+    p = f"{prefix}/t"
+    schema = _schema_json()
+    tx.commit(p, "append", ["data/f0.parquet"], [], schema, 0)
+
+    fired = {"done": False}
+
+    def hook(path: str) -> None:
+        if not fired["done"]:
+            fired["done"] = True
+            # writer B commits the whole version-2 slot first
+            tx.commit(p, "append", ["data/fB.parquet"], [], schema, 1)
+
+    store.before_put = hook
+    try:
+        vA = tx.commit(p, "append", ["data/fA.parquet"], [], schema, 1)
+    finally:
+        store.before_put = None
+    assert vA == 3  # B took 2; A retried and landed on 3
+    snap = tx.snapshot(p)
+    assert set(snap.files) == {
+        "data/f0.parquet",
+        "data/fB.parquet",
+        "data/fA.parquet",
+    }
+    assert [c.version for c in tx.read_log(p)] == [1, 2, 3]
+
+
+def test_two_writer_interleave_conflicting_upsert_aborts(mounted):
+    """Same forced race, but the intervening commit's file OVERLAPS the
+    upsert's change-key range — the loser must abort with
+    ConcurrentWriteError, not publish a stale merge."""
+    prefix, store = mounted
+    p = f"{prefix}/t"
+    schema = _schema_json()
+    stats = {"data/f0.parquet": {"k": {"min": 0, "max": 9, "nulls": 0, "rows": 10}}}
+    tx.commit(p, "append", ["data/f0.parquet"], [], schema, 0, stats=stats)
+
+    fired = {"done": False}
+
+    def hook(path: str) -> None:
+        if not fired["done"]:
+            fired["done"] = True
+            b_stats = {
+                "data/fB.parquet": {"k": {"min": 5, "max": 7, "nulls": 0, "rows": 3}}
+            }
+            tx.commit(p, "append", ["data/fB.parquet"], [], schema, 1, stats=b_stats)
+
+    store.before_put = hook
+    try:
+        with pytest.raises(tx.ConcurrentWriteError, match="disjoint"):
+            tx.commit(
+                p,
+                "upsert",
+                ["data/fA.parquet"],
+                ["data/f0.parquet"],
+                schema,
+                1,
+                conflict={"kind": "keys", "ranges": {"k": [4, 6]}},
+            )
+    finally:
+        store.before_put = None
+    # B's commit is intact; A published nothing
+    assert set(tx.snapshot(p).files) == {"data/f0.parquet", "data/fB.parquet"}
+
+
+def test_two_writer_interleave_disjoint_upsert_commutes(mounted):
+    """And when the racing append is provably key-disjoint, the upsert
+    retries and COMMITS (the streaming-ingest + periodic-MERGE case)."""
+    prefix, store = mounted
+    p = f"{prefix}/t"
+    schema = _schema_json()
+    stats = {"data/f0.parquet": {"k": {"min": 0, "max": 9, "nulls": 0, "rows": 10}}}
+    tx.commit(p, "append", ["data/f0.parquet"], [], schema, 0, stats=stats)
+
+    fired = {"done": False}
+
+    def hook(path: str) -> None:
+        if not fired["done"]:
+            fired["done"] = True
+            b_stats = {
+                "data/fB.parquet": {
+                    "k": {"min": 100, "max": 110, "nulls": 0, "rows": 3}
+                }
+            }
+            tx.commit(p, "append", ["data/fB.parquet"], [], schema, 1, stats=b_stats)
+
+    store.before_put = hook
+    try:
+        v = tx.commit(
+            p,
+            "upsert",
+            ["data/fA.parquet"],
+            ["data/f0.parquet"],
+            schema,
+            1,
+            conflict={"kind": "keys", "ranges": {"k": [4, 6]}},
+        )
+    finally:
+        store.before_put = None
+    assert v == 3
+    assert set(tx.snapshot(p).files) == {"data/fB.parquet", "data/fA.parquet"}
+
+
+def test_table_lifecycle_with_log_on_object_store(spark, tmp_path):
+    """End-to-end through the S3-semantics adapter: append, upsert,
+    predicate delete, time travel, checkpoint folding, log expiry, and
+    the streaming change feed all run with the LOG on a conditional-PUT
+    object store (with injected latency) and DATA files on the local
+    filesystem — the real deployment split."""
+    p = str(tmp_path / "t")
+    store = S3ConditionalPutLogStore(latency_s=0.001)
+    register_log_store(p, store)
+    try:
+
+        def df(rows):
+            return spark.createDataFrame(rows, "k int, ts int, v string")
+
+        tx.tx_append(df([(1, 1, "a"), (2, 1, "b")]), p)
+        tx.tx_upsert(spark, p, df([(2, 5, "b2"), (9, 1, "new")]), ["k"], ["ts"])
+        tx.tx_delete(spark, p, [("k", "=", 1)])
+        got = sorted(
+            (r["k"], r["v"]) for r in tx.read_table(spark, p).collect()
+        )
+        assert got == [(2, "b2"), (9, "new")]
+        # time travel still resolves through the store
+        v1 = sorted(
+            (r["k"], r["v"]) for r in tx.read_table(spark, p, version=1).collect()
+        )
+        assert v1 == [(1, "a"), (2, "b")]
+        # checkpoint + expiry go through put_if_absent/delete
+        assert tx.write_checkpoint(p) == 3
+        tx.expire_log(p, retain_versions=2)
+        assert tx.oldest_readable_version(p) == 2
+        # the per-commit change feed reads commits via the store
+        rows = tx.commit_change_rows(p, 3, ["k"], ["v"])
+        assert rows == [(1, "a", "delete", 3)]
+        # no POSIX rename/link was needed: every publish was a
+        # conditional PUT
+        assert any(op == "conditional-put" for op, _ in store.ops)
+    finally:
+        unregister_log_store(p)
+
+
+def test_object_store_lost_race_returns_false():
+    s = S3ConditionalPutLogStore()
+    assert s.put_if_absent("/a/b", b"x") is True
+    assert s.put_if_absent("/a/b", b"y") is False
+    assert s.read_bytes("/a/b") == b"x"
+    assert s.list_dir("/a") == ["b"]

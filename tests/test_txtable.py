@@ -1108,3 +1108,164 @@ def test_set_properties_alter_and_commute(spark, tmp_path, monkeypatch):
     # and survives checkpoint + expiry
     tx.expire_log(p, retain_versions=1)
     assert tx.table_properties(p)["owner"] == "etl2"
+
+
+# --------------------------------------- restore conflict domain (r7)
+
+
+def test_restore_aborts_on_concurrent_remove_only_commit(spark, tmp_path):
+    """A remove-ONLY intervening commit (whole-file DELETE) that drops a
+    file the TARGET snapshot contains must abort a stale restore: the
+    file is in both cur and target, so it appears in neither of the
+    restore's add/remove sets — only the full-target conflict domain
+    can see it (ADVICE r6)."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1), p)
+    tx.tx_append(_df(spark, [(10, 1, "x"), (11, 1, "y")]).coalesce(1), p)
+    target = tx.snapshot(p, 1)  # just file A
+    cur = tx.snapshot(p)  # files A+B at version 2
+    add = [f for f in target.files if f not in set(cur.files)]  # []
+    remove = [f for f in cur.files if f not in set(target.files)]  # [B]
+    assert add == [] and len(remove) == 1
+    # intervening whole-file delete drops file A (k<=2, provable by stats)
+    tx.tx_delete(spark, p, [("k", "<=", 2)])
+    with pytest.raises(tx.ConcurrentWriteError, match="restore"):
+        tx.commit(
+            p,
+            "restore",
+            add,
+            remove,
+            target.schema,
+            2,
+            conflict={"kind": "restore", "files": sorted(target.files)},
+        )
+
+
+def test_restore_after_remove_only_history_is_exact(spark, tmp_path):
+    """Non-racing regression: restoring past a whole-file DELETE brings
+    the dropped file back (it lands in restore's add set)."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 1, "b")]).coalesce(1), p)
+    tx.tx_append(_df(spark, [(10, 1, "x")]).coalesce(1), p)
+    before = _content(spark, p, version=2)
+    tx.tx_delete(spark, p, [("k", "<=", 2)])  # drops file A whole
+    tx.tx_restore(p, 2)
+    assert _content(spark, p) == before
+
+
+# ------------------------------------------- NULL-region predicates (r7)
+
+
+def test_delete_isnull_region(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (None, 1, "b"), (3, 1, None)], "k int, ts int, v string"
+    )
+    tx.tx_append(df, p)
+    tx.tx_delete(spark, p, [("k", "isnull", None)])
+    assert _content(spark, p) == [(1, 1, "a"), (3, 1, None)]
+    tx.tx_delete(spark, p, [("v", "notnull", None)])
+    assert _content(spark, p) == [(3, 1, None)]
+
+
+def test_replace_where_isnull_region_is_idempotent(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (None, 1, "b"), (None, 1, "c")], "k int, ts int, v string"
+    )
+    tx.tx_append(df, p)
+    repl = spark.createDataFrame([(None, 9, "z")], "k int, ts int, v string")
+
+    def content():
+        return {
+            tuple(r) for r in tx.read_table(spark, p).collect()
+        }
+
+    tx.tx_replace_where(spark, p, repl, [("k", "isnull", None)])
+    want = {(1, 1, "a"), (None, 9, "z")}
+    assert content() == want
+    tx.tx_replace_where(spark, p, repl, [("k", "isnull", None)])  # replay
+    assert content() == want
+    # a batch with rows OUTSIDE the NULL region is refused loudly
+    stray = spark.createDataFrame([(5, 9, "no")], "k int, ts int, v string")
+    with pytest.raises(ValueError, match="OUTSIDE"):
+        tx.tx_replace_where(spark, p, stray, [("k", "isnull", None)])
+
+
+# --------------------------- replace-vs-append OCC races (r7, item 8)
+
+
+def test_replace_where_aborts_on_region_overlapping_append(
+    spark, tmp_path, monkeypatch
+):
+    """tx_replace_where racing an append whose rows land INSIDE the
+    replaced region must abort — the two serial orders diverge (the
+    replace would silently eat or miss the appended rows)."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(i, 1, f"r{i}") for i in range(10)]).coalesce(1), p)
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_):
+        out = orig(df, path_)
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_append(_df(spark, [(5, 9, "late")]).coalesce(1), p)
+        return out
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    batch = _df(spark, [(4, 9, "new4")])
+    with pytest.raises(tx.ConcurrentWriteError, match="disjoint"):
+        tx.tx_replace_where(spark, p, batch, [("k", ">=", 4), ("k", "<", 8)])
+    # the appended row survives; the replace never half-applied
+    assert (5, 9, "late") in _content(spark, p)
+    assert (4, 9, "new4") not in _content(spark, p)
+
+
+def test_replace_where_commutes_with_region_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """...and when the racing append is provably OUTSIDE the region,
+    both commits land (the streaming-ingest + partition-replace
+    pattern must not livelock)."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(i, 1, f"r{i}") for i in range(10)]).coalesce(1), p)
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_):
+        out = orig(df, path_)
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_append(_df(spark, [(100, 9, "far")]).coalesce(1), p)
+        return out
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    batch = _df(spark, [(4, 9, "new4")])
+    tx.tx_replace_where(spark, p, batch, [("k", ">=", 4), ("k", "<", 6)])
+    rows = _content(spark, p)
+    assert (100, 9, "far") in rows and (4, 9, "new4") in rows
+    assert (5, 1, "r5") not in rows  # region replaced
+
+
+def test_full_replace_commutes_with_any_append(spark, tmp_path, monkeypatch):
+    """where=None replaces only the files of ITS read snapshot, so the
+    composed state equals replace-then-append for ANY concurrent add."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]).coalesce(1), p)
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_):
+        out = orig(df, path_)
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_append(_df(spark, [(2, 9, "late")]).coalesce(1), p)
+        return out
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    tx.tx_replace_where(spark, p, _df(spark, [(7, 1, "seven")]), None)
+    assert _content(spark, p) == [(2, 9, "late"), (7, 1, "seven")]

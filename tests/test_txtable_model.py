@@ -95,6 +95,9 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             applied.extend(rows)
             history[tx.table_version(p)] = sorted(applied)
         elif op == "upsert":
+            # merge-on-read is a physical strategy, not a semantic one:
+            # the model is identical, so a coin flip per op composes
+            # DV-bearing MERGEs with every other op in the walk
             changes = fresh_rows(rng.randrange(1, 4))
             tx.tx_upsert(
                 spark,
@@ -102,15 +105,22 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 spark.createDataFrame(changes, "k int, ts int, v string"),
                 keys=["k"],
                 order_by=["ts"],
+                merge_on_read=rng.random() < 0.5,
             )
             applied = model_upsert(changes)
             history[tx.table_version(p)] = sorted(applied)
         elif op == "delete":
             # predicate delete over a random key range; model = plain
             # filter (rows where the predicate holds vanish, all
-            # others — including duplicates — survive verbatim)
+            # others — including duplicates — survive verbatim).
+            # merge_on_read flips per op (same model either way).
             lo = rng.randrange(40)
-            tx.tx_delete(spark, p, [("k", ">=", lo), ("k", "<", lo + 8)])
+            tx.tx_delete(
+                spark,
+                p,
+                [("k", ">=", lo), ("k", "<", lo + 8)],
+                merge_on_read=rng.random() < 0.5,
+            )
             applied = [r for r in applied if not (lo <= r[0] < lo + 8)]
             history[tx.table_version(p)] = sorted(applied)
         elif op == "replace":

@@ -137,3 +137,30 @@ def test_delete_aborts_on_concurrent_data_change():
 
 def snapfiles(path):
     return tx.snapshot(path).files
+
+
+def test_prune_isnull_notnull(spark, tmp_path):
+    """isnull/notnull pruning off the logged null counts: a zero-null
+    file is skipped for isnull; a notnull DELETE drops it whole."""
+    p = str(tmp_path / "t")
+    clean = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"
+    ).coalesce(1)
+    mixed = spark.createDataFrame(
+        [(None, "c"), (4, "d")], "k int, v string"
+    ).coalesce(1)
+    tx.tx_append(clean, p)
+    tx.tx_append(mixed, p)
+    scan, skip = tx.prune_files(p, [("k", "isnull", None)])
+    assert len(scan) == 1 and len(skip) == 1  # zero-null file skipped
+    # the real read equals a plain filtered read
+    got = tx.read_table(spark, p, where=[("k", "isnull", None)]).collect()
+    assert [r["v"] for r in got] == ["c"]
+    # notnull DELETE: the clean file drops WHOLE (all_match), the mixed
+    # file straddles and rewrites
+    before_files = set(tx.snapshot(p).files)
+    tx.tx_delete(spark, p, [("k", "notnull", None)])
+    rows = tx.read_table(spark, p).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(None, "c")]
+    c = tx.read_log(p)[-1]
+    assert set(c.remove) == before_files and len(c.add) == 1
