@@ -209,7 +209,12 @@ def compact_staging(
         # commit independently idempotent, exactly the partition-level
         # replay contract dynamic partition overwrite gave the old
         # directory store
-        touched = final.select("year", "month", "day", "hour").distinct().collect()
+        touched = (
+            final.where(F.col("year").isNotNull())
+            .select("year", "month", "day", "hour")
+            .distinct()
+            .collect()
+        )
         for t in touched:
             clauses = [
                 ("year", "=", t["year"]),
@@ -227,6 +232,16 @@ def compact_staging(
                     & (F.col("hour") == t["hour"])
                 ),
                 clauses,
+            )
+        # rows with NULL created_at derive NULL time partitions — they
+        # match no partition-equality clause, so without an explicit
+        # NULL-region REPLACE the incremental mode would silently drop
+        # them while still counting them (the non-incremental path and
+        # the old dynamic-partition-overwrite both kept them)
+        null_part = final.where(F.col("year").isNull())
+        if not null_part.isEmpty():
+            tx.tx_replace_where(
+                spark, processed_path, null_part, [("year", "isnull", None)]
             )
         enriched.unpersist()
         final.unpersist()

@@ -167,7 +167,9 @@ if DataSourceStreamReader is not None:
         serializing through the driver, and the delta bytes never pass
         through the driver at all.  Requires the table path to be
         visible to executors (true for any shared-storage deployment;
-        trivially true on local[n]).  Replay determinism is free:
+        trivially true on local[n]); the log reads go through the
+        table's :class:`~..operators.logstore.LogStore`, so the same
+        reader works against an object-store-backed log.  Replay determinism is free:
         ``partitions(start, end)`` is a pure function of the immutable
         log, so a restarted query re-plans the identical batch."""
 
@@ -176,20 +178,41 @@ if DataSourceStreamReader is not None:
             self.keys = options["keys"].split(",")
             self.content = options["contentcols"].split(",")
             self.start_version = int(options.get("fromversion", "0"))
+            #: admission control (0 = unbounded): ``latestOffset`` has
+            #: no argument to learn the batch start from, so the reader
+            #: SELF-caps — a month-long backfill becomes
+            #: ceil(commits/cap) retryable micro-batches instead of one
+            #: giant batch whose failure re-runs everything
+            self.per_batch = int(options.get("maxversionsperbatch", "0"))
+            #: highest offset this instance has returned or seen — the
+            #: cap's base, advanced by partitions() so a restart whose
+            #: first latestOffset() underestimates the checkpointed
+            #: offset self-corrects on the next trigger
+            self._hwm = self.start_version
+            #: highest version already PLANNED for delivery by this
+            #: instance — partitions() never re-plans at or below it,
+            #: so the restart-underestimate above can never re-deliver
+            self._floor = self.start_version
 
         def initialOffset(self) -> dict:
             return {"version": self.start_version}
 
         def latestOffset(self) -> dict:
-            # everything committed so far; a big backfill range fans
-            # out as one task per commit rather than being throttled
-            # (admission control isn't exposed to Python readers)
-            return {"version": tx.table_version(self.path)}
+            cur = tx.table_version(self.path)
+            if self.per_batch > 0:
+                cur = min(cur, self._hwm + self.per_batch)
+            end = max(cur, self._hwm)
+            self._hwm = end
+            return {"version": end}
 
         def partitions(self, start: dict, end: dict):
+            s, e = int(start["version"]), int(end["version"])
+            self._hwm = max(self._hwm, s, e)
+            lo = max(s, self._floor)
+            self._floor = max(self._floor, lo, e)
             return [
                 _FeedPartition(self.path, v, self.keys, self.content)
-                for v in range(int(start["version"]) + 1, int(end["version"]) + 1)
+                for v in range(lo + 1, e + 1)
             ]
 
         def read(self, partition: _FeedPartition):
@@ -241,6 +264,7 @@ def read_change_feed_stream_dist(
     keys: Sequence[str],
     content_cols: Sequence[str],
     from_version: int = 0,
+    max_versions_per_batch: int = 0,
 ) -> DataFrame:
     register_tx_feed_dist_source(spark)
     return (
@@ -249,6 +273,7 @@ def read_change_feed_stream_dist(
         .option("keys", ",".join(keys))
         .option("contentCols", ",".join(content_cols))
         .option("fromVersion", str(from_version))
+        .option("maxVersionsPerBatch", str(max_versions_per_batch))
         .load()
     )
 
@@ -293,17 +318,26 @@ def follow_table(
     content_cols: Sequence[str],
     app_id: str = "txfeed-follower",
     timeout_seconds: float = 300.0,
+    max_versions_per_batch: int = 1,
 ):
     """Maintain a FOLLOWER transactional table purely from the source
     table's change feed — the materialized-replica pattern a lakehouse
     log exists to serve.  Each micro-batch applies its NET effect per
     key (the row with the highest feed version wins): surviving keys
     MERGE via ``tx_upsert``, finally-deleted keys drop via ``tx_delete
-    (key IN ...)``.  Exactly-once: the batch's LAST commit carries the
-    ``(app_id, batch_id)`` token, so a restarted query that re-delivers
-    a committed batch skips it at the floor check; a crash between the
-    batch's delete and its token-carrying upsert replays both — the
-    delete is content-idempotent, so the follower converges.
+    (key IN ...)``.  Exactly-once: the batch's LAST commit carries an
+    ``(app_id, token)`` pair whose token is the batch's highest FEED
+    VERSION — a property of the source log, not of micro-batch
+    numbering — so a restarted query that re-delivers already-applied
+    versions skips them at the floor check even from a FRESH checkpoint
+    with a DIFFERENT batch size (a micro-batch-id token would align
+    with versions only while batch boundaries stay deterministic,
+    silently skipping newer versions after a disaster-recovery restart
+    re-batches the feed).  A batch that partially overlaps the floor
+    re-applies its older versions, which is content-idempotent (newest
+    version per key wins), so the follower converges; a crash between
+    the batch's delete and its token-carrying upsert replays both — the
+    delete is content-idempotent too.
 
     The follower must exist (``tx_append`` an empty or seed snapshot
     first), mirroring ``tx_upsert_stream``'s explicit-create contract.
@@ -321,12 +355,23 @@ def follow_table(
 
     keys = [key] if isinstance(key, str) else list(key)
     feed = read_change_feed_stream(
-        spark, source_path, keys, content_cols, from_version=0
+        spark,
+        source_path,
+        keys,
+        content_cols,
+        from_version=0,
+        max_versions_per_batch=max_versions_per_batch,
     )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotence token = the batch's highest feed VERSION (in
+        # every row), robust to re-batching; empty batches (e.g. a
+        # compaction-only version range) carry nothing to apply
+        end_v = batch_df.agg(F.max("version")).collect()[0][0]
+        if end_v is None:
+            return
         floor = tx.last_committed_batch(follower_path, app_id)
-        if floor is not None and batch_id <= floor:
+        if floor is not None and end_v <= floor:
             return  # replayed batch: already applied exactly-once
         # net effect per key: highest feed version wins inside a batch
         w_latest = batch_df.withColumn(
@@ -353,7 +398,7 @@ def follow_table(
                     follower_path,
                     dels,
                     keys,
-                    stream_txn=None if has_ups else (app_id, batch_id),
+                    stream_txn=None if has_ups else (app_id, int(end_v)),
                 )
             if has_ups:
                 tx.tx_upsert(
@@ -362,7 +407,7 @@ def follow_table(
                     ups,
                     keys=keys,
                     order_by=["version"],
-                    stream_txn=(app_id, batch_id),
+                    stream_txn=(app_id, int(end_v)),
                 )
         finally:
             finals.unpersist()

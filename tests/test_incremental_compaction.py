@@ -55,3 +55,32 @@ def test_incremental_compaction_preserves_other_partitions(spark, tmp_path):
         & (F.col("hour") == h)
     )
     assert touched.count() == r2.output_rows
+
+
+def test_incremental_compaction_keeps_null_created_at_rows(spark, tmp_path):
+    """Rows with NULL created_at derive NULL time partitions; the
+    incremental mode must keep them via an explicit NULL-region REPLACE
+    (ADVICE r6: they matched no partition-equality clause and were
+    silently dropped while still being counted)."""
+    staging = str(tmp_path / "staging")
+    processed = str(tmp_path / "processed")
+    events = enrich_events(generate_events(spark, 60, seed=5)).drop(
+        "language_id"
+    )
+    victim = events.select(F.min("event_uuid").alias("u")).collect()[0]["u"]
+    events = events.withColumn(
+        "created_at",
+        F.when(F.col("event_uuid") == victim, F.lit(None)).otherwise(
+            F.col("created_at")
+        ),
+    )
+    write_staged_events(events, staging)
+
+    r = compact_staging(spark, staging, processed, incremental=True)
+    after = read_processed(spark, processed)
+    # nothing silently dropped: the store holds exactly what was counted
+    assert after.count() == r.output_rows == 60
+    assert after.where(F.col("created_at").isNull()).count() == 1
+    # replaying the same batch is idempotent for the NULL region too
+    compact_staging(spark, staging, processed, incremental=True)
+    assert read_processed(spark, processed).count() == 60

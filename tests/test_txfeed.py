@@ -225,3 +225,147 @@ def test_follower_composite_key(spark, tmp_path):
         for r in tx.read_table(spark, fol).collect()
     )
     assert got == [(1, "x", "a"), (1, "y", "b2")]
+
+
+# ----------------------------------------------- dtype fidelity (r7)
+
+
+def test_change_rows_keep_integer_types_through_straddling_replace(
+    spark, tmp_path
+):
+    """A commit whose pandas diff contains deletes ALONGSIDE updates
+    (left_only rows in the outer merge) must not upcast integer content
+    columns to float64 (ADVICE r6): the emitted values must stay Python
+    ints, and the Arrow conversion in the streaming source must accept
+    them against the feed's LongType schema."""
+    p = str(tmp_path / "src")
+    tx.tx_append(
+        _df(
+            spark, [(1, 1, 10), (2, 1, 20), (3, 1, 30)], "k int, ts int, n long"
+        ).coalesce(1),
+        p,
+    )
+    # replace region k<=2: k=1 updates, k=2 vanishes (a delete), k=3 kept
+    tx.tx_replace_where(
+        spark,
+        p,
+        _df(spark, [(1, 9, 11)], "k int, ts int, n long"),
+        [("k", "<=", 2)],
+    )
+    rows = tx.commit_change_rows(p, 2, ["k"], ["ts", "n"])
+    by = {r[0]: r for r in rows}
+    assert by[1] == (1, 9, 11, "update", 2)
+    assert by[2] == (2, 1, 20, "delete", 2)  # delete carries OLD ints
+    for r in rows:
+        for x in r[:3]:
+            assert isinstance(x, int) and not isinstance(x, bool), r
+    # end-to-end: the streaming source converts these rows via Arrow
+    # against the int feed schema
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r["k"], r["ts"], r["n"], r["change_type"], r["version"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        txfeed.read_change_feed_stream(spark, p, ["k"], ["ts", "n"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    assert (1, 9, 11, "update", 2) in seen
+    assert (2, 1, 20, "delete", 2) in seen
+
+
+def test_change_rows_version_beyond_log_is_loud(spark, tmp_path):
+    """A feed checkpoint pointing PAST the table's log (restored/copied
+    table) must raise an actionable typed error, not a raw
+    FileNotFoundError (ADVICE r6)."""
+    p = str(tmp_path / "src")
+    _build_source(spark, p)
+    with pytest.raises(IndexError, match="beyond the committed range"):
+        tx.commit_change_rows(p, 99, ["k"], ["v"])
+
+
+# ------------------------------------- re-batching robustness (r7)
+
+
+def test_follower_token_survives_rebatching(spark, tmp_path):
+    """Disaster-recovery shape (VERDICT r6 item 3): after the follower's
+    checkpoint is LOST, the query restarts from a fresh checkpoint with
+    a DIFFERENT batch size, so micro-batch ids no longer align with
+    feed versions.  The version-based idempotence token must skip the
+    already-applied prefix AND still apply the newer source commits (a
+    micro-batch-id token silently skipped them)."""
+    src = str(tmp_path / "src")
+    fol = str(tmp_path / "fol")
+    _build_source(spark, src)  # versions 1..4
+    tx.tx_append(spark.createDataFrame([], "k int, v string, version long"), fol)
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck1"), key="k", content_cols=["v"],
+        max_versions_per_batch=1,
+    )
+    assert _content(spark, fol) == _content(spark, src)
+
+    # the source advances AFTER the first follower run
+    tx.tx_upsert(
+        spark, src, _df(spark, [(1, 9, "a9"), (7, 1, "seven")]),
+        keys=["k"], order_by=["ts"],
+    )
+    tx.tx_delete(spark, src, [("k", "=", 9)])
+
+    # fresh checkpoint + coarser batches: versions re-deliver in
+    # 3-version batches whose ids restart at 0
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck2"), key="k", content_cols=["v"],
+        max_versions_per_batch=3,
+    )
+    assert _content(spark, fol) == _content(spark, src) == [
+        (1, "a9"), (2, "b2"), (7, "seven"),
+    ]
+
+
+def test_dist_feed_self_caps_batch_size(spark, tmp_path):
+    """VERDICT r6 item 5: a 10-commit backfill through the distributed
+    reader with maxVersionsPerBatch=4 must split into ceil(10/4)=3
+    retryable micro-batches, and a checkpoint-resume must deliver only
+    the post-resume delta."""
+    p = str(tmp_path / "src")
+    for i in range(10):
+        tx.tx_append(_df(spark, [(i, 1, f"r{i}")]).coalesce(1), p)
+    batches: list[list[int]] = []
+
+    def sink(batch_df, batch_id):
+        rows = sorted(r["version"] for r in batch_df.collect())
+        if rows:
+            batches.append(rows)
+
+    def run():
+        q = (
+            txfeed.read_change_feed_stream_dist(
+                spark, p, ["k"], ["v"], max_versions_per_batch=4
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+
+    run()
+    assert batches == [[1, 2, 3, 4], [5, 6, 7, 8], [9, 10]]
+    # source advances; the SAME checkpoint resumes with only the delta
+    tx.tx_append(_df(spark, [(99, 1, "new")]).coalesce(1), p)
+    batches.clear()
+    run()
+    assert batches == [[11]]
