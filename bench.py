@@ -196,6 +196,12 @@ HEADLINE = [
     # transform pruned read
     "tx_feed_follower",
     "tx_partition_pruning",
+    # round-7 additions (appended; pre-existing names unchanged): the
+    # merge-on-read deletion-vector delete + its change-feed view, and
+    # the 12-bit extended-sequential JPEG decode
+    "tx_delete_dv",
+    "tx_feed_dv_deletes",
+    "mm_jpeg12_decode",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -225,7 +231,47 @@ PRESTAGE = [
     "tx_delete_where",
     "tx_feed_follower",
     "tx_partition_pruning",
+    "tx_delete_dv",
+    "tx_feed_dv_deletes",
 ]
+
+
+def _calibration(spark) -> dict:
+    """Fixed, SF-independent calibration workload (VERDICT r6 item 7):
+    three deterministic synthetic queries — codegen scan+agg, a 100k-key
+    shuffle, and a hash/string pass — timed as medians of 3.  They
+    measure the BOX (CPU, shuffle path, JVM state), not the engine, so
+    cross-round bench comparisons can divide out machine drift: a
+    headline entry that moved with the calibration moved with the box;
+    one that moved against it moved because of code.  Protocol in
+    docs/PLANS.md."""
+    probes = {
+        "scan_agg": lambda: spark.range(0, 50_000_000)
+        .selectExpr("sum(id * 2 + 1) AS s", "avg(id % 97) AS a")
+        .collect(),
+        "shuffle": lambda: spark.range(0, 5_000_000)
+        .selectExpr("id % 100000 AS k")
+        .groupBy("k")
+        .count()
+        .count(),
+        "hash_strings": lambda: spark.range(0, 1_000_000)
+        .selectExpr("sha2(cast(id AS string), 256) AS h")
+        .selectExpr("count(distinct substring(h, 1, 8)) AS n")
+        .collect(),
+    }
+    out: dict = {}
+    total = 0.0
+    for name, fn in probes.items():
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        med = round(sorted(runs)[1], 3)
+        out[f"{name}_sec"] = med
+        total += med
+    out["total_sec"] = round(total, 3)
+    return out
 
 
 def _ingest_throughput(spark, n: int = 100_000) -> dict:
@@ -298,6 +344,11 @@ def main(medians: bool = False) -> None:
     # Position independence makes it comparable across rounds.
     ingest = _ingest_throughput(spark)
 
+    # box calibration (same position every round, right after ingest):
+    # SF-independent synthetic probes whose drift measures the MACHINE;
+    # per-query ratios against cal["total_sec"] divide that drift out
+    cal = _calibration(spark)
+
     # artifact pre-staging at the TARGET SF: these entries build
     # stage_once artifacts (streaming input dirs, IVF/PQ centroids and
     # codebooks, KMeans centroids, BPE merge tables) keyed per
@@ -350,6 +401,13 @@ def main(medians: bool = False) -> None:
             "runs_per_query": n_runs,
             "n_queries": len(timings),
             "queries": timings,
+            # calibration-relative ratios: each entry's median divided
+            # by the box probes' total — the number to diff across
+            # rounds when the absolute seconds moved with the machine
+            "queries_rel_calibration": {
+                k: round(v / cal["total_sec"], 4) for k, v in timings.items()
+            },
+            "calibration": cal,
             "sf": sf_val,
             "ingest": ingest,
         }
@@ -368,6 +426,7 @@ def main(medians: bool = False) -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "calibration": cal,
                 "sf": sf_val,
                 "ingest": ingest,
             }
@@ -385,6 +444,7 @@ def main(medians: bool = False) -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "n_queries": len(timings),
+                "calibration": cal,
                 "sf": sf_val,
                 "ingest": ingest,
             }

@@ -437,6 +437,44 @@ def attach_jpeg_payload(
     return _ids_spread(df, id_col).mapInPandas(op, PNG_PAYLOAD_SCHEMA)
 
 
+def attach_jpeg12_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """12-BIT extended-sequential JPEG twin (SOF1, precision 12 — the
+    format scientific/medical corpora carry): a REAL decodable
+    grayscale 12-bit stream per row, dims from a FIFTH moduli pair —
+    ``w = 12 + id % 31``, ``h = 6 + id % 13`` — so a precision-path
+    mix-up with the baseline entry fails the oracle.  Sample values
+    span the full 12-bit range; every 4th doc also exercises restart
+    markers (the two encoder paths must agree, pinned in
+    ``tests/test_jpeg_codec.py:316-350``)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from event_streaming_toy_example_spark.functions import jpeg_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 12 + d % 31, 6 + d % 13
+                y = np.arange(h)[:, None]
+                x = np.arange(w)[None, :]
+                arr = ((64 * y + 32 * x + 7 * d) % 4096).astype(np.uint16)
+                rows.append(
+                    (
+                        d,
+                        jpeg_codec.encode_jpeg12_gray(
+                            arr,
+                            quality=95,
+                            restart_interval=2 if d % 4 == 0 else 0,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return _ids_spread(df, id_col).mapInPandas(op, PNG_PAYLOAD_SCHEMA)
+
+
 def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """GIF twin of :func:`attach_png_payload` / :func:`attach_bmp_payload`:
     a REAL (decodable) single-frame GIF87a per row — grayscale, so the

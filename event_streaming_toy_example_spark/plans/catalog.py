@@ -162,6 +162,10 @@ from event_streaming_toy_example_spark.plans.queries_ext31 import (
     EXT31_ORACLES,
     EXT31_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext32 import (
+    EXT32_ORACLES,
+    EXT32_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -218,12 +222,19 @@ FAMILY_REP: dict[str, str] = {
     # data-skipping family below (same derived-stats mechanism, read
     # side instead of delete side); its staged build asserts the files
     # were actually skipped
-    "tx_partition_pruning": "tx_delete_where",
-    # round 5: data-skipping family — the DELETE entry is the rep (its
-    # staged build asserts whole-drop + straddle accounting AND that
-    # the log stats skip files); the pruned-range-read twin stays
-    # locally value-replayed
-    "tx_stats_skipping": "tx_delete_where",
+    "tx_partition_pruning": "tx_delete_dv",
+    # round 5: data-skipping family — since round 7 the MERGE-ON-READ
+    # delete entry is the rep: its staged build asserts the O(k)
+    # deletion-vector accounting (zero rewrites, whole-drops unread,
+    # sidecar smaller than the holed file) ON TOP OF the whole-drop +
+    # skip assertions the copy-on-write rep carried, and its read
+    # hash-matches the SAME oracle.  The CoW twin (hash-passed r5-r6)
+    # and the pruned-range-read twin stay locally value-replayed.
+    "tx_delete_where": "tx_delete_dv",
+    "tx_stats_skipping": "tx_delete_dv",
+    # the feed view of the same DV commit (deletes emitted row-level)
+    # stays locally value-replayed with its own oracle
+    "tx_feed_dv_deletes": "tx_delete_dv",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is
@@ -314,6 +325,10 @@ FAMILY_REP: dict[str, str] = {
     # REAL multi-frame sampling (animated GIF, per-frame LZW decode) —
     # the codec-real upgrade of the mm_frame_sample plumbing twin
     "mm_gif_frames": "mm_jpeg_decode",
+    # round 7: the 12-bit extended-sequential JPEG twin (fifth moduli
+    # pair, restart markers on every 4th payload) joins the codec
+    # family locally value-replayed
+    "mm_jpeg12_decode": "mm_jpeg_decode",
     # ninth wave: the spatial grid-blocked proximity join shares the
     # blocked-candidate-generation family with the deletion-
     # neighborhood fuzzy matcher (same verification construction: the
@@ -615,6 +630,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT29_QUERIES,
     **EXT30_QUERIES,
     **EXT31_QUERIES,
+    **EXT32_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -650,6 +666,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT29_ORACLES,
     **EXT30_ORACLES,
     **EXT31_ORACLES,
+    **EXT32_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -1,0 +1,185 @@
+"""Round-7 wave: DELETION VECTORS (merge-on-read) on the unified
+transactional table (``operators/txtable.py``, VERDICT r6 item 2).
+
+``tx_delete(..., merge_on_read=True)`` commits a k-row delete as ONE
+position sidecar of O(k) bytes instead of rewriting every straddling
+file; reads apply the DVs with a broadcast anti-join on parquet
+``_metadata`` row positions; the change feed emits the newly-holed rows
+as deletes.  At 100 TB with ~1 GB files this is the difference between
+a single-row correction costing a gigabyte of IO and costing a few
+hundred bytes.
+
+Both entries run against ONE staged artifact (the same range-clustered
+events table as ``queries_ext30`` but deleted merge-on-read), and the
+staged build ASSERTS the O(k) accounting — zero files rewritten, the
+provably-all-matching files still dropped whole without being read, the
+sidecar strictly smaller than the straddler it punches holes in — so a
+DV regression fails the build, not just a reader.  The reads then
+hash-match the SAME oracle SQL as the copy-on-write twin
+(``tx_delete_where``): merge-on-read is a physical strategy, invisible
+to every query.
+
+The reference rewrites bare directories wholesale
+(``toy_glue.py:58-65``); deletion vectors are greenfield lakehouse
+engineering (the Delta/Iceberg v2 merge-on-read contract re-expressed
+on Spark metadata columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.plans.queries_ext import (
+    stage_dir_once,
+)
+from event_streaming_toy_example_spark.plans.queries_ext30 import (
+    _COLS,
+    _max_id,
+)
+from event_streaming_toy_example_spark.schemas import load_table
+
+
+def _build_dv_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: the events table clustered into 8 range
+    files on event_id, then the SAME retention delete as the
+    copy-on-write twin — but merge-on-read."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(*_COLS)
+        tx.tx_append(ev.repartitionByRange(8, "event_id"), tmp)
+        n_files = len(tx.snapshot(tmp).files)
+        cutoff = _max_id(spark, sf_dir) // 4
+        tx.tx_delete(
+            spark, tmp, [("event_id", "<", cutoff)], merge_on_read=True
+        )
+        c = tx.read_log(tmp)[-1]
+        assert c.action == "delete"
+        # the O(k) contract, asserted at build time:
+        # 1. NOTHING was rewritten (no file added)
+        assert c.add == (), c.add
+        # 2. provably-all-matching files still drop whole, unread
+        assert len(c.remove) >= 1, c.remove
+        # 3. the one straddler got a DV, and the sidecar is strictly
+        #    smaller than the file it punches holes in
+        assert c.dv and len(c.dv) == 1, c.dv
+        (holed, sidecar), = c.dv.items()
+        assert os.path.getsize(os.path.join(tmp, sidecar)) < (
+            os.path.getsize(os.path.join(tmp, holed))
+        )
+        # 4. the DV'd positions stay skippable metadata: a read below
+        #    the cutoff never opens the untouched upper files
+        scan, skip = tx.prune_files(tmp, [("event_id", "<", cutoff + 1)])
+        assert skip, "no files skipped after the MOR delete"
+        assert len(tx.snapshot(tmp).files) == n_files - len(c.remove)
+
+    return stage_dir_once(build, "txtable_delete_dv_v1", sf_dir)
+
+
+def q_tx_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over the merge-on-read-deleted table — hash-equal to
+    the plain-SQL oracle (and therefore to the copy-on-write twin
+    ``tx_delete_where``) only if the scan-time DV anti-join removes
+    exactly the deleted rows across whole-dropped, DV-holed and
+    untouched files alike."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    path = _build_dv_table(spark, sf_dir)
+    return (
+        tx.read_table(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+SQL_TX_DELETE_DV = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events
+WHERE event_id >= (SELECT MAX(event_id) // 4 FROM events)
+GROUP BY event_type
+"""
+
+
+def q_tx_feed_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed OVER the deletion-vector commit: the holed rows
+    must feed as row-level deletes exactly like a copy-on-write delete
+    would emit them — per-type delete counts and the doomed key span,
+    oracle-predicted from the raw events below the cutoff."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    path = _build_dv_table(spark, sf_dir)
+    rows = tx.commit_change_rows(
+        path, 2, ["event_id"], ["event_type", "value"]
+    )
+    assert all(r[-2] == "delete" for r in rows)
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "event_id long, event_type string"
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_deleted"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+SQL_TX_FEED_DV_DELETES = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_deleted,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events
+WHERE event_id < (SELECT MAX(event_id) // 4 FROM events)
+GROUP BY event_type
+"""
+
+
+def q_mm_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL image decode format (12-bit extended-sequential JPEG,
+    SOF1 precision 12 — VERDICT r6 item 6: the round-6 codec shipped
+    test-only; this entry puts it in the replay record): same
+    arithmetic-dims oracle construction as the baseline-JPEG entry with
+    a FIFTH moduli pair, every 4th payload carrying restart markers, so
+    a precision-path or restart mix-up fails the hash check."""
+    from event_streaming_toy_example_spark.functions.multimodal import (
+        attach_jpeg12_payload,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_jpeg12_payload(docs), fake=False)
+    return feats.select("doc_id", "width", "height")
+
+
+SQL_MM_JPEG12_DECODE = """
+SELECT doc_id,
+       CAST(12 + doc_id % 31 AS INT) AS width,
+       CAST(6 + doc_id % 13 AS INT) AS height
+FROM documents
+"""
+
+
+EXT32_QUERIES = {
+    "tx_delete_dv": q_tx_delete_dv,
+    "tx_feed_dv_deletes": q_tx_feed_dv_deletes,
+    "mm_jpeg12_decode": q_mm_jpeg12_decode,
+}
+
+EXT32_ORACLES = {
+    "tx_delete_dv": SQL_TX_DELETE_DV,
+    "tx_feed_dv_deletes": SQL_TX_FEED_DV_DELETES,
+    "mm_jpeg12_decode": SQL_MM_JPEG12_DECODE,
+}
