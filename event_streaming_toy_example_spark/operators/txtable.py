@@ -368,6 +368,7 @@ def _read_files(
     files: Sequence[str],
     dvs: dict | None = None,
     file_pos_cols: tuple[str, str] | None = None,
+    schema_json: str | None = None,
 ) -> DataFrame:
     """Read an EXPLICIT file list with ``mergeSchema``, applying any
     live deletion vectors: rows whose ``(file, row-position)`` is in a
@@ -376,16 +377,33 @@ def _read_files(
     A file's physical row order is immutable (parquet), so the logged
     positions identify rows exactly.
 
+    ``schema_json`` projects the files' stable PHYSICAL column names
+    onto that schema's logical names (column mapping's read half), in
+    schema order, null-filling columns no scanned file carries yet.
     ``file_pos_cols`` keeps the (table-relative file, position) under
     the given names for callers that need row identity (the MOR
     writers); otherwise the result schema equals a plain read."""
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        target = StructType.fromJson(json.loads(schema_json))
+        have = set(df.columns)
+        cols = [
+            F.col(_field_phys(f)).alias(f.name)
+            if _field_phys(f) in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+        names = [f.name for f in target.fields]
+    else:
+        cols = [F.col(c) for c in df.columns]
+        names = list(df.columns)
     dv_map = {f: s for f, s in (dvs or {}).items() if f in set(files)}
     if not dv_map and file_pos_cols is None:
-        return df
-    cols = df.columns
+        return df.select(*cols) if schema_json is not None else df
     fcol, pcol = file_pos_cols or ("__dv_file", "__dv_pos")
     rel = F.concat(
         F.lit(f"{_DATA_DIR}/"),
@@ -404,7 +422,7 @@ def _read_files(
         .withColumnRenamed("pos", pcol)
     )
     survivors = tagged.join(F.broadcast(dvdf), [fcol, pcol], "left_anti")
-    return survivors if file_pos_cols else survivors.select(*cols)
+    return survivors if file_pos_cols else survivors.select(*names)
 
 
 def read_table(
@@ -435,7 +453,7 @@ def read_table(
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(json.loads(snap.schema)))
-    df = _read_files(spark, path, files, snap.dvs)
+    df = _read_files(spark, path, files, snap.dvs, schema_json=snap.schema)
     return df.where(_where_expr(where)) if where else df
 
 
@@ -572,11 +590,19 @@ def expire_log(
 # ---------------------------------------------------------------- write
 
 
-def _stage_files(df: DataFrame, path: str) -> list[str]:
+def _stage_files(
+    df: DataFrame, path: str, schema_json: str | None = None
+) -> list[str]:
     """Materialize ``df`` as immutable data files under ``data/`` and
     return their table-relative names.  NOT yet visible: readers only
     see files referenced by a committed version, so a crash here
-    leaves invisible orphans for :func:`vacuum`."""
+    leaves invisible orphans for :func:`vacuum`.
+
+    ``schema_json`` (the schema this commit will log) renames logical
+    columns to their stable PHYSICAL names before writing — the write
+    half of column mapping; a no-op while no column was ever renamed."""
+    if schema_json is not None:
+        df = _to_physical(df, schema_json)
     os.makedirs(_data_dir(path), exist_ok=True)
     tmp = os.path.join(path, f"_stage_{uuid.uuid4().hex[:12]}")
     df.write.mode("overwrite").parquet(tmp)
@@ -844,10 +870,12 @@ def prune_files(
     snap = snapshot(path, version)
     if snap is None:
         return [], []
+    pm = _phys_map(snap.schema)
+    phys_where = [(_phys_clause_col(pm, c), op, v) for c, op, v in where]
     scan, skip = [], []
     for f in snap.files:
         fstats = (snap.stats or {}).get(f)
-        if all(_clause_may_match(fstats, c, op, v) for c, op, v in where):
+        if all(_clause_may_match(fstats, c, op, v) for c, op, v in phys_where):
             scan.append(f)
         else:
             skip.append(f)
@@ -951,9 +979,9 @@ def _validate_against(
         # racing set-properties the fold's latest-wins is the intended
         # last-writer-wins)
         for c in intervening:
-            if c.action == "evolve-rewrite":
+            if c.action in ("evolve-rewrite", "rename-column", "drop-column"):
                 raise ConcurrentWriteError(
-                    "append lost to a concurrent schema rewrite; re-read "
+                    f"append lost to a concurrent {c.action}; re-read "
                     "and re-validate the batch schema"
                 )
         return
@@ -977,9 +1005,9 @@ def _validate_against(
     # transaction read — concurrent changes abort unless provably
     # disjoint from the transaction's conflict domain
     for c in intervening:
-        if c.action == "evolve-rewrite":
+        if c.action in ("evolve-rewrite", "rename-column", "drop-column"):
             raise ConcurrentWriteError(
-                f"{action} lost to a concurrent schema rewrite"
+                f"{action} lost to a concurrent {c.action}"
             )
         if _changed(c) & set(remove):
             raise ConcurrentWriteError(
@@ -1110,12 +1138,17 @@ def commit(
         touched = sorted(set(remove) | set(dv or {}))
         _validate_against(action, touched, intervening, conflict)
         commit_schema = schema
-        if intervening:
+        if intervening and action not in (
+            "evolve-rewrite", "restore", "rename-column", "drop-column"
+        ):
             # absorb a concurrent additive evolution: the table schema
             # is the union of what the intervening commits left and
             # what this transaction wrote (files written before either
             # evolution surface the other side's columns as NULL via
-            # mergeSchema)
+            # mergeSchema).  Schema-AUTHORITATIVE actions are excluded:
+            # their schema IS the result (a union would re-append a
+            # renamed column's old name, or un-narrow a restore), and
+            # their validation already aborted anything non-commuting.
             commit_schema = _union_schema_json(intervening[-1].schema, schema)
         if stream_txn is not None:
             # check the WHOLE history, not just commits after
@@ -1177,6 +1210,81 @@ def _schema_json(df: DataFrame) -> str:
     return df.schema.json()
 
 
+# ----------------------------------------------------- column mapping
+#
+# Stable PHYSICAL names per column (Delta column-mapping semantics):
+# each logical field carries ``metadata["cm"] = {"id": n, "phys": s}``
+# in the logged schema; data files are always written under the
+# physical names and every read projects physical -> current-logical.
+# Physical names never change after a column first appears, so ONE
+# mapping serves every file regardless of era: tx_rename_column is a
+# metadata-only commit (no data file is touched), time travel across a
+# rename reads each version under that version's logical names, and
+# tx_drop_column retires the physical name (recorded in table
+# properties) so a later re-add of the same logical name gets a FRESH
+# physical column instead of resurrecting the dropped bytes.
+# Pre-mapping tables need no migration: a field without metadata has
+# phys == name, which is exactly what its files contain.
+
+
+def _field_phys(f) -> str:
+    cm = (f.metadata or {}).get("cm") or {}
+    return cm.get("phys", f.name)
+
+
+def _phys_map(schema_json: str) -> dict:
+    """logical name -> physical name for every field."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(schema_json))
+    return {f.name: _field_phys(f) for f in st.fields}
+
+
+def _with_field_cm(f, id_: int, phys: str):
+    from pyspark.sql.types import StructField
+
+    md = dict(f.metadata or {})
+    md["cm"] = {"id": id_, "phys": phys}
+    return StructField(f.name, f.dataType, f.nullable, md)
+
+
+def _assign_ids(struct):
+    """CREATE-time mapping: every field gets a stable id and
+    phys == its create-time name (so files of pre-mapping and
+    mapping-aware tables are bytewise-identical)."""
+    from pyspark.sql.types import StructType
+
+    return StructType(
+        [_with_field_cm(f, i, f.name) for i, f in enumerate(struct.fields)]
+    )
+
+
+def _next_col_id(fields) -> int:
+    ids = [
+        ((f.metadata or {}).get("cm") or {}).get("id") for f in fields
+    ]
+    known = [i for i in ids if isinstance(i, int)]
+    return max(known, default=len(fields) - 1) + 1
+
+
+def _to_physical(df: DataFrame, schema_json: str) -> DataFrame:
+    """Rename logical columns to their physical names for staging."""
+    pm = _phys_map(schema_json)
+    if all(pm.get(c, c) == c for c in df.columns):
+        return df
+    return df.select(*[F.col(c).alias(pm.get(c, c)) for c in df.columns])
+
+
+def _phys_clause_col(pm: dict, col: str) -> str:
+    """Translate a predicate clause column (plain or time-transform)
+    to physical for LOG-STATS lookups; the row filter itself stays
+    logical (it runs after the read projection)."""
+    m = _TRANSFORM_RE.match(col)
+    if m:
+        return f"{m.group(1)}({pm.get(m.group(2), m.group(2))})"
+    return pm.get(col, col)
+
+
 def _check_evolution(existing_schema: str, df: DataFrame) -> DataFrame:
     """Additive-evolution contract (``operators/evolution.py``
     semantics, enforced against the LOG schema instead of parquet
@@ -1217,16 +1325,34 @@ def _align(df: DataFrame, schema_json: str) -> DataFrame:
     return df.select(*cols)
 
 
-def _union_schema(existing_schema: str, df: DataFrame) -> str:
+def _union_schema(
+    existing_schema: str, df: DataFrame, retired: Sequence[str] = ()
+) -> str:
     """The evolved table schema: existing fields (original order) plus
-    any genuinely new columns from ``df``."""
+    any genuinely new columns from ``df``.  New columns get a fresh
+    column-mapping id and a physical name — their logical name unless
+    it collides with a live OR RETIRED physical name (a column dropped
+    and re-added under the same name must NOT resurrect the dropped
+    bytes still sitting in old files), in which case a unique
+    ``c<id>_<name>`` is generated."""
     from pyspark.sql.types import StructType
 
     existing = StructType.fromJson(json.loads(existing_schema))
     names = {f.name for f in existing}
-    merged = list(existing.fields) + [
-        f for f in df.schema.fields if f.name not in names
-    ]
+    used_phys = {_field_phys(f) for f in existing} | set(retired)
+    next_id = _next_col_id(existing.fields)
+    merged = list(existing.fields)
+    for f in df.schema.fields:
+        if f.name in names:
+            continue
+        phys = (
+            f.name
+            if f.name not in used_phys
+            else f"c{next_id}_{f.name}"
+        )
+        merged.append(_with_field_cm(f, next_id, phys))
+        used_phys.add(phys)
+        next_id += 1
     return StructType(merged).json()
 
 
@@ -1242,13 +1368,14 @@ def tx_append(
     destroys the layout the properties promised)."""
     state = _fold_state(path)
     if state is None:
-        files = _stage_files(df, path)
+        schema0 = _assign_ids(df.schema).json()
+        files = _stage_files(df, path, schema0)
         return commit(
             path,
             "append",
             files,
             [],
-            _schema_json(df),
+            schema0,
             0,
             stats=_footer_stats(path, files),
             properties=properties,
@@ -1260,13 +1387,16 @@ def tx_append(
         )
     read_version = state.version
     df = _check_evolution(state.schema, df)
-    files = _stage_files(df, path)
+    union = _union_schema(
+        state.schema, df, state.properties.get("__retired_phys", ())
+    )
+    files = _stage_files(df, path, union)
     return commit(
         path,
         "append",
         files,
         [],
-        _union_schema(state.schema, df),
+        union,
         read_version,
         stats=_footer_stats(path, files),
     )
@@ -1338,12 +1468,13 @@ def tx_upsert(
     snap = snapshot(path, read_version)
     changes = _check_evolution(state.schema, changes)
 
-    # probe over a RAW read of the snapshot files (input_file_name is
-    # only defined at the scan; a DV'd-out row still counting as
-    # "affected" merely rewrites/DVs a file that no longer holds the
-    # key's live row — wasteful at worst, never wrong)
-    current = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in snap.files]
+    # probe over a DV-free read of the snapshot files (input_file_name
+    # is only defined at the scan and survives the column-mapping
+    # projection; a DV'd-out row still counting as "affected" merely
+    # rewrites/DVs a file that no longer holds the key's live row —
+    # wasteful at worst, never wrong)
+    current = _read_files(
+        spark, path, snap.files, schema_json=state.schema
     )
     affected_paths = {
         r["f"] for r in upsert_prune_probe(current, changes, keys).collect()
@@ -1356,7 +1487,9 @@ def tx_upsert(
     assert set(affected) <= set(snap.files), (
         "pruning probe returned files outside the snapshot"
     )
-    union_schema = _union_schema(state.schema, changes)
+    union_schema = _union_schema(
+        state.schema, changes, state.properties.get("__retired_phys", ())
+    )
     dv_commit: dict | None = None
     changes = _align(changes, union_schema)
     change_keys = F.broadcast(changes.select(*keys).distinct())
@@ -1364,7 +1497,8 @@ def tx_upsert(
         # DV the LIVE rows holding changed keys; merge only those with
         # the changes into ONE new file; untouched rows stay in place
         base = _read_files(
-            spark, path, affected, snap.dvs, file_pos_cols=("__f", "__p")
+            spark, path, affected, snap.dvs,
+            file_pos_cols=("__f", "__p"), schema_json=state.schema,
         )
         touched_meta = base.join(change_keys, list(keys), "left_semi").persist()
         try:
@@ -1391,13 +1525,15 @@ def tx_upsert(
             if doomed_files:
                 sidecar = _stage_dv(dv_rows, path)
                 dv_commit = {f: sidecar for f in sorted(doomed_files)}
-            files = _stage_files(merged, path)
+            files = _stage_files(merged, path, union_schema)
         finally:
             touched_meta.unpersist()
         affected = []  # nothing rewritten: removals are all DV-borne
     else:
         if affected:
-            base = _read_files(spark, path, affected, snap.dvs)
+            base = _read_files(
+                spark, path, affected, snap.dvs, schema_json=state.schema
+            )
         else:
             base = changes.limit(0)
         base = _align(base, union_schema)
@@ -1414,7 +1550,7 @@ def tx_upsert(
         merged = upsert_snapshot(touched, changes, keys, order_by).unionByName(
             kept
         )
-        files = _stage_files(merged, path)
+        files = _stage_files(merged, path, union_schema)
     # conflict domain: the change-key bounding box (one tiny agg over
     # the small MERGE batch) — lets commit() prove a concurrent append
     # key-disjoint instead of aborting
@@ -1429,11 +1565,16 @@ def tx_upsert(
     if bounds["__n"] == 0:
         conflict: dict | None = {"kind": "empty"}
     else:
+        # ranges are keyed by PHYSICAL column names: commit stats are
+        # physical, and physical names survive concurrent renames
+        pm = _phys_map(union_schema)
         ranges = {}
         for k in keys:
             lo = _norm_stat(bounds[f"__lo_{k}"])
             hi = _norm_stat(bounds[f"__hi_{k}"])
-            ranges[k] = None if lo is None or hi is None else [lo, hi]
+            ranges[pm.get(k, k)] = (
+                None if lo is None or hi is None else [lo, hi]
+            )
         conflict = (
             {"kind": "keys", "ranges": ranges}
             if any(v is not None for v in ranges.values())
@@ -1498,14 +1639,17 @@ def tx_compact(
     # DV-aware: compacting a deletion-vectored file MATERIALIZES the
     # DV away (only live rows are rewritten; the victim's dv entry
     # drops with it in the fold)
-    df = _read_files(spark, path, [f for f, _ in victims], snap.dvs)
+    df = _read_files(
+        spark, path, [f for f, _ in victims], snap.dvs,
+        schema_json=state.schema,
+    )
     if order_col is not None:
         packed = df.repartitionByRange(
             n_out, F.col(order_col)
         ).sortWithinPartitions(order_col)
     else:
         packed = df.coalesce(n_out)
-    files = _stage_files(packed, path)
+    files = _stage_files(packed, path, state.schema)
     return commit(
         path,
         "compact",
@@ -1560,11 +1704,14 @@ def tx_delete(
     snap = snapshot(path, read_version)
     candidates, _pruned = prune_files(path, where, read_version)
     fstats = snap.stats or {}
+    pm = _phys_map(state.schema)
+    phys_where = [(_phys_clause_col(pm, c), op, v) for c, op, v in where]
     whole = [
         f
         for f in candidates
         if all(
-            _clause_all_match(fstats.get(f), c, op, v) for c, op, v in where
+            _clause_all_match(fstats.get(f), c, op, v)
+            for c, op, v in phys_where
         )
     ]
     straddle = [f for f in candidates if f not in set(whole)]
@@ -1578,7 +1725,8 @@ def tx_delete(
         # already-dead matching row's position is already in the old
         # sidecar, and the union dedups it.
         df = _read_files(
-            spark, path, straddle, dvs=None, file_pos_cols=("__f", "__p")
+            spark, path, straddle, dvs=None,
+            file_pos_cols=("__f", "__p"), schema_json=state.schema,
         )
         doomed = df.where(
             F.coalesce(_where_expr(where), F.lit(False))
@@ -1617,10 +1765,12 @@ def tx_delete(
         whole = whole + fully
         straddle = []  # nothing rewritten: removals are DV-borne
     elif straddle:
-        df = _read_files(spark, path, straddle, snap.dvs)
+        df = _read_files(
+            spark, path, straddle, snap.dvs, schema_json=state.schema
+        )
         # keep rows where the predicate is FALSE or NULL
         survivors = df.where(~F.coalesce(_where_expr(where), F.lit(False)))
-        staged = _stage_files(survivors, path)
+        staged = _stage_files(survivors, path, state.schema)
         stats = _footer_stats(path, staged)
         for f in staged:  # an all-deleted rewrite stages nothing
             if _parquet_rows(path, f) == 0:
@@ -1637,7 +1787,8 @@ def tx_delete(
         read_version,
         stream_txn=stream_txn,
         stats=stats,
-        conflict={"kind": "where", "clauses": [tuple(cl) for cl in where]},
+        # conflict clauses in PHYSICAL names: commit stats are physical
+        conflict={"kind": "where", "clauses": [tuple(cl) for cl in phys_where]},
         dv=dv_commit,
     )
 
@@ -1648,6 +1799,7 @@ def tx_delete_keys(
     keys_df: DataFrame,
     key_cols: Sequence[str],
     stream_txn: tuple[str, int] | None = None,
+    merge_on_read: bool = False,
 ) -> int:
     """DELETE every row whose key appears in ``keys_df`` — the key-set
     twin of the predicate :func:`tx_delete`, and the CDC-apply shape a
@@ -1658,7 +1810,13 @@ def tx_delete_keys(
     a doomed key, only those rewrite (anti-join against the broadcast
     key set), everything else carries over by reference, and the
     key-set bounding box travels as the conflict domain so concurrent
-    key-disjoint appends commute."""
+    key-disjoint appends commute.
+
+    ``merge_on_read=True``: the doomed rows' positions land in a
+    deletion-vector sidecar instead of rewriting the probed files —
+    O(deleted keys) bytes per commit, the right CDC-apply cost for a
+    follower trailing a big table; a file left with no live row drops
+    whole."""
     state = _fold_state(path)
     if state is None:
         raise ValueError(f"tx_delete_keys on a table with no commits: {path}")
@@ -1666,10 +1824,11 @@ def tx_delete_keys(
     snap = snapshot(path, read_version)
     keys_df = keys_df.select(*key_cols).distinct()
 
-    # probe over a RAW read (input_file_name is only defined at the
-    # scan; DV'd-out rows over-approximate, never under)
-    current = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in snap.files]
+    # probe over a DV-free schema-projected read (input_file_name is
+    # only defined at the scan and survives the projection; DV'd-out
+    # rows over-approximate, never under)
+    current = _read_files(
+        spark, path, snap.files, schema_json=state.schema
     )
     affected_paths = {
         r["f"]
@@ -1682,14 +1841,57 @@ def tx_delete_keys(
     affected = sorted({_rel(p) for p in affected_paths})
     assert set(affected) <= set(snap.files)
     added: list[str] = []
+    remove: list[str] = list(affected)
     stats: dict | None = None
-    if affected:
-        base = _read_files(spark, path, affected, snap.dvs)
+    dv_commit: dict | None = None
+    if affected and merge_on_read:
+        base = _read_files(
+            spark, path, affected, snap.dvs,
+            file_pos_cols=("__f", "__p"), schema_json=state.schema,
+        )
+        doomed = base.join(
+            F.broadcast(keys_df), list(key_cols), "left_semi"
+        ).select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
+        existing = {
+            f: s for f, s in (snap.dvs or {}).items() if f in set(affected)
+        }
+        if existing:
+            doomed = doomed.unionByName(
+                _dv_positions_df(spark, path, existing)
+            ).distinct()
+        doomed = doomed.persist()
+        try:
+            per_file = {
+                r["file"]: r["n"]
+                for r in doomed.groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            fully = [
+                f
+                for f in affected
+                if per_file.get(f, 0) == _parquet_rows(path, f)
+            ]
+            dv_files = sorted(
+                (set(per_file) | set(existing)) - set(fully)
+            )
+            if dv_files:
+                sidecar = _stage_dv(
+                    doomed.where(F.col("file").isin(dv_files)), path
+                )
+                dv_commit = {f: sidecar for f in dv_files}
+        finally:
+            doomed.unpersist()
+        remove = fully  # only fully-dead files leave the snapshot
+    elif affected:
+        base = _read_files(
+            spark, path, affected, snap.dvs, schema_json=state.schema
+        )
         kept = _align(
             base.join(F.broadcast(keys_df), list(key_cols), "left_anti"),
             state.schema,
         )
-        staged = _stage_files(kept, path)
+        staged = _stage_files(kept, path, state.schema)
         stats = _footer_stats(path, staged)
         for f in staged:  # an all-deleted rewrite stages nothing
             if _parquet_rows(path, f) == 0:
@@ -1708,11 +1910,14 @@ def tx_delete_keys(
     if bounds["__n"] == 0:
         conflict: dict | None = {"kind": "empty"}
     else:
+        pm = _phys_map(state.schema)
         ranges = {}
         for k in key_cols:
             lo = _norm_stat(bounds[f"__lo_{k}"])
             hi = _norm_stat(bounds[f"__hi_{k}"])
-            ranges[k] = None if lo is None or hi is None else [lo, hi]
+            ranges[pm.get(k, k)] = (
+                None if lo is None or hi is None else [lo, hi]
+            )
         conflict = (
             {"kind": "keys", "ranges": ranges}
             if any(v is not None for v in ranges.values())
@@ -1722,12 +1927,13 @@ def tx_delete_keys(
         path,
         "delete",
         added,
-        affected,
+        remove,
         state.schema,
         read_version,
         stream_txn=stream_txn,
         stats=stats,
         conflict=conflict,
+        dv=dv_commit,
     )
 
 
@@ -1760,19 +1966,22 @@ def tx_replace_where(
     """
     state = _fold_state(path)
     if state is None:
-        files = _stage_files(df, path)
+        schema0 = _assign_ids(df.schema).json()
+        files = _stage_files(df, path, schema0)
         return commit(
             path,
             "replace",
             files,
             [],
-            _schema_json(df),
+            schema0,
             0,
             stats=_footer_stats(path, files),
         )
     read_version = state.version
     df = _check_evolution(state.schema, df)
-    union_schema = _union_schema(state.schema, df)
+    union_schema = _union_schema(
+        state.schema, df, state.properties.get("__retired_phys", ())
+    )
     out = _align(df, union_schema)
     snap = snapshot(path, read_version)
     if where:
@@ -1787,18 +1996,22 @@ def tx_replace_where(
             )
         candidates, _pruned = prune_files(path, where, read_version)
         fstats = snap.stats or {}
+        pm = _phys_map(state.schema)
+        phys_where = [(_phys_clause_col(pm, c), op, v) for c, op, v in where]
         whole = [
             f
             for f in candidates
             if all(
                 _clause_all_match(fstats.get(f), c, op, v)
-                for c, op, v in where
+                for c, op, v in phys_where
             )
         ]
         straddle = [f for f in candidates if f not in set(whole)]
         remove = whole + straddle
         if straddle:
-            sdf = _read_files(spark, path, straddle, snap.dvs)
+            sdf = _read_files(
+                spark, path, straddle, snap.dvs, schema_json=state.schema
+            )
             survivors = _align(
                 sdf.where(~F.coalesce(_where_expr(where), F.lit(False))),
                 union_schema,
@@ -1806,7 +2019,7 @@ def tx_replace_where(
             out = out.unionByName(survivors)
         conflict: dict | None = {
             "kind": "where",
-            "clauses": [tuple(cl) for cl in where],
+            "clauses": [tuple(cl) for cl in phys_where],
         }
     else:
         remove = list(snap.files)
@@ -1814,7 +2027,7 @@ def tx_replace_where(
         # concurrent add equals the serial order replace-then-append,
         # so adds commute (remove-set collisions still abort)
         conflict = {"kind": "empty"}
-    files = _stage_files(out, path)
+    files = _stage_files(out, path, union_schema)
     return commit(
         path,
         "replace",
@@ -1995,6 +2208,8 @@ def tx_evolve_types(
     state = _fold_state(path)
     if state is None:
         raise ValueError(f"tx_evolve_types on a table with no commits: {path}")
+    from pyspark.sql.types import StructField, StructType
+
     read_version = state.version
     snap = snapshot(path, read_version)
     df = read_table(spark, path, read_version)
@@ -2002,15 +2217,104 @@ def tx_evolve_types(
         if col not in df.columns:
             raise ValueError(f"tx_evolve_types: no column '{col}' in {path}")
         df = df.withColumn(col, F.col(col).cast(new_type))
-    files = _stage_files(df, path)
+    # the migrated schema keeps each field's column-mapping metadata
+    # (ids and physical names survive a type migration)
+    by_name = {f.name: f for f in df.schema.fields}
+    old = StructType.fromJson(json.loads(state.schema))
+    migrated = StructType(
+        [
+            StructField(f.name, by_name[f.name].dataType, f.nullable, f.metadata)
+            for f in old.fields
+        ]
+    ).json()
+    files = _stage_files(df, path, migrated)
     return commit(
         path,
         "evolve-rewrite",
         files,
         list(snap.files),
-        _schema_json(df),
+        migrated,
         read_version,
         stats=_footer_stats(path, files),
+    )
+
+
+def tx_rename_column(path: str, old: str, new: str) -> int:
+    """ALTER TABLE RENAME COLUMN — a METADATA-ONLY commit (no data file
+    is read or written): the field keeps its stable id and PHYSICAL
+    name, only the logical name changes, so every existing file —
+    written before or after the rename — reads correctly through the
+    one physical->logical projection, and time travel below the rename
+    reads under the old name (each version projects through its own
+    schema).  Concurrency is strict both ways, like a type migration:
+    the rename aborts if any data commit intervened, and concurrent
+    writers abort against it (they validated and aligned their batches
+    against the old names)."""
+    from pyspark.sql.types import StructField, StructType
+
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_rename_column on a table with no commits: {path}")
+    st = StructType.fromJson(json.loads(state.schema))
+    names = [f.name for f in st.fields]
+    if old not in names:
+        raise ValueError(f"tx_rename_column: no column '{old}' in {path}")
+    if new in names:
+        raise ValueError(
+            f"tx_rename_column: column '{new}' already exists in {path}"
+        )
+    fields = []
+    for i, f in enumerate(st.fields):
+        if f.name != old:
+            fields.append(f)
+            continue
+        md = dict(f.metadata or {})
+        cm = dict(md.get("cm") or {})
+        cm.setdefault("phys", old)  # pre-mapping field: files hold OLD
+        cm.setdefault("id", i)
+        md["cm"] = cm
+        fields.append(StructField(new, f.dataType, f.nullable, md))
+    return commit(
+        path,
+        "rename-column",
+        [],
+        [],
+        StructType(fields).json(),
+        state.version,
+    )
+
+
+def tx_drop_column(path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only: the field leaves the
+    logical schema; its bytes stay in the files but no read projects
+    them, and its PHYSICAL name is RETIRED in the table properties so
+    a later re-add of the same logical name maps to a fresh physical
+    column instead of resurrecting the dropped data (checked by
+    ``_union_schema``).  Time travel below the drop still reads the
+    column.  Concurrency: strict, as for rename."""
+    from pyspark.sql.types import StructType
+
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_drop_column on a table with no commits: {path}")
+    st = StructType.fromJson(json.loads(state.schema))
+    field = next((f for f in st.fields if f.name == name), None)
+    if field is None:
+        raise ValueError(f"tx_drop_column: no column '{name}' in {path}")
+    if len(st.fields) == 1:
+        raise ValueError("tx_drop_column: cannot drop the only column")
+    props = dict(state.properties)
+    retired = list(props.get("__retired_phys", []))
+    retired.append(_field_phys(field))
+    props["__retired_phys"] = retired
+    return commit(
+        path,
+        "drop-column",
+        [],
+        [],
+        StructType([f for f in st.fields if f.name != name]).json(),
+        state.version,
+        properties=props,
     )
 
 
@@ -2105,6 +2409,12 @@ def commit_change_rows(
             )
     c = _read_commit(path, version)
     cols = list(key_cols) + list(content_cols)
+    # column mapping: callers name columns by their CURRENT logical
+    # names; files store stable physical names (identical for any
+    # column never renamed), so translate once via the latest schema
+    state_now = _fold_state(path)
+    pm = _phys_map(state_now.schema) if state_now is not None else {}
+    phys_of = {col: pm.get(col, col) for col in cols}
 
     def load(names: Sequence[str]) -> pd.DataFrame:
         frames = []
@@ -2117,8 +2427,15 @@ def commit_change_rows(
                     "consume the feed sooner"
                 )
             pf = pq.ParquetFile(full)
-            have = [col for col in cols if col in pf.schema_arrow.names]
+            have = [
+                phys_of[col]
+                for col in cols
+                if phys_of[col] in pf.schema_arrow.names
+            ]
             df = pf.read(columns=have).to_pandas()
+            df = df.rename(
+                columns={phys: col for col, phys in phys_of.items()}
+            )
             for col in cols:  # pre-evolution files lack new columns
                 if col not in df.columns:
                     df[col] = None

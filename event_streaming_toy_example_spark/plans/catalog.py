@@ -235,6 +235,9 @@ FAMILY_REP: dict[str, str] = {
     # the feed view of the same DV commit (deletes emitted row-level)
     # stays locally value-replayed with its own oracle
     "tx_feed_dv_deletes": "tx_delete_dv",
+    # column mapping: the post-rename cross-era read hash-checks
+    # locally against an aliased oracle (round 7)
+    "tx_rename_read": "tx_delete_dv",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is

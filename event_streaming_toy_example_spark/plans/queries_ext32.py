@@ -172,14 +172,77 @@ FROM documents
 """
 
 
+def _build_renamed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: half the events appended under the
+    ORIGINAL column names, two metadata-only renames
+    (value -> amount, event_type -> etype), then the other half
+    appended under the NEW names — so the read proves one
+    physical->logical mapping serves files of both eras.  The build
+    asserts the renames touched no data file."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(*_COLS)
+        mid = _max_id(spark, sf_dir) // 2
+        tx.tx_append(ev.where(F.col("event_id") <= mid), tmp)
+        files_before = set(tx.snapshot(tmp).files)
+        tx.tx_rename_column(tmp, "value", "amount")
+        tx.tx_rename_column(tmp, "event_type", "etype")
+        assert set(tx.snapshot(tmp).files) == files_before  # metadata-only
+        late = (
+            ev.where(F.col("event_id") > mid)
+            .withColumnRenamed("value", "amount")
+            .withColumnRenamed("event_type", "etype")
+        )
+        tx.tx_append(late, tmp)
+
+    return stage_dir_once(build, "txtable_rename_v1", sf_dir)
+
+
+def q_tx_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-rename read under the NEW logical names, spanning files
+    written before AND after the rename — hash-equal to the oracle's
+    plain aliased SQL only if the stable-physical-name projection maps
+    every era correctly (VERDICT r6 item 4's done-criterion entry)."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    path = _build_renamed_table(spark, sf_dir)
+    return (
+        tx.read_table(spark, path)
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("amount") * 100).cast("long")).alias(
+                "amount_cents"
+            ),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+SQL_TX_RENAME_READ = """
+SELECT event_type AS etype,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS amount_cents,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events
+GROUP BY event_type
+"""
+
+
 EXT32_QUERIES = {
     "tx_delete_dv": q_tx_delete_dv,
     "tx_feed_dv_deletes": q_tx_feed_dv_deletes,
     "mm_jpeg12_decode": q_mm_jpeg12_decode,
+    "tx_rename_read": q_tx_rename_read,
 }
 
 EXT32_ORACLES = {
     "tx_delete_dv": SQL_TX_DELETE_DV,
     "tx_feed_dv_deletes": SQL_TX_FEED_DV_DELETES,
     "mm_jpeg12_decode": SQL_MM_JPEG12_DECODE,
+    "tx_rename_read": SQL_TX_RENAME_READ,
 }

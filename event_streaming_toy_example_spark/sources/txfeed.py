@@ -319,6 +319,7 @@ def follow_table(
     app_id: str = "txfeed-follower",
     timeout_seconds: float = 300.0,
     max_versions_per_batch: int = 1,
+    merge_on_read: bool = False,
 ):
     """Maintain a FOLLOWER transactional table purely from the source
     table's change feed — the materialized-replica pattern a lakehouse
@@ -341,6 +342,11 @@ def follow_table(
 
     The follower must exist (``tx_append`` an empty or seed snapshot
     first), mirroring ``tx_upsert_stream``'s explicit-create contract.
+    ``merge_on_read=True`` applies each batch with deletion vectors
+    (``tx_delete_keys``/``tx_upsert`` MOR modes): per batch the
+    follower commits O(changed keys) bytes instead of rewriting every
+    probed file — the right cost model for a replica trailing a large
+    table; run ``tx_compact`` periodically to fold the DVs away.
 
     BLOCKING: drives the query with ``processAllAvailable`` until the
     feed has delivered every commit available at call time, then stops
@@ -399,6 +405,7 @@ def follow_table(
                     dels,
                     keys,
                     stream_txn=None if has_ups else (app_id, int(end_v)),
+                    merge_on_read=merge_on_read,
                 )
             if has_ups:
                 tx.tx_upsert(
@@ -408,6 +415,7 @@ def follow_table(
                     keys=keys,
                     order_by=["version"],
                     stream_txn=(app_id, int(end_v)),
+                    merge_on_read=merge_on_read,
                 )
         finally:
             finals.unpersist()

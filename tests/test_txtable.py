@@ -632,12 +632,12 @@ def test_upsert_commutes_with_key_disjoint_concurrent_append(
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
+    def hook(df, path_, schema_json=None):
         if not fired["done"]:
             fired["done"] = True
             # concurrent ingest append, far away in key space
             tx.tx_append(_df(spark, [(100, 1, "ingest")]).coalesce(1), p)
-        return orig(df, path_)
+        return orig(df, path_, schema_json)
 
     monkeypatch.setattr(tx, "_stage_files", hook)
     v = tx.tx_upsert(spark, p, _df(spark, [(1, 5, "a5")]), ["k"], ["ts"])
@@ -661,11 +661,11 @@ def test_upsert_aborts_on_key_overlapping_concurrent_append(
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
+    def hook(df, path_, schema_json=None):
         if not fired["done"]:
             fired["done"] = True
             tx.tx_append(_df(spark, [(1, 9, "race")]).coalesce(1), p)
-        return orig(df, path_)
+        return orig(df, path_, schema_json)
 
     monkeypatch.setattr(tx, "_stage_files", hook)
     with pytest.raises(tx.ConcurrentWriteError, match="disjoint"):
@@ -685,11 +685,11 @@ def test_delete_commutes_with_predicate_disjoint_append(
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
+    def hook(df, path_, schema_json=None):
         if not fired["done"]:
             fired["done"] = True
             tx.tx_append(_df(spark, [(100, 1, "new")]).coalesce(1), p)
-        return orig(df, path_)
+        return orig(df, path_, schema_json)
 
     monkeypatch.setattr(tx, "_stage_files", hook)
     # straddling delete (forces a staged rewrite, so the hook fires)
@@ -710,11 +710,11 @@ def test_delete_aborts_on_predicate_matching_append(
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
+    def hook(df, path_, schema_json=None):
         if not fired["done"]:
             fired["done"] = True
             tx.tx_append(_df(spark, [(6, 9, "late")]).coalesce(1), p)
-        return orig(df, path_)
+        return orig(df, path_, schema_json)
 
     monkeypatch.setattr(tx, "_stage_files", hook)
     with pytest.raises(tx.ConcurrentWriteError, match="disjoint"):
@@ -885,11 +885,11 @@ def test_full_replace_commutes_with_concurrent_append(
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
+    def hook(df, path_, schema_json=None):
         if not fired["done"]:
             fired["done"] = True
             tx.tx_append(_df(spark, [(7, 1, "late")]).coalesce(1), p)
-        return orig(df, path_)
+        return orig(df, path_, schema_json)
 
     monkeypatch.setattr(tx, "_stage_files", hook)
     tx.tx_replace_where(spark, p, _df(spark, [(2, 1, "b")]))
@@ -1207,8 +1207,8 @@ def test_replace_where_aborts_on_region_overlapping_append(
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
-        out = orig(df, path_)
+    def hook(df, path_, schema_json=None):
+        out = orig(df, path_, schema_json)
         if not fired["done"]:
             fired["done"] = True
             tx.tx_append(_df(spark, [(5, 9, "late")]).coalesce(1), p)
@@ -1235,8 +1235,8 @@ def test_replace_where_commutes_with_region_disjoint_append(
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
-        out = orig(df, path_)
+    def hook(df, path_, schema_json=None):
+        out = orig(df, path_, schema_json)
         if not fired["done"]:
             fired["done"] = True
             tx.tx_append(_df(spark, [(100, 9, "far")]).coalesce(1), p)
@@ -1259,8 +1259,8 @@ def test_full_replace_commutes_with_any_append(spark, tmp_path, monkeypatch):
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
-        out = orig(df, path_)
+    def hook(df, path_, schema_json=None):
+        out = orig(df, path_, schema_json)
         if not fired["done"]:
             fired["done"] = True
             tx.tx_append(_df(spark, [(2, 9, "late")]).coalesce(1), p)

@@ -192,11 +192,11 @@ def test_occ_dv_commit_conflicts_with_rewriters(spark, tmp_path, monkeypatch):
     orig = tx._stage_files
     fired = {"done": False}
 
-    def hook(df, path_):
+    def hook(df, path_, schema_json=None):
         if not fired["done"]:
             fired["done"] = True
             tx.tx_delete(spark, p, [("k", "=", 3)], merge_on_read=True)
-        return orig(df, path_)
+        return orig(df, path_, schema_json)
 
     monkeypatch.setattr(tx, "_stage_files", hook)
     with pytest.raises(tx.ConcurrentWriteError, match="deletion-vectored"):
@@ -226,3 +226,59 @@ def test_delete_keys_and_replace_where_read_through_dvs(spark, tmp_path):
     tx.tx_replace_where(spark, p, repl, [("k", ">=", 4), ("k", "<", 6)])
     ks = [(r[0], r[2]) for r in _content(spark, p)]
     assert (4, "four") in ks and (19, "r19") not in ks and (5, "r5") not in ks
+
+
+def test_mor_delete_keys_matches_cow(spark, tmp_path):
+    """The key-set delete's merge-on-read mode: O(deleted keys) sidecar,
+    no rewrite, same answer as the copy-on-write mode."""
+    p_mor = str(tmp_path / "mor")
+    p_cow = str(tmp_path / "cow")
+    for p in (p_mor, p_cow):
+        tx.tx_append(_df(spark, _rows(50)).coalesce(2), p)
+    doomed = spark.createDataFrame([(3,), (17,), (33,)], "k int")
+    tx.tx_delete_keys(spark, p_mor, doomed, ["k"], merge_on_read=True)
+    tx.tx_delete_keys(spark, p_cow, doomed, ["k"])
+    assert _content(spark, p_mor) == _content(spark, p_cow)
+    c = tx.read_log(p_mor)[-1]
+    assert c.add == () and c.remove == ()
+    total_dv = sum(
+        _sidecar_rows(p_mor, s) for s in set(c.dv.values())
+    )
+    assert total_dv == 3
+    # change feed emits exactly the three deletes
+    rows = tx.commit_change_rows(p_mor, 2, ["k"], ["v"])
+    assert sorted(r[0] for r in rows) == [3, 17, 33]
+    assert all(r[-2] == "delete" for r in rows)
+
+
+def test_follower_merge_on_read_replicates_exactly(spark, tmp_path):
+    """A follower applying the feed with deletion vectors must
+    replicate the source row-exactly while committing no rewrites for
+    deletes (DV-borne) — the O(delta) CDC-apply cost model."""
+    from event_streaming_toy_example_spark.sources import txfeed
+
+    src = str(tmp_path / "src")
+    fol = str(tmp_path / "fol")
+    tx.tx_append(_df(spark, _rows(20)).coalesce(1), src)
+    tx.tx_upsert(
+        spark, src, _df(spark, [(2, 9, "up2"), (77, 1, "new")]), ["k"], ["ts"]
+    )
+    tx.tx_delete(spark, src, [("k", ">=", 10), ("k", "<", 13)])
+    tx.tx_append(
+        spark.createDataFrame([], "k int, v string, version long"), fol
+    )
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck"), key="k", content_cols=["v"],
+        merge_on_read=True,
+    )
+    src_rows = sorted(
+        (r["k"], r["v"]) for r in tx.read_table(spark, src).collect()
+    )
+    fol_rows = sorted(
+        (r["k"], r["v"]) for r in tx.read_table(spark, fol).collect()
+    )
+    assert fol_rows == src_rows
+    # the follower's delete batch committed through a DV, not a rewrite
+    deletes = [c for c in tx.read_log(fol) if c.action == "delete"]
+    assert deletes and all(c.dv for c in deletes)
+    assert all(c.add == () for c in deletes)

@@ -71,6 +71,7 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             [
                 "append", "append", "upsert", "compact", "vacuum",
                 "delete", "expire", "replace", "delete_keys", "restore",
+                "rename",
             ]
         )
         if op == "restore" and history:
@@ -154,6 +155,16 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 ["k"],
             )
             applied = [r for r in applied if r[0] not in set(doomed)]
+            history[tx.table_version(p)] = sorted(applied)
+        elif op == "rename":
+            # metadata-only round trip: v -> vtmp -> v.  The model is
+            # untouched (same rows, same final names) but the two
+            # commits thread the column-mapping fold through every
+            # later checkpoint/expire/restore/vacuum in the walk.  The
+            # intermediate version is deliberately NOT recorded in
+            # history (its reads answer under the temporary name).
+            tx.tx_rename_column(p, "v", "vtmp")
+            tx.tx_rename_column(p, "vtmp", "v")
             history[tx.table_version(p)] = sorted(applied)
         elif op == "compact":
             v = tx.tx_compact(spark, p, target_bytes=1 << 30)
