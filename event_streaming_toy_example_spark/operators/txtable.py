@@ -2070,6 +2070,7 @@ def tx_upsert_stream(
     order_by: Sequence[str],
     app_id: str,
     available_now: bool = True,
+    merge_on_read: bool = False,
 ):
     """Streaming MERGE sink committing through the unified log — the
     ``streaming/upsert_sink.py`` semantics (newest per key, changes
@@ -2096,6 +2097,7 @@ def tx_upsert_stream(
             keys,
             order_by,
             stream_txn=(app_id, batch_id),
+            merge_on_read=merge_on_read,
         )
 
     writer = changes.writeStream.foreachBatch(_merge).option(
