@@ -1077,7 +1077,7 @@ def test_evolve_types_migration_and_occ_supersedes(spark, tmp_path):
     files = tx._stage_files(
         spark.createDataFrame([(9, 9.0, "z")], "k int, ts double, v string"), p
     )
-    with pytest.raises(tx.ConcurrentWriteError, match="schema rewrite"):
+    with pytest.raises(tx.ConcurrentWriteError, match="evolve-rewrite"):
         tx.commit(p, "append", files, [], tx.read_log(p)[1].schema, 1)
 
 
