@@ -70,6 +70,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -113,6 +114,9 @@ class Commit:
     schema: str
     read_version: int
     txn: str
+    #: wall-clock publish time (epoch seconds) for AS-OF-timestamp time
+    #: travel; None on commits written before the field existed
+    ts: float | None = None
     #: (app_id, batch_id) for commits made by a streaming sink — the
     #: idempotence token that makes micro-batch replay exactly-once
     #: (same mechanism as Delta's txn action: a replayed batch finds
@@ -201,6 +205,7 @@ def _read_commit(path: str, version: int) -> Commit:
         stats=c.get("stats"),
         properties=c.get("properties"),
         dv=c.get("dv"),
+        ts=c.get("ts"),
     )
 
 
@@ -369,6 +374,7 @@ def _read_files(
     dvs: dict | None = None,
     file_pos_cols: tuple[str, str] | None = None,
     schema_json: str | None = None,
+    _force_join: bool = False,
 ) -> DataFrame:
     """Read an EXPLICIT file list with ``mergeSchema``, applying any
     live deletion vectors: rows whose ``(file, row-position)`` is in a
@@ -382,7 +388,30 @@ def _read_files(
     schema order, null-filling columns no scanned file carries yet.
     ``file_pos_cols`` keeps the (table-relative file, position) under
     the given names for callers that need row identity (the MOR
-    writers); otherwise the result schema equals a plain read."""
+    writers); otherwise the result schema equals a plain read.
+
+    Only the files that actually CARRY a deletion vector pay the
+    metadata-projection + anti-join tax: when no row identity is
+    requested, the scan splits into a plain read of the clean files
+    unioned with the DV-filtered read of the holed ones — so a table
+    where one file in a thousand has holes reads 999 files at plain
+    cost (plan pinned in ``tests/test_plans.py``)."""
+    dv_map_all = {f: s for f, s in (dvs or {}).items() if f in set(files)}
+    if dv_map_all and file_pos_cols is None and not _force_join:
+        clean = [f for f in files if f not in dv_map_all]
+        holed = [f for f in files if f in dv_map_all]
+        holed_df = _read_files(
+            spark, path, holed, dvs, file_pos_cols=None,
+            schema_json=schema_json, _force_join=True,
+        )
+        if not clean:
+            return holed_df
+        clean_df = _read_files(
+            spark, path, clean, dvs=None, schema_json=schema_json
+        )
+        return clean_df.unionByName(
+            holed_df, allowMissingColumns=schema_json is None
+        )
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in files]
     )
@@ -430,6 +459,7 @@ def read_table(
     path: str,
     version: int | None = None,
     where: Sequence[tuple] | None = None,
+    as_of: float | None = None,
 ) -> DataFrame | None:
     """Snapshot read with time travel.  Reads the snapshot's EXPLICIT
     file list (never a directory listing), with ``mergeSchema`` so
@@ -440,7 +470,15 @@ def read_table(
     files whose logged stats prove no match are never opened
     (:func:`prune_files`), and the clauses are ALSO applied as a real
     row filter, so the result is identical to filtering a full read —
-    just cheaper."""
+    just cheaper.
+
+    ``as_of`` — TIMESTAMP time travel (epoch seconds): resolves to the
+    newest version published at or before that instant
+    (:func:`version_as_of`); mutually exclusive with ``version``."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("read_table: pass version OR as_of, not both")
+        version = version_as_of(path, as_of)
     snap = snapshot(path, version)
     if snap is None:
         return None
@@ -455,6 +493,40 @@ def read_table(
         return spark.createDataFrame([], StructType.fromJson(json.loads(snap.schema)))
     df = _read_files(spark, path, files, snap.dvs, schema_json=snap.schema)
     return df.where(_where_expr(where)) if where else df
+
+
+def version_as_of(path: str, ts: float) -> int:
+    """Newest committed version whose publish time is at or before
+    ``ts`` (epoch seconds) — Delta's TIMESTAMP AS OF resolution over
+    the retained log.  Commits written before the ``ts`` field existed
+    fall back to their commit file's mtime.  Raises
+    :class:`VersionExpiredError` when the answer would predate the
+    retained history, and ``ValueError`` when ``ts`` predates the
+    oldest retained commit entirely."""
+    commits, _ = _list_log(path)
+    if not commits:
+        raise ValueError(f"version_as_of on a table with no commits: {path}")
+    best = None
+    for v in commits:
+        c = _read_commit(path, v)
+        cts = c.ts
+        if cts is None:
+            try:
+                cts = os.path.getmtime(_commit_path(path, v))
+            except OSError:
+                continue
+        if cts <= ts:
+            best = v
+    if best is None:
+        if oldest_readable_version(path) > 1:
+            raise VersionExpiredError(
+                f"no retained commit at or before ts={ts} in {path}: "
+                "history before the oldest retained commit was expired"
+            )
+        raise ValueError(
+            f"ts={ts} predates the table's first commit at {path}"
+        )
+    return best
 
 
 def table_version(path: str) -> int:
@@ -1178,6 +1250,7 @@ def commit(
                 "schema": commit_schema,
                 "read_version": read_version,
                 "txn": uuid.uuid4().hex,
+                "ts": _time.time(),
                 "stream_txn": list(stream_txn) if stream_txn else None,
                 "stats": stats,
                 "properties": properties,
@@ -2342,6 +2415,7 @@ def history(path: str) -> list[dict]:
             {
                 "version": c.version,
                 "action": c.action,
+                "ts": c.ts,
                 "n_added": len(c.add),
                 "n_removed": len(c.remove),
                 "rows_added": rows,
@@ -2567,8 +2641,6 @@ def vacuum(
     orphans pass 0 explicitly).  The window composes with
     :func:`expire_log`: the retention scan is clamped to the oldest
     still-readable version instead of crashing on expired history."""
-    import time as _time
-
     current = table_version(path)
     if current == 0:
         return []

@@ -448,6 +448,17 @@ def test_dv_read_is_broadcast_anti_join_with_pushdown(spark, tmp_path):
     shuffles = plan.count("Exchange ") - bcast
     assert shuffles == 0, plan
     assert bcast == 1, plan
+    # split read: on a FULL read (the where above prunes the clean
+    # file away entirely) only the HOLED file's scan pays the
+    # anti-join; the clean file unions in at plain-scan cost
+    full_plan = (
+        tx.read_table(spark, p)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" in full_plan, full_plan
+    assert full_plan.count("BroadcastHashJoin") == 1, full_plan
     fmt = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"

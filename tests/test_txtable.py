@@ -1269,3 +1269,43 @@ def test_full_replace_commutes_with_any_append(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(tx, "_stage_files", hook)
     tx.tx_replace_where(spark, p, _df(spark, [(7, 1, "seven")]), None)
     assert _content(spark, p) == [(2, 9, "late"), (7, 1, "seven")]
+
+
+# ----------------------------------------- AS-OF-timestamp travel (r7)
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: each commit records its publish time; reads
+    resolve to the newest version at or before the asked instant, and
+    pre-field commits fall back to file mtime."""
+    import time
+
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    t1 = time.time()
+    time.sleep(0.05)
+    tx.tx_append(_df(spark, [(2, 1, "b")]), p)
+    t2 = time.time()
+    assert tx.version_as_of(p, t1) == 1
+    assert tx.version_as_of(p, t2) == 2
+    assert tx.version_as_of(p, time.time() + 3600) == 2
+    assert _content(spark, p, version=None) == [(1, 1, "a"), (2, 1, "b")]
+    old = tx.read_table(spark, p, as_of=t1)
+    assert sorted(tuple(r) for r in old.collect()) == [(1, 1, "a")]
+    with pytest.raises(ValueError, match="predates"):
+        tx.version_as_of(p, 1.0)
+    with pytest.raises(ValueError, match="not both"):
+        tx.read_table(spark, p, version=1, as_of=t1)
+    # history surfaces the publish time
+    hs = tx.history(p)
+    assert all(h["ts"] is not None for h in hs)
+    # pre-field commits (no "ts" key) fall back to mtime
+    import json as _json
+
+    cpath = tx._commit_path(p, 1)
+    body = _json.loads(open(cpath).read())
+    orig_ts = body.pop("ts")
+    with open(cpath, "w") as f:
+        _json.dump(body, f)
+    os.utime(cpath, (orig_ts, orig_ts))  # keep the original publish time
+    assert tx.version_as_of(p, t1) == 1  # mtime fallback still resolves

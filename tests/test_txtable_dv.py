@@ -282,3 +282,57 @@ def test_follower_merge_on_read_replicates_exactly(spark, tmp_path):
     deletes = [c for c in tx.read_log(fol) if c.action == "delete"]
     assert deletes and all(c.dv for c in deletes)
     assert all(c.add == () for c in deletes)
+
+
+def test_concurrent_mor_deletes_on_same_file_abort_not_resurrect(
+    spark, tmp_path, monkeypatch
+):
+    """Two racing merge-on-read deletes against the SAME file must not
+    both commit: each sidecar is cumulative, so the loser's (built
+    without the winner's holes) would silently RESURRECT them.  The
+    loser aborts; a retry sees the winner's DV and unions correctly."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, _rows(20)).coalesce(1), p)
+
+    orig = tx._stage_dv
+    fired = {"done": False}
+
+    def hook(df, path_):
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_delete(spark, p, [("k", "=", 15)], merge_on_read=True)
+        return orig(df, path_)
+
+    monkeypatch.setattr(tx, "_stage_dv", hook)
+    with pytest.raises(tx.ConcurrentWriteError, match="deletion-vectored"):
+        tx.tx_delete(spark, p, [("k", "<", 3)], merge_on_read=True)
+    monkeypatch.undo()
+    # winner's hole intact; retry composes both deletes cumulatively
+    assert [r[0] for r in _content(spark, p)] == [
+        i for i in range(20) if i != 15
+    ]
+    tx.tx_delete(spark, p, [("k", "<", 3)], merge_on_read=True)
+    assert [r[0] for r in _content(spark, p)] == [
+        i for i in range(3, 20) if i != 15
+    ]
+
+
+def test_split_read_mixed_clean_and_holed_files(spark, tmp_path):
+    """The split DV read (clean files plain + holed files anti-joined)
+    must return exactly the same rows as before the optimization, for
+    every mix of clean/holed files and under time travel."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, _rows(10)).coalesce(1), p)
+    tx.tx_append(_df(spark, [(i, 1, f"x{i}") for i in range(50, 60)]).coalesce(1), p)
+    tx.tx_append(_df(spark, [(i, 1, f"y{i}") for i in range(90, 95)]).coalesce(1), p)
+    tx.tx_delete(spark, p, [("k", "=", 52)], merge_on_read=True)
+    ks = [r[0] for r in _content(spark, p)]
+    assert ks == [i for i in list(range(10)) + list(range(50, 60)) + list(range(90, 95)) if i != 52]
+    # every file holed -> pure anti-join path
+    tx.tx_delete(spark, p, [("k", "in", (0, 91))], merge_on_read=True)
+    tx.tx_delete(spark, p, [("k", "=", 55)], merge_on_read=True)
+    ks = [r[0] for r in _content(spark, p)]
+    assert 0 not in ks and 91 not in ks and 55 not in ks and 52 not in ks
+    assert len(ks) == 25 - 4
+    # time travel before the holes
+    assert len(_content(spark, p, version=3)) == 25
