@@ -47,6 +47,25 @@ except ImportError:  # pragma: no cover - older runtime
     SimpleDataSourceStreamReader = None  # type: ignore[assignment]
 
 
+def _resolve_start(table_path: str, options: dict) -> int:
+    """The feed's starting offset: ``fromVersion`` (deliver changes
+    AFTER this version), or ``fromTimestamp`` (epoch seconds — deliver
+    changes committed AFTER that instant, resolved against the
+    retained log via :func:`txtable.version_as_of`); default 0 = since
+    table creation."""
+    if "fromtimestamp" in options:
+        if options.get("fromversion", "0") != "0":
+            raise ValueError(
+                "tx_change_feed: pass fromVersion OR fromTimestamp, not both"
+            )
+        ts = float(options["fromtimestamp"])
+        try:
+            return tx.version_as_of(table_path, ts)
+        except ValueError:
+            return 0  # predates the first commit: deliver everything
+    return int(options.get("fromversion", "0"))
+
+
 def _feed_schema(table_path: str, keys: Sequence[str], content: Sequence[str]):
     """The feed's typed schema, derived from the table's LOGGED schema:
     key + content fields keep their table types, plus ``change_type``
@@ -89,7 +108,7 @@ if SimpleDataSourceStreamReader is not None:
             self.path = options["path"]
             self.keys = options["keys"].split(",")
             self.content = options["contentcols"].split(",")
-            self.start = int(options.get("fromversion", "0"))
+            self.start = _resolve_start(self.path, options)
             self.per_batch = int(options.get("maxversionsperbatch", "1"))
 
         def initialOffset(self) -> dict:
@@ -177,7 +196,7 @@ if DataSourceStreamReader is not None:
             self.path = options["path"]
             self.keys = options["keys"].split(",")
             self.content = options["contentcols"].split(",")
-            self.start_version = int(options.get("fromversion", "0"))
+            self.start_version = _resolve_start(self.path, options)
             #: admission control (0 = unbounded): ``latestOffset`` has
             #: no argument to learn the batch start from, so the reader
             #: SELF-caps — a month-long backfill becomes
@@ -296,17 +315,20 @@ def read_change_feed_stream(
     content_cols: Sequence[str],
     from_version: int = 0,
     max_versions_per_batch: int = 1,
+    from_timestamp: float | None = None,
 ) -> DataFrame:
     register_tx_feed_source(spark)
-    return (
+    reader = (
         spark.readStream.format("tx_change_feed")
         .option("path", table_path)
         .option("keys", ",".join(keys))
         .option("contentCols", ",".join(content_cols))
         .option("fromVersion", str(from_version))
         .option("maxVersionsPerBatch", str(max_versions_per_batch))
-        .load()
     )
+    if from_timestamp is not None:
+        reader = reader.option("fromTimestamp", str(from_timestamp))
+    return reader.load()
 
 
 def follow_table(

@@ -369,3 +369,38 @@ def test_dist_feed_self_caps_batch_size(spark, tmp_path):
     batches.clear()
     run()
     assert batches == [[11]]
+
+
+def test_feed_from_timestamp_starts_after_that_instant(spark, tmp_path):
+    """fromTimestamp: the feed delivers only commits published AFTER
+    the given instant (resolved via the commit publish times the log
+    now records)."""
+    import time
+
+    p = str(tmp_path / "src")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    tx.tx_append(_df(spark, [(2, 1, "b")]), p)
+    cut = time.time()
+    time.sleep(0.05)
+    tx.tx_append(_df(spark, [(3, 1, "c")]), p)
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r["k"], r["version"]) for r in batch_df.collect()
+        )
+
+    q = (
+        txfeed.read_change_feed_stream(
+            spark, p, ["k"], ["v"], from_timestamp=cut
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    assert seen == [(3, 3)]  # versions 1-2 predate the cut
