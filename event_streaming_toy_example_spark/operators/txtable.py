@@ -529,6 +529,21 @@ def version_as_of(path: str, ts: float) -> int:
     return best
 
 
+def _current_schema(path: str) -> str | None:
+    """The table's CURRENT schema in O(1) log reads (the fold takes the
+    last commit's schema, so reading just that commit — or the newest
+    checkpoint when it is newer than every retained commit — gives the
+    same answer without folding the tail).  The change feed calls this
+    once per commit read; folding there would be O(tail) per call."""
+    commits, checkpoints = _list_log(path)
+    newest_cp = checkpoints[-1] if checkpoints else 0
+    if commits and commits[-1] >= newest_cp:
+        return _read_commit(path, commits[-1]).schema
+    if newest_cp:
+        return _load_checkpoint(path, newest_cp)["schema"]
+    return None
+
+
 def table_version(path: str) -> int:
     commits, checkpoints = _list_log(path)
     return max(commits[-1] if commits else 0,
@@ -2488,8 +2503,9 @@ def commit_change_rows(
     # column mapping: callers name columns by their CURRENT logical
     # names; files store stable physical names (identical for any
     # column never renamed), so translate once via the latest schema
-    state_now = _fold_state(path)
-    pm = _phys_map(state_now.schema) if state_now is not None else {}
+    # (O(1) log reads — this is the feed's per-commit hot path)
+    cur_schema = _current_schema(path)
+    pm = _phys_map(cur_schema) if cur_schema else {}
     phys_of = {col: pm.get(col, col) for col in cols}
 
     def load(names: Sequence[str]) -> pd.DataFrame:

@@ -214,3 +214,42 @@ def test_object_store_lost_race_returns_false():
     assert s.put_if_absent("/a/b", b"y") is False
     assert s.read_bytes("/a/b") == b"x"
     assert s.list_dir("/a") == ["b"]
+
+
+def test_many_writer_storm_all_commits_land_contiguously(mounted):
+    """8 threads x 5 appends each race through the in-memory store
+    with NO coordination beyond put-if-absent: every commit must land,
+    versions must be contiguous 1..40, and the fold must hold all 40
+    files — the protocol's liveness under real contention (each lost
+    race re-validates and retries; appends always commute)."""
+    import threading
+
+    prefix, store = mounted
+    p = f"{prefix}/storm"
+    schema = _schema_json()
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for i in range(5):
+                read_v = tx.table_version(p)
+                tx.commit(
+                    p, "append", [f"data/w{wid}_{i}.parquet"], [],
+                    schema, read_v,
+                )
+        except Exception as e:  # pragma: no cover - failure evidence
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    log = tx.read_log(p)
+    assert [c.version for c in log] == list(range(1, 41))
+    snap = tx.snapshot(p)
+    assert len(snap.files) == 40
+    assert {f"data/w{w}_{i}.parquet" for w in range(8) for i in range(5)} == set(
+        snap.files
+    )
