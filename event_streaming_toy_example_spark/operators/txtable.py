@@ -1,7 +1,13 @@
 """Unified transactional table: ONE commit log for append, MERGE
-upsert, predicate DELETE, compaction, and schema evolution, with
-snapshot isolation, time travel, optimistic concurrency, per-file
-data-skipping statistics, and vacuum.
+upsert, predicate/key DELETE, REPLACE WHERE, compaction, and schema
+evolution, with snapshot isolation, time travel (by version AND by
+timestamp), optimistic concurrency with file/range-disjoint conflict
+detection, per-file data-skipping statistics, declared partition
+transforms, DELETION VECTORS (merge-on-read), COLUMN MAPPING
+(metadata-only rename/drop via stable physical names), RESTORE, log
+checkpoints + expiry, a streaming change-data-feed, a pluggable
+LogStore (the commit protocol needs only atomic put-if-absent — POSIX
+link(2) default, object-store conditional PUT), and vacuum.
 
 Round 4 left the engine with three separately crash-tested commit
 protocols — the compaction manifest (``operators/compaction.py``),
@@ -503,8 +509,16 @@ def version_as_of(path: str, ts: float) -> int:
     :class:`VersionExpiredError` when the answer would predate the
     retained history, and ``ValueError`` when ``ts`` predates the
     oldest retained commit entirely."""
-    commits, _ = _list_log(path)
+    commits, checkpoints = _list_log(path)
     if not commits:
+        if checkpoints:
+            # every commit file was expired into a checkpoint: the
+            # publish times are gone with them — loud, typed, actionable
+            raise VersionExpiredError(
+                f"version_as_of({ts}) at {path}: all commit files were "
+                "expired into a checkpoint, so publish times are not "
+                "retained; travel by VERSION instead"
+            )
         raise ValueError(f"version_as_of on a table with no commits: {path}")
     best = None
     for v in commits:

@@ -1309,3 +1309,22 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         _json.dump(body, f)
     os.utime(cpath, (orig_ts, orig_ts))  # keep the original publish time
     assert tx.version_as_of(p, t1) == 1  # mtime fallback still resolves
+
+
+def test_version_as_of_fully_expired_log_is_loud(spark, tmp_path):
+    """When every commit file was expired into a checkpoint, the
+    publish times are gone — AS OF must raise the typed expiry error,
+    not a generic 'no commits'."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a")]), p)
+    tx.tx_append(_df(spark, [(2, 1, "b")]), p)
+    tx.expire_log(p, before_version=2)  # checkpoint at 2, drops 1..2
+    commits, checkpoints = tx._list_log(p)
+    if commits:  # layout keeps a tail commit: not the edge under test
+        import pytest as _pytest
+
+        _pytest.skip("log layout retained commit files")
+    import time
+
+    with pytest.raises(tx.VersionExpiredError, match="publish times"):
+        tx.version_as_of(p, time.time())
