@@ -598,6 +598,64 @@ def table_properties(path: str) -> dict:
     return dict(state.properties) if state is not None else {}
 
 
+# ------------------------------------------------- CHECK constraints
+#
+# ALTER TABLE ADD CONSTRAINT semantics: named boolean SQL expressions
+# stored in the table properties (``__constraints``) that every WRITE
+# batch must satisfy — append, MERGE changes, and REPLACE batches are
+# all validated before staging (one pushdown-friendly ``where NOT
+# expr`` probe per constraint, bounded by ``limit(1)``), and adding a
+# constraint first proves the EXISTING data satisfies it.  NULL
+# results follow SQL CHECK semantics: only a provably-FALSE row
+# violates.  Enforcement cost is O(batch scan), never O(table).
+
+
+def _check_constraints(df: DataFrame, properties: dict, what: str) -> None:
+    cons = (properties or {}).get("__constraints") or {}
+    for name, expr in sorted(cons.items()):
+        bad = df.where(~F.coalesce(F.expr(expr), F.lit(True))).limit(1)
+        rows = bad.collect()
+        if rows:
+            raise ValueError(
+                f"CHECK constraint '{name}' ({expr}) violated by {what}: "
+                f"example row {rows[0].asDict()}"
+            )
+
+
+def tx_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ADD CONSTRAINT ``name`` CHECK (``expr``): proves the CURRENT
+    table satisfies the expression (one pruned scan), then records it
+    as a metadata-only commit; every later write batch is validated
+    against it before staging."""
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_add_constraint on a table with no commits: {path}")
+    cons = dict((state.properties or {}).get("__constraints") or {})
+    if name in cons:
+        raise ValueError(f"constraint '{name}' already exists on {path}")
+    current = read_table(spark, path, state.version)
+    _check_constraints(
+        current, {"__constraints": {name: expr}}, "the existing table data"
+    )
+    cons[name] = expr
+    return tx_set_properties(path, {"__constraints": cons})
+
+
+def tx_drop_constraint(path: str, name: str) -> int:
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_drop_constraint on a table with no commits: {path}")
+    cons = dict((state.properties or {}).get("__constraints") or {})
+    if name not in cons:
+        raise ValueError(f"no constraint '{name}' on {path}")
+    del cons[name]
+    return tx_set_properties(
+        path, {"__constraints": cons if cons else None}
+    )
+
+
 def oldest_readable_version(path: str) -> int:
     """Smallest version :func:`snapshot` can still resolve: 1 while the
     full commit history is retained, else the oldest surviving
@@ -1489,6 +1547,7 @@ def tx_append(
         )
     read_version = state.version
     df = _check_evolution(state.schema, df)
+    _check_constraints(df, state.properties, "the append batch")
     union = _union_schema(
         state.schema, df, state.properties.get("__retired_phys", ())
     )
@@ -1594,6 +1653,7 @@ def tx_upsert(
     )
     dv_commit: dict | None = None
     changes = _align(changes, union_schema)
+    _check_constraints(changes, state.properties, "the MERGE batch")
     change_keys = F.broadcast(changes.select(*keys).distinct())
     if merge_on_read and affected:
         # DV the LIVE rows holding changed keys; merge only those with
@@ -2085,6 +2145,7 @@ def tx_replace_where(
         state.schema, df, state.properties.get("__retired_phys", ())
     )
     out = _align(df, union_schema)
+    _check_constraints(out, state.properties, "the REPLACE batch")
     snap = snapshot(path, read_version)
     if where:
         stray = out.where(

@@ -1328,3 +1328,46 @@ def test_version_as_of_fully_expired_log_is_loud(spark, tmp_path):
 
     with pytest.raises(tx.VersionExpiredError, match="publish times"):
         tx.version_as_of(p, time.time())
+
+
+# ------------------------------------------- CHECK constraints (r7)
+
+
+def test_check_constraints_guard_every_write_path(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, 1, "a"), (2, 2, "b")]), p)
+    tx.tx_add_constraint(spark, p, "ts_positive", "ts > 0")
+    assert "ts_positive" in tx.table_properties(p)["__constraints"]
+    # violating APPEND refused before staging; table untouched
+    with pytest.raises(ValueError, match="ts_positive"):
+        tx.tx_append(_df(spark, [(3, 0, "bad")]), p)
+    # NULL follows SQL CHECK: not a violation
+    tx.tx_append(
+        spark.createDataFrame([(4, None, "ok")], "k int, ts int, v string"), p
+    )
+    # violating MERGE refused
+    with pytest.raises(ValueError, match="ts_positive"):
+        tx.tx_upsert(spark, p, _df(spark, [(1, -5, "bad")]), ["k"], ["ts"])
+    # violating REPLACE refused
+    with pytest.raises(ValueError, match="ts_positive"):
+        tx.tx_replace_where(
+            spark, p, _df(spark, [(1, -1, "bad")]), [("k", "=", 1)]
+        )
+    # passing writes flow
+    tx.tx_upsert(spark, p, _df(spark, [(1, 9, "a9")]), ["k"], ["ts"])
+    rows = {r["k"]: r["ts"] for r in tx.read_table(spark, p).collect()}
+    assert rows[1] == 9 and rows[4] is None
+    # drop releases the gate
+    tx.tx_drop_constraint(p, "ts_positive")
+    tx.tx_append(_df(spark, [(5, 0, "now ok")]), p)
+    assert (5, 0, "now ok") in _content(spark, p)
+
+
+def test_add_constraint_refuses_when_existing_data_violates(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(1, -1, "old")]), p)
+    with pytest.raises(ValueError, match="existing table data"):
+        tx.tx_add_constraint(spark, p, "ts_positive", "ts > 0")
+    assert "__constraints" not in tx.table_properties(p)
+    with pytest.raises(ValueError, match="no constraint"):
+        tx.tx_drop_constraint(p, "ts_positive")
