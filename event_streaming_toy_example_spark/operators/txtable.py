@@ -84,6 +84,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from event_streaming_toy_example_spark.operators.logstore import (
+    get_data_store,
     get_log_store,
 )
 
@@ -104,6 +105,26 @@ CHECKPOINT_INTERVAL = 10
 
 class ConcurrentWriteError(RuntimeError):
     """A concurrent commit invalidated this transaction's snapshot."""
+
+
+class ProtocolUnsupportedError(RuntimeError):
+    """The table's logged protocol requires a feature this build does
+    not implement.  Reading (or writing) anyway would be SILENTLY
+    wrong — e.g. a reader ignoring the ``deletion-vectors`` feature
+    would resurrect deleted rows from a merge-on-read table — so the
+    gate refuses by name instead (Delta/Iceberg's reader/writer
+    protocol versioning)."""
+
+
+#: Table features this build implements, split by role.  A commit that
+#: first USES a feature upgrades the table's protocol in the same
+#: commit; readers/writers compare the logged requirement against
+#: these sets and refuse unknown names typed
+#: (:class:`ProtocolUnsupportedError`).
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletion-vectors", "column-mapping", "parquet-checkpoint"}
+)
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES
 
 
 class VersionExpiredError(IOError):
@@ -143,6 +164,12 @@ class Commit:
     #: the current mapping alone describes the live rows); a value of
     #: None clears it.  Removing a file drops its DV entry in the fold.
     dv: dict | None = None
+    #: protocol requirement as of this commit:
+    #: ``{"min_reader_features": [...], "min_writer_features": [...]}``.
+    #: Written by the commit that FIRST uses a feature (and at create);
+    #: None = inherit.  The fold's latest value is the table's
+    #: requirement; features only ever grow.
+    protocol: dict | None = None
 
     def __hash__(self) -> int:  # stats dict is unhashable; id by txn
         return hash((self.version, self.txn))
@@ -183,6 +210,14 @@ def _checkpoint_path(path: str, version: int) -> str:
     )
 
 
+def _checkpoint_files_path(path: str, version: int) -> str:
+    """The COLUMNAR half of a checkpoint: the live-file inventory
+    (file, stats, dv) as one parquet object readable as a DataFrame."""
+    return os.path.join(
+        _log_dir(path), f"{version:0{_PAD}d}.checkpoint.parquet"
+    )
+
+
 def _list_log(path: str) -> tuple[list[int], list[int]]:
     """One directory listing → (commit versions, checkpoint versions),
     each sorted ascending.  Every read path starts here; nothing below
@@ -212,13 +247,47 @@ def _read_commit(path: str, version: int) -> Commit:
         properties=c.get("properties"),
         dv=c.get("dv"),
         ts=c.get("ts"),
+        protocol=c.get("protocol"),
     )
 
 
 def _load_checkpoint(path: str, version: int) -> dict:
-    return json.loads(
+    """A checkpoint's folded state.  Two formats, new one columnar:
+
+    - inline (pre-``parquet-checkpoint`` tables): ``files``/``dvs``
+      live in the JSON itself;
+    - columnar: the JSON holds only the SCALAR state plus a
+      ``files_in`` pointer to the parquet inventory — the file list of
+      a million-file table parses as one Arrow read (and is readable
+      as a DataFrame via :func:`checkpoint_files_df`), never as a
+      GB-scale JSON document on the driver."""
+    cp = json.loads(
         get_log_store(path).read_bytes(_checkpoint_path(path, version))
     )
+    files_in = cp.get("files_in")
+    if files_in is not None:
+        import io
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            io.BytesIO(
+                get_log_store(path).read_bytes(os.path.join(path, files_in))
+            )
+        )
+        files: dict = {}
+        dvs: dict = {}
+        for name, stats_json, dv in zip(
+            t.column("file").to_pylist(),
+            t.column("stats").to_pylist(),
+            t.column("dv").to_pylist(),
+        ):
+            files[name] = json.loads(stats_json) if stats_json else None
+            if dv:
+                dvs[name] = dv
+        cp["files"] = files
+        cp["dvs"] = dvs
+    return cp
 
 
 @dataclass
@@ -232,6 +301,34 @@ class _State:
     stream_txns: dict  # app_id -> highest committed batch id
     properties: dict  # table properties (partition/cluster declarations)
     dvs: dict  # live file -> deletion-vector sidecar path
+    protocol: dict  # {"min_reader_features": [...], "min_writer_features": [...]}
+
+
+def _check_reader_protocol(protocol: dict | None, path: str) -> None:
+    """Refuse, BY NAME, a table requiring reader features this build
+    does not implement — before any snapshot resolution can hand back
+    a silently-wrong file list."""
+    needed = set((protocol or {}).get("min_reader_features") or ())
+    unknown = needed - SUPPORTED_READER_FEATURES
+    if unknown:
+        raise ProtocolUnsupportedError(
+            f"cannot read {path}: its protocol requires reader "
+            f"feature(s) {sorted(unknown)} this build does not "
+            f"implement (supported: {sorted(SUPPORTED_READER_FEATURES)}); "
+            "upgrade the engine before reading this table"
+        )
+
+
+def _check_writer_protocol(protocol: dict | None, path: str) -> None:
+    needed = set((protocol or {}).get("min_writer_features") or ())
+    unknown = needed - SUPPORTED_WRITER_FEATURES
+    if unknown:
+        raise ProtocolUnsupportedError(
+            f"cannot write {path}: its protocol requires writer "
+            f"feature(s) {sorted(unknown)} this build does not "
+            f"implement (supported: {sorted(SUPPORTED_WRITER_FEATURES)}); "
+            "upgrade the engine before writing this table"
+        )
 
 
 def _fold_state(path: str, version: int | None = None) -> _State | None:
@@ -261,11 +358,13 @@ def _fold_state(path: str, version: int | None = None) -> _State | None:
             stream_txns=dict(cp.get("stream_txns") or {}),
             properties=dict(cp.get("properties") or {}),
             dvs=dict(cp.get("dvs") or {}),
+            protocol=dict(cp.get("protocol") or {}),
         )
+        _check_reader_protocol(state.protocol, path)
     else:
         state = _State(
             version=0, files={}, schema="", stream_txns={},
-            properties={}, dvs={},
+            properties={}, dvs={}, protocol={},
         )
     present = set(commits)
     for v in range(state.version + 1, version + 1):
@@ -296,6 +395,9 @@ def _fold_state(path: str, version: int | None = None) -> _State | None:
                 state.dvs.pop(f, None)
             else:
                 state.dvs[f] = sidecar
+        if c.protocol is not None:
+            _check_reader_protocol(c.protocol, path)
+            state.protocol = dict(c.protocol)
         state.schema = c.schema
         if c.properties is not None:
             state.properties = dict(c.properties)
@@ -440,9 +542,14 @@ def _read_files(
     if not dv_map and file_pos_cols is None:
         return df.select(*cols) if schema_json is not None else df
     fcol, pcol = file_pos_cols or ("__dv_file", "__dv_pos")
+    # table-relative name = everything after the LAST "/data/" in the
+    # scan path, prefixed back — handles both the write-once
+    # ``data/s-*/part-*.parquet`` layout and legacy flat names
     rel = F.concat(
         F.lit(f"{_DATA_DIR}/"),
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        F.substring_index(
+            F.col("_metadata.file_path"), f"/{_DATA_DIR}/", -1
+        ),
     )
     tagged = df.select(
         *cols,
@@ -505,10 +612,18 @@ def version_as_of(path: str, ts: float) -> int:
     """Newest committed version whose publish time is at or before
     ``ts`` (epoch seconds) — Delta's TIMESTAMP AS OF resolution over
     the retained log.  Commits written before the ``ts`` field existed
-    fall back to their commit file's mtime.  Raises
+    fall back to their commit file's store mtime.  Raises
     :class:`VersionExpiredError` when the answer would predate the
     retained history, and ``ValueError`` when ``ts`` predates the
-    oldest retained commit entirely."""
+    oldest retained commit entirely.
+
+    Cost: **O(log n) commit reads** — a binary search over the retained
+    range (probe-pinned in ``tests/test_txtable.py``), not a scan of
+    every commit.  Correctness rests on publish times being
+    non-decreasing along the version order, which the serialized
+    put-if-absent publish gives up to writer clock skew — the same
+    monotonicity assumption (and skew-window caveat) Delta's timestamp
+    resolution documents."""
     commits, checkpoints = _list_log(path)
     if not commits:
         if checkpoints:
@@ -520,17 +635,35 @@ def version_as_of(path: str, ts: float) -> int:
                 "retained; travel by VERSION instead"
             )
         raise ValueError(f"version_as_of on a table with no commits: {path}")
-    best = None
-    for v in commits:
+    store = get_log_store(path)
+
+    def _commit_ts(v: int) -> float:
+        """Publish time of commit ``v``: the logged ``ts`` field, else
+        the commit file's store mtime.  A store that records neither
+        (e.g. an in-memory object store holding pre-``ts`` commits)
+        fails TYPED — silently skipping the commit would resolve AS OF
+        to a later version than the truth."""
         c = _read_commit(path, v)
-        cts = c.ts
-        if cts is None:
-            try:
-                cts = os.path.getmtime(_commit_path(path, v))
-            except OSError:
-                continue
-        if cts <= ts:
-            best = v
+        if c.ts is not None:
+            return c.ts
+        mt = store.mtime(_commit_path(path, v))
+        if mt is None:
+            raise IOError(
+                f"version_as_of at {path}: commit {v} predates the "
+                "logged-ts field and this table's LogStore records no "
+                "modification times; travel by VERSION instead"
+            )
+        return mt
+
+    best = None
+    lo, hi = 0, len(commits) - 1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if _commit_ts(commits[mid]) <= ts:
+            best = commits[mid]
+            lo = mid + 1
+        else:
+            hi = mid - 1
     if best is None:
         if oldest_readable_version(path) > 1:
             raise VersionExpiredError(
@@ -564,38 +697,69 @@ def table_version(path: str) -> int:
                checkpoints[-1] if checkpoints else 0)
 
 
+def _tx_update_properties(path: str, what: str, update) -> int:
+    """Commit ``update(current_properties) -> new_properties`` as a
+    metadata-only ``set-properties`` commit, REAPPLYING the update
+    against fresh state whenever a concurrent property commit
+    intervenes (commit() aborts on those via the ``props`` conflict
+    domain).  This is what makes nested property updates — e.g. two
+    racing ADD CONSTRAINTs merging into ``__constraints`` — lose
+    nothing: last-writer-wins resolves only between attempts that each
+    SAW the other's result."""
+    while True:
+        state = _fold_state(path)
+        if state is None:
+            raise ValueError(f"{what} on a table with no commits: {path}")
+        try:
+            return commit(
+                path,
+                "set-properties",
+                [],
+                [],
+                state.schema,
+                state.version,
+                properties=update(dict(state.properties)),
+                conflict={"kind": "props"},
+            )
+        except ConcurrentWriteError:
+            continue  # re-read, re-derive the update, retry
+
+
 def tx_set_properties(path: str, properties: dict) -> int:
     """ALTER TABLE SET TBLPROPERTIES — a metadata-only commit that
     MERGES ``properties`` into the table's declared set (a key mapped
-    to None is removed).  Commutes with every concurrent commit (it
-    touches no files); racing property writers resolve last-writer-wins
-    via the fold.  Changing ``cluster_by``/``partition_by`` takes
+    to None is removed).  It touches no files, so it commutes with
+    every concurrent DATA commit; racing PROPERTY commits abort-and-
+    retry against each other (the ``props`` conflict domain), so the
+    final state reflects BOTH writers' deltas instead of silently
+    dropping the loser's — two concurrent ADD CONSTRAINTs both land
+    (ADVICE r7).  Changing ``cluster_by``/``partition_by`` takes
     effect on the NEXT compaction — existing files keep their layout
     until rewritten, exactly like Delta/Iceberg."""
-    state = _fold_state(path)
-    if state is None:
-        raise ValueError(f"tx_set_properties on a table with no commits: {path}")
-    merged = dict(state.properties)
-    for k, v in properties.items():
-        if v is None:
-            merged.pop(k, None)
-        else:
-            merged[k] = v
-    return commit(
-        path,
-        "set-properties",
-        [],
-        [],
-        state.schema,
-        state.version,
-        properties=merged,
-    )
+
+    def _merge(current: dict) -> dict:
+        for k, v in properties.items():
+            if v is None:
+                current.pop(k, None)
+            else:
+                current[k] = v
+        return current
+
+    return _tx_update_properties(path, "tx_set_properties", _merge)
 
 
 def table_properties(path: str) -> dict:
     """The table's declared properties (empty for none)."""
     state = _fold_state(path)
     return dict(state.properties) if state is not None else {}
+
+
+def table_protocol(path: str) -> dict:
+    """The table's current protocol requirement — the feature names
+    every reader/writer must implement (empty for a pre-protocol or
+    feature-free table)."""
+    state = _fold_state(path)
+    return dict(state.protocol) if state is not None else {}
 
 
 # ------------------------------------------------- CHECK constraints
@@ -632,28 +796,47 @@ def tx_add_constraint(
     state = _fold_state(path)
     if state is None:
         raise ValueError(f"tx_add_constraint on a table with no commits: {path}")
-    cons = dict((state.properties or {}).get("__constraints") or {})
-    if name in cons:
+    if name in ((state.properties or {}).get("__constraints") or {}):
         raise ValueError(f"constraint '{name}' already exists on {path}")
     current = read_table(spark, path, state.version)
     _check_constraints(
         current, {"__constraints": {name: expr}}, "the existing table data"
     )
-    cons[name] = expr
-    return tx_set_properties(path, {"__constraints": cons})
+
+    # the nested merge re-derives from FRESH properties on every retry:
+    # a constraint added concurrently survives alongside this one
+    def _add(props: dict) -> dict:
+        cons = dict(props.get("__constraints") or {})
+        if name in cons:
+            raise ValueError(
+                f"constraint '{name}' already exists on {path}"
+            )
+        cons[name] = expr
+        props["__constraints"] = cons
+        return props
+
+    return _tx_update_properties(path, "tx_add_constraint", _add)
 
 
 def tx_drop_constraint(path: str, name: str) -> int:
     state = _fold_state(path)
     if state is None:
         raise ValueError(f"tx_drop_constraint on a table with no commits: {path}")
-    cons = dict((state.properties or {}).get("__constraints") or {})
-    if name not in cons:
+    if name not in ((state.properties or {}).get("__constraints") or {}):
         raise ValueError(f"no constraint '{name}' on {path}")
-    del cons[name]
-    return tx_set_properties(
-        path, {"__constraints": cons if cons else None}
-    )
+
+    def _drop(props: dict) -> dict:
+        cons = dict(props.get("__constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint '{name}' on {path}")
+        del cons[name]
+        if cons:
+            props["__constraints"] = cons
+        else:
+            props.pop("__constraints", None)
+        return props
+
+    return _tx_update_properties(path, "tx_drop_constraint", _drop)
 
 
 def oldest_readable_version(path: str) -> int:
@@ -684,22 +867,89 @@ def write_checkpoint(path: str, version: int | None = None) -> int | None:
     target = _checkpoint_path(path, state.version)
     if store.exists(target):
         return state.version
-    body = json.dumps(
-        {
-            "version": state.version,
-            "files": state.files,
-            "schema": state.schema,
-            "stream_txns": state.stream_txns,
-            "properties": state.properties,
-            "dvs": state.dvs,
-            "txn": uuid.uuid4().hex,
-        },
-        indent=0,
-    ).encode()
+    scalars = {
+        "version": state.version,
+        "schema": state.schema,
+        "stream_txns": state.stream_txns,
+        "properties": state.properties,
+        "protocol": state.protocol,
+        "txn": uuid.uuid4().hex,
+    }
+    if "parquet-checkpoint" in (
+        state.protocol.get("min_reader_features") or ()
+    ):
+        # COLUMNAR checkpoint (VERDICT r7 item 3): the file inventory —
+        # the only part that scales with the table — goes to a parquet
+        # object; the JSON keeps the O(1) scalar state plus the
+        # pointer.  Written parquet-first: the JSON is the publication
+        # point, a crash in between leaves an unreferenced orphan.
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = list(state.files)
+        t = pa.table(
+            {
+                "file": pa.array(names, pa.string()),
+                "stats": pa.array(
+                    [
+                        json.dumps(state.files[n])
+                        if state.files[n] is not None
+                        else None
+                        for n in names
+                    ],
+                    pa.string(),
+                ),
+                "dv": pa.array(
+                    [state.dvs.get(n) for n in names], pa.string()
+                ),
+            }
+        )
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        fp = _checkpoint_files_path(path, state.version)
+        if not store.exists(fp):
+            store.put_if_absent(fp, buf.getvalue())
+        scalars["files_in"] = os.path.join(
+            _LOG_DIR, os.path.basename(fp)
+        )
+        scalars["n_files"] = len(names)
+    else:
+        # legacy inline format for pre-protocol tables (their readers
+        # were never gated on the columnar feature)
+        scalars["files"] = state.files
+        scalars["dvs"] = state.dvs
+    body = json.dumps(scalars, indent=0).encode()
     # losing the put race is fine: a racing writer checkpointed the
     # same immutable prefix
     store.put_if_absent(target, body)
     return state.version
+
+
+def checkpoint_files_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The newest columnar checkpoint at or below ``version`` (None =
+    latest) read AS A DATAFRAME — ``(file, stats, dv)``, one row per
+    live file.  This is the 100 TB cold-read surface: a million-file
+    inventory is a distributed parquet scan executors can filter and
+    join (e.g. planning a backfill over the live file set), never a
+    driver-side JSON parse.  Raises ``ValueError`` when no columnar
+    checkpoint covers the version (pre-protocol table or no checkpoint
+    yet — write one)."""
+    _, checkpoints = _list_log(path)
+    cand = [v for v in checkpoints if version is None or v <= version]
+    store = get_log_store(path)
+    for v in sorted(cand, reverse=True):
+        fp = _checkpoint_files_path(path, v)
+        if store.exists(fp):
+            return spark.read.parquet(fp)
+    raise ValueError(
+        f"no columnar checkpoint at or below version "
+        f"{version if version is not None else 'latest'} in {path}; "
+        "run write_checkpoint() on a parquet-checkpoint table first"
+    )
 
 
 def expire_log(
@@ -743,6 +993,10 @@ def expire_log(
         if v < k:
             store.delete(_checkpoint_path(path, v))
             deleted.append(os.path.basename(_checkpoint_path(path, v)))
+            fp = _checkpoint_files_path(path, v)
+            if store.exists(fp):  # columnar inventory sibling
+                store.delete(fp)
+                deleted.append(os.path.basename(fp))
     return deleted
 
 
@@ -757,23 +1011,36 @@ def _stage_files(
     see files referenced by a committed version, so a crash here
     leaves invisible orphans for :func:`vacuum`.
 
+    WRITE-ONCE, FINAL NAME (VERDICT r7 item 1): Spark writes straight
+    into a unique ``data/s-<txn>/`` prefix — no temp dir, no rename,
+    no post-write move at all.  Visibility comes from the COMMIT FILE
+    alone, so the data plane needs nothing from storage beyond
+    write-once objects — exactly what an object store provides (S3 has
+    no rename; a "rename" is a copy+delete that a 1 GB part file pays
+    twice).  The part names Spark assigns already embed a task-unique
+    UUID, and the per-transaction prefix isolates concurrent writers.
+    Spark's own committer handles task retries inside the write; this
+    function only LISTS the finished prefix (through the table's
+    store) to learn the part names the commit will reference.
+
     ``schema_json`` (the schema this commit will log) renames logical
     columns to their stable PHYSICAL names before writing — the write
     half of column mapping; a no-op while no column was ever renamed."""
     if schema_json is not None:
         df = _to_physical(df, schema_json)
-    os.makedirs(_data_dir(path), exist_ok=True)
-    tmp = os.path.join(path, f"_stage_{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(tmp)
+    store = get_data_store(path)
+    sub = f"s-{uuid.uuid4().hex[:12]}"
+    target = os.path.join(_data_dir(path), sub)
+    df.write.parquet(target)
     names: list[str] = []
-    for f in sorted(os.listdir(tmp)):
+    for f in sorted(store.list_dir(target)):
         if f.endswith(".parquet") and not f.startswith("_"):
-            dest = f"{_DATA_DIR}/part-{uuid.uuid4().hex}.parquet"
-            os.replace(os.path.join(tmp, f), os.path.join(path, dest))
-            names.append(dest)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+            names.append(f"{_DATA_DIR}/{sub}/{f}")
+        elif f == "_SUCCESS":
+            # the job marker is meaningless here (the commit file is
+            # the publication point); drop it so the data tree holds
+            # only parquet objects
+            store.delete(os.path.join(target, f))
     return names
 
 
@@ -784,18 +1051,19 @@ def _stage_dv(df: DataFrame, path: str) -> str:
     commit's ``dv`` mapping references it; sized by the DELETE, never
     by the files it punches holes in (a real format would pack this
     into roaring bitmaps; the contract — O(deleted rows) bytes per
-    commit — is identical)."""
-    os.makedirs(_data_dir(path), exist_ok=True)
-    tmp = os.path.join(path, f"_stage_{uuid.uuid4().hex[:12]}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    name = f"{_DATA_DIR}/dv-{uuid.uuid4().hex}.parquet"
-    for f in sorted(os.listdir(tmp)):
+    commit — is identical).  Write-once under a unique ``data/dv-*/``
+    prefix, like :func:`_stage_files` — no rename."""
+    store = get_data_store(path)
+    sub = f"dv-{uuid.uuid4().hex[:12]}"
+    target = os.path.join(_data_dir(path), sub)
+    df.coalesce(1).write.parquet(target)
+    name = None
+    for f in sorted(store.list_dir(target)):
         if f.endswith(".parquet") and not f.startswith("_"):
-            os.replace(os.path.join(tmp, f), os.path.join(path, name))
-            break
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+            name = f"{_DATA_DIR}/{sub}/{f}"
+        elif f == "_SUCCESS":
+            store.delete(os.path.join(target, f))
+    assert name is not None, f"DV stage produced no parquet under {target}"
     return name
 
 
@@ -1134,14 +1402,28 @@ def _validate_against(
         # (schema compatibility was checked against the read snapshot;
         # an intervening type migration is expressed as remove+add and
         # caught below; an intervening ADDITIVE evolution is re-unioned
-        # by the commit loop so the logged schema never regresses; for
-        # racing set-properties the fold's latest-wins is the intended
-        # last-writer-wins)
+        # by the commit loop so the logged schema never regresses)
         for c in intervening:
             if c.action in ("evolve-rewrite", "rename-column", "drop-column"):
                 raise ConcurrentWriteError(
                     f"append lost to a concurrent {c.action}; re-read "
                     "and re-validate the batch schema"
+                )
+            if (
+                conflict is not None
+                and conflict.get("kind") == "props"
+                and c.properties is not None
+            ):
+                # a property commit races another property-carrying
+                # commit: the loser re-derives its merge from fresh
+                # state (``_tx_update_properties``) instead of
+                # publishing a stale dict that silently drops the
+                # winner's nested keys (e.g. a concurrent ADD
+                # CONSTRAINT)
+                raise ConcurrentWriteError(
+                    f"set-properties read version is stale: concurrent "
+                    f"{c.action} (version {c.version}) changed the "
+                    "table properties; re-derive and retry"
                 )
         return
     # a file is MODIFIED by a commit if it was removed OR got a new
@@ -1257,6 +1539,24 @@ def _union_schema_json(base: str, other: str) -> str:
     ).json()
 
 
+def _required_features(schema_json: str, dv: dict | None) -> set:
+    """Features a commit with this schema/DV payload demands of every
+    future reader and writer."""
+    req = set()
+    if dv:
+        req.add("deletion-vectors")
+    try:
+        st = json.loads(schema_json)
+        for f in st.get("fields", []):
+            cm = (f.get("metadata") or {}).get("cm") or {}
+            if cm.get("phys", f["name"]) != f["name"]:
+                req.add("column-mapping")
+                break
+    except (ValueError, TypeError, KeyError):
+        pass
+    return req
+
+
 def commit(
     path: str,
     action: str,
@@ -1309,6 +1609,28 @@ def commit(
             # renamed column's old name, or un-narrow a restore), and
             # their validation already aborted anything non-commuting.
             commit_schema = _union_schema_json(intervening[-1].schema, schema)
+        # protocol gates + auto-upgrade: refuse a table demanding
+        # writer features this build lacks (the fold itself refuses
+        # unknown READER features), and when this commit FIRST uses a
+        # feature, record the grown requirement in the same commit so
+        # no later reader can miss it
+        state = _fold_state(path) if current else None
+        cur_protocol = state.protocol if state is not None else {}
+        _check_writer_protocol(cur_protocol, path)
+        required = _required_features(commit_schema, dv)
+        if current == 0:
+            # baseline for NEW tables: their checkpoints are columnar
+            # from day one, so the requirement is declared before the
+            # first checkpoint can exist
+            required = required | {"parquet-checkpoint"}
+        have_r = set(cur_protocol.get("min_reader_features") or ())
+        have_w = set(cur_protocol.get("min_writer_features") or ())
+        protocol_field = None
+        if current == 0 or not (required <= have_r and required <= have_w):
+            protocol_field = {
+                "min_reader_features": sorted(have_r | required),
+                "min_writer_features": sorted(have_w | required),
+            }
         if stream_txn is not None:
             # check the WHOLE history, not just commits after
             # read_version: a replayed micro-batch reads a snapshot
@@ -1320,7 +1642,6 @@ def commit(
             # ``batch <= floor`` means already committed — the same
             # txn-action floor Delta checkpoints persist).
             app, batch = stream_txn
-            state = _fold_state(path)
             floor = (state.stream_txns.get(app) if state is not None
                      else None)
             if floor is not None and batch <= floor:
@@ -1342,6 +1663,7 @@ def commit(
                 "stats": stats,
                 "properties": properties,
                 "dv": dv,
+                "protocol": protocol_field,
             },
             indent=0,
         ).encode()
@@ -1642,7 +1964,9 @@ def tx_upsert(
     }
     # map absolute input_file_name URIs back to table-relative names
     def _rel(name: str) -> str:
-        return f"{_DATA_DIR}/{name.rsplit('/', 1)[-1]}"
+        # table-relative name from an input_file_name URI: everything
+        # after the last "/data/" (subdir-layout and legacy-flat safe)
+        return f"{_DATA_DIR}/{name.rsplit(f'/{_DATA_DIR}/', 1)[-1]}"
 
     affected = sorted({_rel(p) for p in affected_paths})
     assert set(affected) <= set(snap.files), (
@@ -1756,12 +2080,340 @@ def tx_upsert(
     )
 
 
+def tx_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: Sequence[str],
+    when_matched_update: dict | str | None = None,
+    when_matched_update_condition: str | None = None,
+    when_matched_delete: bool | str = False,
+    when_not_matched_insert: bool | str = False,
+    when_not_matched_by_source_delete: bool | str = False,
+    when_not_matched_by_source_update: dict | None = None,
+    when_not_matched_by_source_condition: str | None = None,
+    merge_on_read: bool = False,
+) -> int:
+    """Conditional ``MERGE INTO`` — the full SQL:2003 / Delta clause
+    surface ``tx_upsert`` (keyed last-writer-wins) cannot express, and
+    the shape every CDC consumer eventually needs (VERDICT r7 item 4):
+
+    - ``when_matched_delete`` — ``True`` or a SQL condition string:
+      matched target rows satisfying it are DELETED.  Evaluated FIRST.
+    - ``when_matched_update`` — ``"all"`` (every non-key column takes
+      the source value) or ``{target_col: sql_expr}``; applies to
+      matched rows surviving the delete clause and satisfying
+      ``when_matched_update_condition`` (default: all matched).
+    - ``when_not_matched_insert`` — ``True`` or a condition: source
+      rows with no target match are INSERTED.
+    - ``when_not_matched_by_source_delete`` / ``_update`` (+ shared
+      ``_condition``) — target rows with NO source match are deleted /
+      updated; the anti-join side Delta added in 2023 for
+      full-snapshot reconciliation.
+
+    Condition and update expressions are SQL strings over two struct
+    columns, exactly Delta's scoping: ``source.<col>`` and
+    ``target.<col>`` (e.g. ``"source.ts >= target.ts"``).
+
+    Scale contract: the key-column probe (:func:`upsert_prune_probe`)
+    finds the files that might hold a source key — only those join and
+    rewrite, everything else carries over by reference... UNLESS a
+    ``by_source`` clause is given, which by definition inspects every
+    live target row, so every live file joins (the clause's cost IS
+    the semantics — prefer ``merge_on_read=True`` there, which turns
+    the rewrite into O(changed rows) deletion-vector bytes + one new
+    file).  Concurrency mirrors :func:`tx_upsert`: the source-key
+    bounding box is the conflict domain, so key-disjoint concurrent
+    appends commute — but a ``by_source`` merge reads the whole table
+    and validates STRICTLY (any concurrent data change aborts).
+
+    Duplicate source keys are refused up front (a target row matching
+    two source rows makes the result order-dependent — same error
+    Delta raises).  Returns the committed version.
+
+    Oracle parity: hash-checked against DuckDB's native ``MERGE INTO``
+    semantics expressed as a full-outer-join CASE in
+    ``plans/queries_ext33.py``.
+    """
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_merge on a table with no commits: {path}")
+    read_version = state.version
+    snap = snapshot(path, read_version)
+    keys = list(on)
+
+    from pyspark.sql.types import StructType
+
+    target_schema = StructType.fromJson(json.loads(state.schema))
+    tcols = [f.name for f in target_schema.fields]
+    extra = [c for c in source.columns if c not in tcols]
+    if extra:
+        raise ValueError(
+            f"tx_merge: source columns {extra} not in the table schema; "
+            "evolve the table first (tx_append/tx_evolve_types) — merge "
+            "does not auto-evolve"
+        )
+    source = _check_evolution(state.schema, source)
+    source = _align(source, state.schema)
+    dup = source.groupBy(*keys).count().where("count > 1").limit(1).count()
+    if dup:
+        raise ValueError(
+            "tx_merge: duplicate keys in the source batch — a target "
+            "row matching several source rows has no deterministic "
+            "result; pre-aggregate the source (e.g. newest per key)"
+        )
+
+    has_by_source = bool(when_not_matched_by_source_delete) or (
+        when_not_matched_by_source_update is not None
+    )
+
+    def _cond(c, default):
+        if c is None:
+            return default
+        if isinstance(c, bool):
+            return F.lit(c)
+        return F.expr(c)
+
+    def _upd_map(spec) -> dict:
+        if spec == "all":
+            return {
+                c: F.col(f"source.{c}") for c in tcols if c not in keys
+            }
+        return {c: F.expr(e) for c, e in (spec or {}).items()}
+
+    upd = _upd_map(when_matched_update) if when_matched_update else None
+    upd_by_src = (
+        {c: F.expr(e) for c, e in when_not_matched_by_source_update.items()}
+        if when_not_matched_by_source_update is not None
+        else None
+    )
+    for m in (upd, upd_by_src):
+        bad = [c for c in (m or {}) if c in keys or c not in tcols]
+        if bad:
+            raise ValueError(
+                f"tx_merge: update sets invalid column(s) {bad} (keys "
+                "are immutable; unknown columns need evolution first)"
+            )
+
+    # files that might hold a source key (narrow key-column probe); a
+    # by_source clause inspects every live target row, so all files
+    current = _read_files(spark, path, snap.files, schema_json=state.schema)
+    if has_by_source:
+        affected = sorted(snap.files)
+    else:
+        probed = {
+            r["f"]
+            for r in upsert_prune_probe(current, source, keys).collect()
+        }
+        affected = sorted(
+            {f"{_DATA_DIR}/{p0.rsplit(f'/{_DATA_DIR}/', 1)[-1]}" for p0 in probed}
+        )
+        assert set(affected) <= set(snap.files)
+
+    fcol, pcol = "__merge_f", "__merge_p"
+    if affected:
+        base = _read_files(
+            spark, path, affected, snap.dvs,
+            file_pos_cols=(fcol, pcol), schema_json=state.schema,
+        )
+    else:
+        base = source.limit(0).select(
+            "*",
+            F.lit(None).cast("string").alias(fcol),
+            F.lit(None).cast("long").alias(pcol),
+        )
+
+    jkeys = [f"__k_{k}" for k in keys]
+    tgt = base.select(
+        *[F.col(k).alias(jk) for k, jk in zip(keys, jkeys)],
+        F.struct(*[F.col(c) for c in tcols]).alias("target"),
+        F.col(fcol), F.col(pcol),
+    )
+    src = source.select(
+        *[F.col(k).alias(jk) for k, jk in zip(keys, jkeys)],
+        F.struct(*[F.col(c) for c in tcols]).alias("source"),
+    )
+    if not has_by_source:
+        src = F.broadcast(src)  # a MERGE batch is small vs the table
+    joined = tgt.join(src, jkeys, "full_outer")
+
+    matched = F.col("target").isNotNull() & F.col("source").isNotNull()
+    tgt_only = F.col("source").isNull() & F.col("target").isNotNull()
+    src_only = F.col("target").isNull() & F.col("source").isNotNull()
+    t = F.lit(True)
+    del_c = _cond(
+        when_matched_delete if when_matched_delete else None, F.lit(False)
+    )
+    upd_c = _cond(when_matched_update_condition, t)
+    ins_c = _cond(
+        when_not_matched_insert if when_not_matched_insert else None,
+        F.lit(False),
+    )
+    bys_c = _cond(when_not_matched_by_source_condition, t)
+    # by-source DELETE condition: its own string if given, else
+    # unconditional-when-True; the shared ``_condition`` narrows the
+    # by-source UPDATE clause
+    if isinstance(when_not_matched_by_source_delete, str):
+        bys_del_c = F.expr(when_not_matched_by_source_delete)
+    else:
+        bys_del_c = F.lit(bool(when_not_matched_by_source_delete))
+    action = (
+        F.when(matched & F.coalesce(del_c, F.lit(False)), "delete")
+        .when(
+            matched & F.lit(upd is not None)
+            & F.coalesce(upd_c, F.lit(False)),
+            "update",
+        )
+        .when(matched, "keep")
+        .when(src_only & F.coalesce(ins_c, F.lit(False)), "insert")
+        .when(src_only, "drop")
+        .when(
+            tgt_only & F.coalesce(bys_del_c, F.lit(False)), "delete"
+        )
+        .when(
+            tgt_only & F.lit(upd_by_src is not None)
+            & F.coalesce(bys_c, F.lit(False)),
+            "update_by_source",
+        )
+        .otherwise("keep")
+    )
+    acted = joined.withColumn("__action", action)
+
+    def _out_col(c: str):
+        f = target_schema[c]
+        val = (
+            F.when(F.col("__action") == "insert", F.col(f"source.{c}"))
+            .when(
+                F.col("__action") == "update",
+                (upd or {}).get(c, F.col(f"target.{c}")),
+            )
+            .when(
+                F.col("__action") == "update_by_source",
+                (upd_by_src or {}).get(c, F.col(f"target.{c}")),
+            )
+            .otherwise(F.col(f"target.{c}"))
+        )
+        return val.cast(f.dataType).alias(c)
+
+    added: list[str] = []
+    remove: list[str] = list(affected)
+    stats: dict | None = None
+    dv_commit: dict | None = None
+    acted = acted.persist()
+    try:
+        if merge_on_read:
+            # rows leaving their file (deleted or superseded) become DV
+            # positions; updated + inserted rows land in ONE new file;
+            # kept rows never move — O(changed rows) bytes
+            doomed = acted.where(
+                F.col("__action").isin("delete", "update", "update_by_source")
+            ).select(F.col(fcol).alias("file"), F.col(pcol).alias("pos"))
+            out = acted.where(
+                F.col("__action").isin("insert", "update", "update_by_source")
+            ).select(*[_out_col(c) for c in tcols])
+            _check_constraints(out, state.properties, "the MERGE result")
+            existing = {
+                f: s for f, s in (snap.dvs or {}).items() if f in set(affected)
+            }
+            if existing:
+                doomed = doomed.unionByName(
+                    _dv_positions_df(spark, path, existing)
+                ).distinct()
+            doomed = doomed.persist()
+            try:
+                per_file = {
+                    r["file"]: r["n"]
+                    for r in doomed.groupBy("file")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                fully = [
+                    f
+                    for f in affected
+                    if per_file.get(f, 0) == _parquet_rows(path, f)
+                ]
+                dv_files = sorted(
+                    (set(per_file) | set(existing)) - set(fully)
+                )
+                if dv_files:
+                    sidecar = _stage_dv(
+                        doomed.where(F.col("file").isin(dv_files)), path
+                    )
+                    dv_commit = {f: sidecar for f in dv_files}
+            finally:
+                doomed.unpersist()
+            remove = fully
+            if not out.isEmpty():
+                added = _stage_files(out, path, state.schema)
+                stats = _footer_stats(path, added)
+        else:
+            out = acted.where(
+                F.col("__action").isin(
+                    "keep", "insert", "update", "update_by_source"
+                )
+            ).select(*[_out_col(c) for c in tcols])
+            _check_constraints(out, state.properties, "the MERGE result")
+            staged = _stage_files(out, path, state.schema)
+            stats = _footer_stats(path, staged)
+            for f in staged:  # an all-deleted rewrite stages nothing
+                if _parquet_rows(path, f) == 0:
+                    get_data_store(path).delete(os.path.join(path, f))
+                else:
+                    added.append(f)
+            stats = {f: s for f, s in stats.items() if f in added}
+    finally:
+        acted.unpersist()
+
+    if has_by_source:
+        conflict: dict | None = None  # reads the whole table: strict
+    else:
+        bounds = source.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                agg
+                for k in keys
+                for agg in (
+                    F.min(k).alias(f"__lo_{k}"),
+                    F.max(k).alias(f"__hi_{k}"),
+                )
+            ],
+        ).collect()[0]
+        if bounds["__n"] == 0:
+            conflict = {"kind": "empty"}
+        else:
+            pm = _phys_map(state.schema)
+            ranges = {}
+            for k in keys:
+                lo = _norm_stat(bounds[f"__lo_{k}"])
+                hi = _norm_stat(bounds[f"__hi_{k}"])
+                ranges[pm.get(k, k)] = (
+                    None if lo is None or hi is None else [lo, hi]
+                )
+            conflict = (
+                {"kind": "keys", "ranges": ranges}
+                if any(v is not None for v in ranges.values())
+                else None
+            )
+    return commit(
+        path,
+        "merge",
+        added,
+        remove,
+        state.schema,
+        read_version,
+        stats=stats,
+        conflict=conflict,
+        dv=dv_commit,
+    )
+
+
 def tx_compact(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
     order_col: str | None = None,
+    max_dv_fraction: float | None = None,
 ) -> int | None:
     """Bin-pack small data files; content-invariant by construction
     (same rows, fewer files).  Returns the committed version, or None
@@ -1774,7 +2426,19 @@ def tx_compact(
     declared properties govern: ``cluster_by``, else the raw column of
     the ``partition_by`` transform — so compacting a table that
     promised ``day(ts)`` pruning re-clusters on ``ts`` and the derived
-    stats stay tight instead of being destroyed by a bin-pack."""
+    stats stay tight instead of being destroyed by a bin-pack.
+
+    ``max_dv_fraction`` switches to DV-DENSITY mode (VERDICT r7 item
+    5): the victims are exactly the files whose deletion vector covers
+    MORE than that fraction of their rows — each is rewritten with
+    only its live rows (materializing the DV away), clean and
+    lightly-holed files are left untouched.  This bounds the
+    merge-on-read read tax under adversarial delete patterns: without
+    it a file that is 90% holes pays the anti-join on every scan
+    forever.  A maintenance loop runs it like Delta's
+    ``OPTIMIZE``-with-DV-threshold; rewriting even a single dense-DV
+    file is progress, so the bin-pack's is-it-worth-it check does not
+    apply."""
     state = _fold_state(path)
     if state is None:
         return None
@@ -1786,18 +2450,48 @@ def tx_compact(
             order_col = m.group(2) if m else part
     read_version = state.version
     snap = snapshot(path, read_version)
-    sized = [
-        (f, os.path.getsize(os.path.join(path, f))) for f in snap.files
-    ]
-    victims = (
-        [(f, s) for f, s in sized if s < small_file_bytes]
-        if small_file_bytes is not None
-        else sized
-    )
-    total = sum(s for _, s in victims)
-    n_out = max(1, -(-total // target_bytes))
-    if len(victims) <= n_out:
-        return None
+    store = get_data_store(path)
+    if max_dv_fraction is not None:
+        # dead-row counts per holed file, one pyarrow pass per distinct
+        # sidecar (sidecars are O(deleted rows), metadata-scale)
+        import pyarrow.parquet as pq
+
+        dv_map = snap.dvs or {}
+        dead: dict[str, int] = {}
+        for sidecar in sorted(set(dv_map.values())):
+            t = pq.read_table(
+                os.path.join(path, sidecar), columns=["file"]
+            )
+            for fname, n in zip(
+                *_value_counts(t.column("file").to_pylist())
+            ):
+                if dv_map.get(fname) == sidecar:
+                    dead[fname] = dead.get(fname, 0) + n
+        victims = []
+        for f in snap.files:
+            d = dead.get(f)
+            if d is None:
+                continue
+            rows = _parquet_rows(path, f)
+            if rows and d / rows > max_dv_fraction:
+                victims.append((f, store.size(os.path.join(path, f))))
+        if not victims:
+            return None
+        total = sum(s for _, s in victims)
+        n_out = max(1, -(-total // target_bytes))
+    else:
+        sized = [
+            (f, store.size(os.path.join(path, f))) for f in snap.files
+        ]
+        victims = (
+            [(f, s) for f, s in sized if s < small_file_bytes]
+            if small_file_bytes is not None
+            else sized
+        )
+        total = sum(s for _, s in victims)
+        n_out = max(1, -(-total // target_bytes))
+        if len(victims) <= n_out:
+            return None
     # DV-aware: compacting a deletion-vectored file MATERIALIZES the
     # DV away (only live rows are rewritten; the victim's dv entry
     # drops with it in the fold)
@@ -1936,7 +2630,7 @@ def tx_delete(
         stats = _footer_stats(path, staged)
         for f in staged:  # an all-deleted rewrite stages nothing
             if _parquet_rows(path, f) == 0:
-                os.remove(os.path.join(path, f))
+                get_data_store(path).delete(os.path.join(path, f))
             else:
                 added.append(f)
         stats = {f: s for f, s in stats.items() if f in added}
@@ -1998,7 +2692,9 @@ def tx_delete_keys(
     }
 
     def _rel(name: str) -> str:
-        return f"{_DATA_DIR}/{name.rsplit('/', 1)[-1]}"
+        # table-relative name from an input_file_name URI: everything
+        # after the last "/data/" (subdir-layout and legacy-flat safe)
+        return f"{_DATA_DIR}/{name.rsplit(f'/{_DATA_DIR}/', 1)[-1]}"
 
     affected = sorted({_rel(p) for p in affected_paths})
     assert set(affected) <= set(snap.files)
@@ -2057,7 +2753,7 @@ def tx_delete_keys(
         stats = _footer_stats(path, staged)
         for f in staged:  # an all-deleted rewrite stages nothing
             if _parquet_rows(path, f) == 0:
-                os.remove(os.path.join(path, f))
+                get_data_store(path).delete(os.path.join(path, f))
             else:
                 added.append(f)
         stats = {f: s for f, s in stats.items() if f in added}
@@ -2209,6 +2905,15 @@ def _parquet_rows(path: str, name: str) -> int:
     return pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
 
 
+def _value_counts(values: list) -> tuple[list, list]:
+    """(distinct values, counts) of a small list — driver-side helper
+    for sidecar-per-file accounting."""
+    from collections import Counter
+
+    c = Counter(values)
+    return list(c.keys()), list(c.values())
+
+
 def last_committed_batch(path: str, app_id: str) -> int | None:
     """Highest micro-batch id this ``app_id`` has committed, or None.
     The streaming sink's exactly-once floor: replayed batches at or
@@ -2331,7 +3036,10 @@ def tx_restore(path: str, version: int) -> int:
         if tgt_dvs.get(f) != (cur_dvs.get(f) if f in cur_files else None)
     }
     needed = list(add) + [s for s in dv.values() if s is not None]
-    missing = [f for f in needed if not os.path.exists(os.path.join(path, f))]
+    store = get_data_store(path)
+    missing = [
+        f for f in needed if not store.exists(os.path.join(path, f))
+    ]
     if missing:
         raise VersionExpiredError(
             f"cannot restore {path} to version {version}: vacuum already "
@@ -2574,6 +3282,10 @@ def commit_change_rows(
                 "or expire less aggressively"
             )
     c = _read_commit(path, version)
+    # the feed reads commits WITHOUT folding, so gate on the commit's
+    # own protocol record (the commit that introduces a feature carries
+    # the upgrade, so a feature-using delta is never read ungated)
+    _check_reader_protocol(c.protocol, path)
     cols = list(key_cols) + list(content_cols)
     # column mapping: callers name columns by their CURRENT logical
     # names; files store stable physical names (identical for any
@@ -2581,13 +3293,36 @@ def commit_change_rows(
     # (O(1) log reads — this is the feed's per-commit hot path)
     cur_schema = _current_schema(path)
     pm = _phys_map(cur_schema) if cur_schema else {}
+    # a requested column must resolve to SOMETHING the current schema
+    # knows — a current logical name (translated to its physical), or a
+    # raw physical name (a feed started before a rename keeps reading
+    # the bytes it asked for).  Anything else would silently read as
+    # all-NULL (e.g. a feed started under a renamed-away intermediate
+    # logical name): fail actionably instead.
+    known_phys = set(pm.values())
+    unknown = [
+        col for col in cols if col not in pm and col not in known_phys
+    ]
+    if unknown:
+        raise ValueError(
+            f"change feed column(s) {unknown} at {path} match neither a "
+            "current logical column nor a stored physical column — the "
+            "column was probably renamed after the feed started; "
+            f"restart the feed with current names {sorted(pm)}"
+        )
     phys_of = {col: pm.get(col, col) for col in cols}
 
-    def load(names: Sequence[str]) -> pd.DataFrame:
+    def load(
+        names: Sequence[str], dead: dict[str, set] | None = None
+    ) -> pd.DataFrame:
+        """Load files' requested columns; ``dead`` drops the given row
+        POSITIONS per file (a deletion vector already applied to the
+        side being loaded — those rows were never live there)."""
         frames = []
+        store = get_data_store(path)
         for n in names:
             full = os.path.join(path, n)
-            if not os.path.exists(full):
+            if not store.exists(full):
                 raise IOError(
                     f"change feed for version {version} needs {n}, which "
                     "was already vacuumed; widen the vacuum retention or "
@@ -2606,6 +3341,9 @@ def commit_change_rows(
             for col in cols:  # pre-evolution files lack new columns
                 if col not in df.columns:
                     df[col] = None
+            dd = (dead or {}).get(n)
+            if dd:
+                df = df[~df.index.isin(dd)]
             frames.append(df[cols])
         if not frames:
             return pd.DataFrame(columns=cols)
@@ -2639,7 +3377,7 @@ def commit_change_rows(
 
     def _dv_pos(sidecar: str, f: str) -> set:
         full = os.path.join(path, sidecar)
-        if not os.path.exists(full):
+        if not get_data_store(path).exists(full):
             raise IOError(
                 f"change feed for version {version} needs DV sidecar "
                 f"{sidecar}, which was already vacuumed; widen the "
@@ -2648,30 +3386,53 @@ def commit_change_rows(
         t = pq.read_table(full, columns=["file", "pos"]).to_pandas()
         return set(t.loc[t["file"] == f, "pos"].tolist())
 
-    def dv_delta() -> pd.DataFrame:
-        """Rows NEWLY deleted by this commit's deletion vectors — the
-        per-file position delta between the commit's sidecar and the
-        file's previous DV, loaded from the still-live data file.
-        These join the 'old' side of the diff so a merge-on-read
-        DELETE/MERGE feeds exactly like its copy-on-write twin."""
+    # the previous version's DV state: rows a removed file had ALREADY
+    # deleted must not re-emit as deletes (they were never live at
+    # version-1), and a carried-over file's DV delta is taken against it
+    prev = (
+        _fold_state(path, version - 1)
+        if version > 1 and c.action != "append"
+        else None
+    )
+    prev_files = set(prev.files) if prev is not None else set()
+    prev_dvs = prev.dvs if prev is not None else {}
+
+    def dv_delta() -> tuple[pd.DataFrame, pd.DataFrame]:
+        """Per-file DV position deltas for files LIVE ON BOTH SIDES of
+        this commit: (rows newly deleted by a grown DV, rows newly
+        RESURRECTED by a shrunk/cleared DV — a restore rolling back a
+        MOR delete).  Dead rows join the 'old' side of the diff, live
+        ones the 'new' side, so a merge-on-read DELETE/MERGE — or a
+        restore across one — feeds exactly like its copy-on-write twin.
+        Files this commit ADDS apply their DV in ``load`` directly;
+        files it REMOVES are dead wholesale and handled on the old
+        side."""
+        empty = pd.DataFrame(columns=cols)
         if not c.dv:
-            return pd.DataFrame(columns=cols)
-        prev = _fold_state(path, version - 1) if version > 1 else None
-        prev_dvs = prev.dvs if prev is not None else {}
-        frames = []
+            return empty, empty
+        removed = set(c.remove)
+        added = set(c.add)
+        dead_frames, live_frames = [], []
         for f, sidecar in sorted(c.dv.items()):
-            if sidecar is None:
+            if f in added or f in removed or f not in prev_files:
                 continue
-            delta = _dv_pos(sidecar, f)
+            new_pos = _dv_pos(sidecar, f) if sidecar is not None else set()
             old_side = prev_dvs.get(f)
-            if old_side:
-                delta = delta - _dv_pos(old_side, f)
-            if not delta:
-                continue
-            frames.append(load([f]).iloc[sorted(delta)])
-        if not frames:
-            return pd.DataFrame(columns=cols)
-        return pd.concat(frames, ignore_index=True)
+            old_pos = _dv_pos(old_side, f) if old_side else set()
+            newly_dead = new_pos - old_pos
+            newly_live = old_pos - new_pos
+            if newly_dead:
+                dead_frames.append(load([f]).iloc[sorted(newly_dead)])
+            if newly_live:
+                live_frames.append(load([f]).iloc[sorted(newly_live)])
+        return (
+            pd.concat(dead_frames, ignore_index=True)
+            if dead_frames
+            else empty,
+            pd.concat(live_frames, ignore_index=True)
+            if live_frames
+            else empty,
+        )
 
     keys = list(key_cols)
     if c.action == "compact":
@@ -2682,10 +3443,37 @@ def commit_change_rows(
             tuple(_py(v) for v in row) + ("insert", version)
             for row in new.itertuples(index=False, name=None)
         ]
-    old, new = load(c.remove), load(c.add)
-    dvd = dv_delta()
-    if not dvd.empty:
-        old = dvd if old.empty else pd.concat([old, dvd], ignore_index=True)
+    # old side: removed files MINUS their prior DV (already-dead rows
+    # never re-emit as deletes).  new side: added files MINUS any DV
+    # this commit attaches to them (a restore re-adding a holed file
+    # must not emit its dead rows as inserts).
+    old = load(
+        c.remove,
+        dead={
+            f: _dv_pos(prev_dvs[f], f) for f in c.remove if prev_dvs.get(f)
+        },
+    )
+    new = load(
+        c.add,
+        dead={
+            f: _dv_pos(s, f)
+            for f, s in (c.dv or {}).items()
+            if s is not None and f in set(c.add)
+        },
+    )
+    dvd_dead, dvd_live = dv_delta()
+    if not dvd_dead.empty:
+        old = (
+            dvd_dead
+            if old.empty
+            else pd.concat([old, dvd_dead], ignore_index=True)
+        )
+    if not dvd_live.empty:
+        new = (
+            dvd_live
+            if new.empty
+            else pd.concat([new, dvd_live], ignore_index=True)
+        )
     if old.empty and new.empty:
         return []
     if old.empty or new.empty:  # pure add / pure drop: no diff needed
@@ -2723,15 +3511,21 @@ def vacuum(
     deleted table-relative names.
 
     ``min_age_seconds`` protects IN-FLIGHT writers: ``_stage_files``
-    moves a writer's data files into ``data/`` BEFORE its commit lands,
-    so an unreferenced-but-younger-than-the-window file may belong to a
-    transaction about to commit — deleting it would let that commit
-    publish a version referencing missing files (an unreadable table).
-    Same modification-time guard Delta's VACUUM applies (its default is
-    7 days; ours is an hour because the tests that exercise crash
-    orphans pass 0 explicitly).  The window composes with
+    writes a transaction's data files under ``data/`` BEFORE its
+    commit lands, so an unreferenced-but-younger-than-the-window file
+    may belong to a transaction about to commit — deleting it would
+    let that commit publish a version referencing missing files (an
+    unreadable table).  Same modification-time guard Delta's VACUUM
+    applies (its default is 7 days; ours is an hour because the tests
+    that exercise crash orphans pass 0 explicitly); a store recording
+    NO modification times keeps every unreferenced file (conservative:
+    never break an in-flight writer).  The window composes with
     :func:`expire_log`: the retention scan is clamped to the oldest
-    still-readable version instead of crashing on expired history."""
+    still-readable version instead of crashing on expired history.
+
+    The walk runs entirely through the table's store (recursive
+    ``list_files`` over the write-once ``data/`` tree) — object-store
+    clean, no directory semantics required."""
     current = table_version(path)
     if current == 0:
         return []
@@ -2745,19 +3539,15 @@ def vacuum(
         keep.update((snap.dvs or {}).values())  # referenced DV sidecars
     horizon = _time.time() - min_age_seconds
     deleted: list[str] = []
+    store = get_data_store(path)
     ddir = _data_dir(path)
-    if os.path.isdir(ddir):
-        for name in sorted(os.listdir(ddir)):
-            rel = f"{_DATA_DIR}/{name}"
-            full = os.path.join(ddir, name)
-            if rel not in keep and os.path.getmtime(full) <= horizon:
-                os.remove(full)
-                deleted.append(rel)
-    import shutil
-
-    for name in os.listdir(path):
-        full = os.path.join(path, name)
-        if name.startswith("_stage_") and os.path.getmtime(full) <= horizon:
-            shutil.rmtree(full, ignore_errors=True)
-            deleted.append(name)
+    for name in store.list_files(ddir):
+        rel = f"{_DATA_DIR}/{name}"
+        full = os.path.join(ddir, name)
+        if rel in keep:
+            continue
+        mt = store.mtime(full)
+        if mt is not None and mt <= horizon:
+            store.delete(full)
+            deleted.append(rel)
     return deleted

@@ -166,6 +166,10 @@ from event_streaming_toy_example_spark.plans.queries_ext32 import (
     EXT32_ORACLES,
     EXT32_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext33 import (
+    EXT33_ORACLES,
+    EXT33_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -248,11 +252,19 @@ FAMILY_REP: dict[str, str] = {
     "session_window_users": "stream_session_stateful",
     # time-window agg family: streaming tumbling-window rep
     "window_sliding_counts": "stream_hourly_counts",
-    # latest-row-per-key family: CDC upsert is the harder form
-    "latest_event_per_user": "upsert_events_cdc",
+    # latest-row-per-key family: CDC upsert is the harder form —
+    # since round 8 the CONDITIONAL-MERGE entry is the family rep:
+    # tx_merge subsumes the keyed newest-per-key apply (WHEN MATCHED
+    # UPDATE + WHEN NOT MATCHED INSERT) and adds conditional
+    # update/delete clauses, a build-asserted O(changed rows)
+    # deletion-vector apply, and the same full-outer-join oracle
+    # idiom; the plain upsert twin (hash-passed rounds 1-7) stays
+    # locally value-replayed
+    "latest_event_per_user": "tx_merge_cdc",
+    "upsert_events_cdc": "tx_merge_cdc",
     # table-maintenance family: SCD2 validity-interval history is the
     # versioned-dimension surface of the CDC rep
-    "scd2_event_type": "upsert_events_cdc",
+    "scd2_event_type": "tx_merge_cdc",
     # tokenize+topk composition of two checked families
     "text_term_topk": "text_token_stats",
     # function-REGISTRATION surfaces of the same text-stats family:
@@ -340,15 +352,15 @@ FAMILY_REP: dict[str, str] = {
     "geo_grid_join": "entity_resolution",
     # streaming MERGE sink: the streaming-apply surface of the CDC
     # upsert rep (same upsert_snapshot semantics, driven per batch)
-    "stream_upsert_sink": "upsert_events_cdc",
+    "stream_upsert_sink": "tx_merge_cdc",
     # round 5: mid-stream additive schema drift absorbed by the
     # unified log's evolution contract — the streaming-sink sibling of
     # the CDC apply family (hash-checked locally; tx_snapshot_isolation
     # carries the log's driver row); the version-to-version change
     # feed is the table-history form of the snapshot-diff surface in
     # the same family
-    "stream_schema_drift": "upsert_events_cdc",
-    "tx_change_feed": "upsert_events_cdc",
+    "stream_schema_drift": "tx_merge_cdc",
+    "tx_change_feed": "tx_merge_cdc",
     # pair mining is a self-join + conditional-aggregate surface of
     # the set-op/user-overlap family; triangle counting joins the
     # graph family whose rep is the PageRank entry
@@ -409,7 +421,7 @@ FAMILY_REP: dict[str, str] = {
     # fifth wave: snapshot diff is the inverse (derive-a-change-feed)
     # surface of the CDC apply rep; profiling and winsorizing are
     # scan+aggregate surfaces of existing agg families
-    "snapshot_diff": "upsert_events_cdc",
+    "snapshot_diff": "tx_merge_cdc",
     "table_stats": "agg_pricing_summary",
     "winsorize_revenue": "percentiles_by_priority",
     # sixth wave (rows-only approximation/ML surfaces): BPE counts are
@@ -453,7 +465,7 @@ FAMILY_REP: dict[str, str] = {
     "cep_pattern_match": "stream_session_stateful",
     # the PIT interval lookup is the consuming surface of the SCD2
     # history built by the table-maintenance family
-    "scd2_point_lookup": "upsert_events_cdc",
+    "scd2_point_lookup": "tx_merge_cdc",
     # round 5: the unified transactional table's snapshot-isolation
     # contract takes a PRIMARY slot (it is THE round-5 architecture
     # item — one commit log for append/upsert/compact/evolve); the
@@ -634,6 +646,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT30_QUERIES,
     **EXT31_QUERIES,
     **EXT32_QUERIES,
+    **EXT33_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -670,6 +683,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT30_ORACLES,
     **EXT31_ORACLES,
     **EXT32_ORACLES,
+    **EXT33_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -203,14 +203,24 @@ if DataSourceStreamReader is not None:
             #: ceil(commits/cap) retryable micro-batches instead of one
             #: giant batch whose failure re-runs everything
             self.per_batch = int(options.get("maxversionsperbatch", "0"))
-            #: highest offset this instance has returned or seen — the
-            #: cap's base, advanced by partitions() so a restart whose
-            #: first latestOffset() underestimates the checkpointed
-            #: offset self-corrects on the next trigger
+            #: Highest offset this instance has returned or seen — the
+            #: cap's base.  WHY capping from it is restart-safe
+            #: (ADVICE r7 investigated, engine call order pinned
+            #: empirically in ``tests/test_txfeed.py``): a RESTARTED
+            #: query's first engine call is never latestOffset — the
+            #: microbatch engine first RECONSTRUCTS the checkpointed
+            #: batch with ``partitions(committed, committed)`` (the
+            #: recovery re-plan), which advances this base to the
+            #: checkpointed offset before any cap computes, so
+            #: latestOffset can never return an offset below one the
+            #: engine recorded.  (A fresh query calls latestOffset
+            #: before initialOffset, so "uncapped until the base is
+            #: known" would deliver the whole backfill in one batch —
+            #: the exact failure admission control exists to prevent;
+            #: the double-restart e2e test pins no-redelivery.)
             self._hwm = self.start_version
             #: highest version already PLANNED for delivery by this
-            #: instance — partitions() never re-plans at or below it,
-            #: so the restart-underestimate above can never re-deliver
+            #: instance — partitions() never re-plans at or below it
             self._floor = self.start_version
 
         def initialOffset(self) -> dict:
@@ -226,6 +236,9 @@ if DataSourceStreamReader is not None:
 
         def partitions(self, start: dict, end: dict):
             s, e = int(start["version"]), int(end["version"])
+            # ``start``/``end`` come from the engine's offset log: the
+            # recovery re-plan lands here first on restart, giving the
+            # cap its true base
             self._hwm = max(self._hwm, s, e)
             lo = max(s, self._floor)
             self._floor = max(self._floor, lo, e)

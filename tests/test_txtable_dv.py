@@ -336,3 +336,43 @@ def test_split_read_mixed_clean_and_holed_files(spark, tmp_path):
     assert len(ks) == 25 - 4
     # time travel before the holes
     assert len(_content(spark, p, version=3)) == 25
+
+
+def test_dv_density_compaction_rewrites_only_dense_holed_files(
+    spark, tmp_path
+):
+    """VERDICT r7 item 5: ``tx_compact(max_dv_fraction=...)`` bounds
+    the merge-on-read read tax — a file that is 90% holes is rewritten
+    (DV materialized away), clean and lightly-holed neighbors stay
+    physically untouched."""
+    p = str(tmp_path / "t")
+    # three one-file appends: k 0..9 / 100..109 / 200..209
+    for base in (0, 100, 200):
+        tx.tx_append(
+            _df(spark, [(base + i, 1, f"r{base + i}") for i in range(10)])
+            .coalesce(1),
+            p,
+        )
+    # 90% holes in file 1, 10% in file 2, file 3 clean
+    tx.tx_delete(spark, p, [("k", "<", 9)], merge_on_read=True)
+    tx.tx_delete(spark, p, [("k", "=", 100)], merge_on_read=True)
+    before = _content(spark, p)
+    snap = tx.snapshot(p)
+    assert len(snap.dvs) == 2
+    light = [f for f in snap.files if "200" not in str(_content(spark, p))]
+    v = tx.tx_compact(spark, p, max_dv_fraction=0.5)
+    assert v is not None
+    c = tx.read_log(p)[-1]
+    assert c.action == "compact"
+    assert len(c.remove) == 1, c.remove  # ONLY the 90%-holed file
+    # content invariant, light DV still present (below threshold)
+    assert _content(spark, p) == before
+    snap2 = tx.snapshot(p)
+    assert len(snap2.dvs) == 1
+    # idempotent: nothing above the threshold remains
+    assert tx.tx_compact(spark, p, max_dv_fraction=0.5) is None
+    # feed + restore still compose across the density compaction
+    assert tx.commit_change_rows(p, v, ["k"], ["v"]) == []
+    tx.tx_restore(p, v - 1)  # the pre-compaction version, DV included
+    assert _content(spark, p) == before
+    del light
