@@ -202,6 +202,10 @@ HEADLINE = [
     "tx_delete_dv",
     "tx_feed_dv_deletes",
     "mm_jpeg12_decode",
+    # round-8 addition: the conditional MERGE (three-clause CDC apply
+    # through deletion vectors, hash-checked vs a full-outer-join
+    # oracle)
+    "tx_merge_cdc",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -233,6 +237,7 @@ PRESTAGE = [
     "tx_partition_pruning",
     "tx_delete_dv",
     "tx_feed_dv_deletes",
+    "tx_merge_cdc",
 ]
 
 

@@ -71,7 +71,7 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
             [
                 "append", "append", "upsert", "compact", "vacuum",
                 "delete", "expire", "replace", "delete_keys", "restore",
-                "rename",
+                "rename", "merge",
             ]
         )
         if op == "restore" and history:
@@ -155,6 +155,58 @@ def test_random_walk_matches_model(spark, tmp_path, seed):
                 ["k"],
             )
             applied = [r for r in applied if r[0] not in set(doomed)]
+            history[tx.table_version(p)] = sorted(applied)
+        elif op == "merge":
+            # conditional three-clause MERGE, clause selection keyed
+            # off the (unique) change clock so the model replicates it
+            # exactly: source.ts % 3 == 0 -> matched DELETE (every
+            # duplicate row of that key goes), == 1 -> matched UPDATE
+            # ALL (duplicates become identical rows — multiset
+            # preserved), == 2 -> no clause (keep); unmatched source
+            # keys INSERT.  A coin adds WHEN NOT MATCHED BY SOURCE
+            # DELETE over a fixed key band; merge-on-read flips
+            # independently (physical strategy, same model).
+            raw = fresh_rows(rng.randrange(1, 4))
+            src = {}
+            for k, ts, v in raw:  # newest per key: tx_merge refuses dups
+                src[k] = (ts, v)
+            use_bys = rng.random() < 0.3
+            tx.tx_merge(
+                spark,
+                p,
+                spark.createDataFrame(
+                    [(k, ts, v) for k, (ts, v) in src.items()],
+                    "k int, ts int, v string",
+                ),
+                on=["k"],
+                when_matched_delete="source.ts % 3 = 0",
+                when_matched_update="all",
+                when_matched_update_condition="source.ts % 3 = 1",
+                when_not_matched_insert=True,
+                when_not_matched_by_source_delete=(
+                    "target.k >= 35" if use_bys else False
+                ),
+                merge_on_read=rng.random() < 0.5,
+            )
+            table_keys = {r[0] for r in applied}
+            out = []
+            for k, ts, v in applied:
+                if k in src:
+                    sts, sv = src[k]
+                    if sts % 3 == 0:
+                        continue
+                    if sts % 3 == 1:
+                        out.append((k, sts, sv))
+                    else:
+                        out.append((k, ts, v))
+                elif use_bys and k >= 35:
+                    continue
+                else:
+                    out.append((k, ts, v))
+            for k, (ts, v) in src.items():
+                if k not in table_keys:
+                    out.append((k, ts, v))
+            applied = out
             history[tx.table_version(p)] = sorted(applied)
         elif op == "rename":
             # metadata-only round trip: v -> vtmp -> v.  The model is
