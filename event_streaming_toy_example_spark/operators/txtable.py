@@ -2233,8 +2233,11 @@ def tx_merge(
         *[F.col(k).alias(jk) for k, jk in zip(keys, jkeys)],
         F.struct(*[F.col(c) for c in tcols]).alias("source"),
     )
-    if not has_by_source:
-        src = F.broadcast(src)  # a MERGE batch is small vs the table
+    # ONE full-outer SortMergeJoin on the keys (FullOuter cannot
+    # broadcast-hash in Spark, and should not here: the target side is
+    # already pruned to the AFFECTED FILES' rows — O(source-key
+    # spread), not O(table) — so both inputs are merge-batch-scale;
+    # this is the same join a Delta MERGE runs over its touched files)
     joined = tgt.join(src, jkeys, "full_outer")
 
     matched = F.col("target").isNotNull() & F.col("source").isNotNull()
