@@ -409,6 +409,26 @@ def _fold_state(path: str, version: int | None = None) -> _State | None:
     return state
 
 
+def _fold_state_memo(path: str, version: int) -> _State | None:
+    """Memoized :func:`_fold_state` for FIXED versions — the change
+    feed's prior-state lookups hit the same (path, version) once per
+    commit in a drained range.  The folded state at a fixed version is
+    a pure function of the immutable commit prefix, so caching is
+    sound; the cache is small and evicts LRU."""
+    key = (path, version)
+    hit = _FOLD_MEMO.get(key)
+    if hit is not None:
+        return hit
+    state = _fold_state(path, version)
+    if len(_FOLD_MEMO) >= 64:
+        _FOLD_MEMO.pop(next(iter(_FOLD_MEMO)))
+    _FOLD_MEMO[key] = state
+    return state
+
+
+_FOLD_MEMO: dict = {}
+
+
 def read_log(path: str) -> list[Commit]:
     """All RETAINED commits, version order.  Contiguity within the
     retained range is asserted — a gap means a deleted commit file,
@@ -3389,14 +3409,21 @@ def commit_change_rows(
         t = pq.read_table(full, columns=["file", "pos"]).to_pandas()
         return set(t.loc[t["file"] == f, "pos"].tolist())
 
-    # the previous version's DV state: rows a removed file had ALREADY
+    # The previous version's DV state: rows a removed file had ALREADY
     # deleted must not re-emit as deletes (they were never live at
-    # version-1), and a carried-over file's DV delta is taken against it
-    prev = (
-        _fold_state(path, version - 1)
-        if version > 1 and c.action != "append"
-        else None
+    # version-1), and a carried-over file's DV delta is taken against
+    # it.  Folded LAZILY — only commits that remove files or carry a
+    # dv field need it (a pure upsert-append or metadata commit skips
+    # the fold entirely), and memoized per (path, version): a follower
+    # draining a commit RANGE would otherwise re-fold the same prefix
+    # once per commit (the round-8 bench caught exactly that as a
+    # 2.3x relative regression on tx_feed_follower).  Sound to cache:
+    # the folded state at a FIXED version is immutable (commits are
+    # append-only; expiry changes reachability, never the value).
+    needs_prev = version > 1 and c.action != "append" and (
+        bool(c.remove) or bool(c.dv)
     )
+    prev = _fold_state_memo(path, version - 1) if needs_prev else None
     prev_files = set(prev.files) if prev is not None else set()
     prev_dvs = prev.dvs if prev is not None else {}
 
