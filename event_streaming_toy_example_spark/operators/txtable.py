@@ -2113,6 +2113,7 @@ def tx_merge(
     when_not_matched_by_source_update: dict | None = None,
     when_not_matched_by_source_condition: str | None = None,
     merge_on_read: bool = False,
+    stream_txn: tuple[str, int] | None = None,
 ) -> int:
     """Conditional ``MERGE INTO`` — the full SQL:2003 / Delta clause
     surface ``tx_upsert`` (keyed last-writer-wins) cannot express, and
@@ -2424,6 +2425,7 @@ def tx_merge(
         remove,
         state.schema,
         read_version,
+        stream_txn=stream_txn,
         stats=stats,
         conflict=conflict,
         dv=dv_commit,
@@ -2992,6 +2994,54 @@ def tx_upsert_stream(
         )
 
     writer = changes.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def tx_merge_stream(
+    changes: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    on: Sequence[str],
+    app_id: str,
+    available_now: bool = True,
+    merge_on_read: bool = False,
+    **merge_clauses,
+):
+    """Streaming CONDITIONAL-MERGE sink — ``tx_upsert_stream``'s
+    clause-general twin: every micro-batch applies through
+    :func:`tx_merge` with the given WHEN clauses (passed verbatim:
+    ``when_matched_update=...``, ``when_matched_delete=...``,
+    ``when_not_matched_insert=...`` etc.), so a CDC stream whose
+    semantics keyed last-writer-wins cannot express (conditional
+    updates, tombstone deletes carried IN the rows, partial-column
+    updates) commits exactly-once through the same ``(app_id,
+    batch_id)`` token protocol: a restarted query re-delivering batch
+    N finds N in the log and skips it.
+
+    The per-batch source must carry unique keys (``tx_merge``'s
+    contract — pre-aggregate upstream, e.g. newest per key with
+    ``upsert_snapshot``); the table must exist."""
+    spark = changes.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        floor = last_committed_batch(path, app_id)
+        if floor is not None and batch_id <= floor:
+            return  # replayed batch: already committed exactly-once
+        tx_merge(
+            spark,
+            path,
+            batch_df,
+            on=on,
+            merge_on_read=merge_on_read,
+            stream_txn=(app_id, batch_id),
+            **merge_clauses,
+        )
+
+    writer = changes.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

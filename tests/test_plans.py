@@ -508,3 +508,81 @@ def test_column_mapping_read_keeps_pushdown_and_pruning(spark, tmp_path):
     )
     schemas = re.findall(r"ReadSchema: (.*)", nfmt)
     assert schemas and all("v" not in s for s in schemas), nfmt
+
+
+def test_merge_probe_is_narrow_and_join_is_smj_over_affected_only(
+    spark, tmp_path
+):
+    """tx_merge's scale contract, plan-pinned: (1) the file-pruning
+    probe scans ONLY the key column of the wide table (ReadSchema
+    narrow); (2) the merge itself joins source against the AFFECTED
+    files' rows with one SortMergeJoin FullOuter — never a
+    nested-loop, never all files when the keys land in one file."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    p = str(tmp_path / "t")
+    # wide table, range-clustered into 4 files on k
+    df = spark.range(0, 4000).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit(1).alias("ts"),
+        *[
+            F.sha2(F.col("id").cast("string"), 256).alias(f"w{i}")
+            for i in range(6)
+        ],
+    )
+    tx.tx_append(df.repartitionByRange(4, "k"), p)
+    state = tx._fold_state(p)
+    snap = tx.snapshot(p)
+    current = tx._read_files(
+        spark, p, list(snap.files), schema_json=state.schema
+    )
+    src = spark.createDataFrame([(5,), (7,)], "k int")
+    probe = tx.upsert_prune_probe(current, src, ["k"])
+    fmt = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    schemas = re.findall(r"ReadSchema: struct<(.*?)>", fmt)
+    assert schemas and all(
+        "w0" not in s and "w5" not in s for s in schemas
+    ), fmt  # the wide columns never reach the probe's parquet reader
+    # keys 5 and 7 live in ONE range file: the merge removes/DVs only it
+    wide_src = spark.createDataFrame(
+        [(5, 2) + ("x",) * 6, (7, 2) + ("y",) * 6],
+        "k int, ts int, " + ", ".join(f"w{i} string" for i in range(6)),
+    )
+    v = tx.tx_merge(
+        spark, p, wide_src, on=["k"], when_matched_update="all",
+    )
+    c = tx.read_log(p)[-1]
+    assert len(c.remove) == 1, c.remove  # one affected file rewritten
+    assert v == 2
+    # and the executed merge had no nested-loop join anywhere
+    # (re-run the same shape and inspect the executed plan)
+    base = tx._read_files(
+        spark, p, list(c.remove) or list(snap.files)[:1],
+        file_pos_cols=("__f", "__p"), schema_json=state.schema,
+    )
+    tcols = [f
+             for f in base.columns if f not in ("__f", "__p")]
+    tgt = base.select(
+        F.col("k").alias("__k_k"),
+        F.struct(*[F.col(x) for x in tcols]).alias("target"),
+    )
+    s2 = wide_src.select(
+        F.col("k").alias("__k_k"),
+        F.struct(*[F.col(x) for x in tcols]).alias("source"),
+    )
+    plan = (
+        tgt.join(s2, ["__k_k"], "full_outer")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "SortMergeJoin" in plan, plan

@@ -212,3 +212,49 @@ def test_merge_after_rename_uses_logical_names(spark, tmp_path):
     tx.tx_merge(spark, p, src, on=["k"], when_matched_update="all")
     got = {r.k: r.amount for r in tx.read_table(spark, p).collect()}
     assert got[1] == 77.0 and got[0] == 0.0
+
+
+def test_merge_stream_applies_clauses_exactly_once(spark, tmp_path):
+    """tx_merge_stream: a CDC stream with tombstones CARRIED IN THE
+    ROWS (op='d') applies per micro-batch through the conditional
+    clauses; a restarted query on a FRESH checkpoint re-delivering the
+    same batches commits zero new versions (the (app_id, batch_id)
+    token short-circuits the replay)."""
+    import os
+
+    p = str(tmp_path / "t")
+    tx.tx_append(
+        spark.createDataFrame(
+            [(i, 1, float(i), "keep") for i in range(6)],
+            "k int, ts int, amt double, op string",
+        ).coalesce(1),
+        p,
+    )
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    with open(os.path.join(feed_dir, "b0.json"), "w") as f:
+        f.write('{"k": 1, "ts": 2, "amt": 111.0, "op": "u"}\n')
+        f.write('{"k": 3, "ts": 2, "amt": 0.0, "op": "d"}\n')
+        f.write('{"k": 50, "ts": 2, "amt": 500.0, "op": "u"}\n')
+
+    def run(ck):
+        stream = spark.readStream.schema(
+            "k int, ts int, amt double, op string"
+        ).json(feed_dir)
+        q = tx.tx_merge_stream(
+            stream, p, ck, on=["k"], app_id="merge-cdc",
+            merge_on_read=True,
+            when_matched_delete="source.op = 'd'",
+            when_matched_update={"amt": "source.amt", "ts": "source.ts"},
+            when_not_matched_insert="source.op != 'd'",
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    v1 = tx.table_version(p)
+    got = {r.k: r.amt for r in tx.read_table(spark, p).collect()}
+    assert got == {0: 0.0, 1: 111.0, 2: 2.0, 4: 4.0, 5: 5.0, 50: 500.0}
+    # fresh checkpoint => full re-delivery; the token floor skips it
+    run(str(tmp_path / "ck2"))
+    assert tx.table_version(p) == v1
+    assert {r.k: r.amt for r in tx.read_table(spark, p).collect()} == got
