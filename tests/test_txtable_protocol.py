@@ -191,3 +191,53 @@ def test_protocol_round_trips_through_restore_and_model_surface(
         "deletion-vectors"
         in tx.table_protocol(p)["min_reader_features"]
     )
+
+
+def test_concurrent_feature_upgrades_union_not_clobber(spark, tmp_path):
+    """Two MOR deletes on DISJOINT files race at the put-if-absent
+    step: the loser re-folds and re-derives its protocol field, so the
+    deletion-vectors requirement lands exactly once and never
+    regresses; a later rename UNIONS column-mapping on top."""
+    from event_streaming_toy_example_spark.operators.logstore import (
+        InMemoryLogStore,
+        register_log_store,
+        unregister_log_store,
+    )
+
+    prefix = str(tmp_path / "mem")
+    store = InMemoryLogStore()
+    register_log_store(prefix, store)
+    try:
+        p = f"{prefix}/t"
+        tx.tx_append(_df(spark, _rows(10)).coalesce(1), p)
+        tx.tx_append(
+            _df(spark, [(100 + i, 1, f"x{i}") for i in range(10)])
+            .coalesce(1),
+            p,
+        )
+        fired = {"done": False}
+
+        def hook(path: str) -> None:
+            if not fired["done"] and path.endswith(".json"):
+                fired["done"] = True
+                tx.tx_delete(
+                    spark, p, [("k", "=", 105)], merge_on_read=True
+                )
+
+        store.before_put = hook
+        try:
+            tx.tx_delete(spark, p, [("k", "=", 3)], merge_on_read=True)
+        finally:
+            store.before_put = None
+        proto = tx.table_protocol(p)
+        assert "deletion-vectors" in proto["min_reader_features"]
+        # both deletes landed (disjoint files commute)
+        ks = {r.k for r in tx.read_table(spark, p).collect()}
+        assert 3 not in ks and 105 not in ks and len(ks) == 18
+        tx.tx_rename_column(p, "v", "val")
+        proto = tx.table_protocol(p)
+        assert set(proto["min_reader_features"]) >= {
+            "deletion-vectors", "column-mapping", "parquet-checkpoint"
+        }
+    finally:
+        unregister_log_store(prefix)
