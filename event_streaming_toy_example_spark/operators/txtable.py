@@ -2439,6 +2439,7 @@ def tx_compact(
     small_file_bytes: int | None = None,
     order_col: str | None = None,
     max_dv_fraction: float | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> int | None:
     """Bin-pack small data files; content-invariant by construction
     (same rows, fewer files).  Returns the committed version, or None
@@ -2463,16 +2464,36 @@ def tx_compact(
     forever.  A maintenance loop runs it like Delta's
     ``OPTIMIZE``-with-DV-threshold; rewriting even a single dense-DV
     file is progress, so the bin-pack's is-it-worth-it check does not
-    apply."""
+    apply.
+
+    ``zorder_by=(a, b)`` clusters the rewrite on the MORTON CURVE of
+    two columns (``OPTIMIZE ... ZORDER BY``): each column is rescaled
+    to 16 bits using the GLOBAL min/max already in the logged stats
+    (zero extra scans), the z-values range-partition + sort the
+    output, and the footer min/max of BOTH columns become selective in
+    every file — so predicates on EITHER dimension prune, the thing a
+    single-column sort can only give one of.  Declared per table via
+    the ``zorder_by`` property (honored whenever ``order_col`` is not
+    forced), like ``cluster_by``."""
     state = _fold_state(path)
     if state is None:
         return None
-    if order_col is None and state.properties:
+    if zorder_by is None and order_col is None and state.properties:
+        zb = state.properties.get("zorder_by")
+        if zb:
+            zorder_by = tuple(zb)
+    if order_col is None and zorder_by is None and state.properties:
         order_col = state.properties.get("cluster_by")
         if order_col is None:
             part = state.properties.get("partition_by")
             m = _TRANSFORM_RE.match(part) if part else None
             order_col = m.group(2) if m else part
+    if zorder_by is not None and len(tuple(zorder_by)) != 2:
+        raise ValueError(
+            "tx_compact: zorder_by takes exactly two columns (the "
+            "two-dimension Morton interleave operators/layout.py "
+            "implements); for one column use order_col"
+        )
     read_version = state.version
     snap = snapshot(path, read_version)
     store = get_data_store(path)
@@ -2515,7 +2536,9 @@ def tx_compact(
         )
         total = sum(s for _, s in victims)
         n_out = max(1, -(-total // target_bytes))
-        if len(victims) <= n_out:
+        if len(victims) <= n_out and zorder_by is None:
+            # nothing to bin-pack; an explicit ZORDER request is a
+            # RE-CLUSTERING intent and proceeds regardless
             return None
     # DV-aware: compacting a deletion-vectored file MATERIALIZES the
     # DV away (only live rows are rewritten; the victim's dv entry
@@ -2524,7 +2547,56 @@ def tx_compact(
         spark, path, [f for f, _ in victims], snap.dvs,
         schema_json=state.schema,
     )
-    if order_col is not None:
+    if zorder_by is not None:
+        from event_streaming_toy_example_spark.operators.layout import (
+            zorder_value,
+        )
+
+        a, b = tuple(zorder_by)
+        for col in (a, b):
+            if col not in df.columns:
+                raise ValueError(
+                    f"tx_compact: zorder_by column '{col}' not in the "
+                    f"table schema at {path}"
+                )
+
+        def _scaled(col: str):
+            """Rescale to 16 bits using the GLOBAL range from the
+            LOGGED stats — planning-time metadata, no data scan.  A
+            file without usable stats for the column falls back to one
+            narrow min/max aggregate over the victims."""
+            pm = _phys_map(state.schema)
+            phys = pm.get(col, col)
+            los, his = [], []
+            for f in snap.files:
+                s = (snap.stats or {}).get(f, {}).get(phys)
+                if s is None or not isinstance(s["min"], (int, float)):
+                    los = []
+                    break
+                los.append(s["min"])
+                his.append(s["max"])
+            if los:
+                lo, hi = min(los), max(his)
+            else:
+                row = df.agg(
+                    F.min(col).alias("lo"), F.max(col).alias("hi")
+                ).collect()[0]
+                lo, hi = row["lo"], row["hi"]
+            span = float(hi - lo) or 1.0
+            return F.floor(
+                (F.col(col).cast("double") - F.lit(float(lo)))
+                / F.lit(span)
+                * F.lit(65535.0)
+            ).cast("long")
+
+        z = zorder_value(_scaled(a), _scaled(b)).alias("__z")
+        packed = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif order_col is not None:
         packed = df.repartitionByRange(
             n_out, F.col(order_col)
         ).sortWithinPartitions(order_col)

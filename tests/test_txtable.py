@@ -1371,3 +1371,46 @@ def test_add_constraint_refuses_when_existing_data_violates(spark, tmp_path):
     assert "__constraints" not in tx.table_properties(p)
     with pytest.raises(ValueError, match="no constraint"):
         tx.tx_drop_constraint(p, "ts_positive")
+
+
+def test_zorder_compaction_makes_both_dimensions_prune(spark, tmp_path):
+    """tx_compact(zorder_by=(a, b)) — OPTIMIZE ... ZORDER BY: after
+    the Morton-clustered rewrite, point/range predicates on EITHER
+    column skip most files via the logged stats (a single-column sort
+    can only give one dimension), and the rewrite stays
+    content-invariant."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("int").alias("x"),
+        (F.col("id") / 64).cast("int").alias("y"),
+        F.col("id").cast("int").alias("payload"),
+    )
+    # row-major layout: x cycles per file, so x-predicates prune NOTHING
+    tx.tx_append(df.repartitionByRange(8, "y"), p)
+    before = sorted(tuple(r) for r in tx.read_table(spark, p).collect())
+    scan_x0, _ = tx.prune_files(p, [("x", "<", 8)])
+    assert len(scan_x0) == 8, "precondition: x unprunable in row-major"
+    v = tx.tx_compact(
+        spark, p, target_bytes=1, zorder_by=("x", "y")
+    )
+    assert v is not None
+    # content-invariant
+    after = sorted(tuple(r) for r in tx.read_table(spark, p).collect())
+    assert after == before
+    n_files = len(tx.snapshot(p).files)
+    assert n_files >= 4
+    scan_x, skip_x = tx.prune_files(p, [("x", "<", 8)])
+    scan_y, skip_y = tx.prune_files(p, [("y", "<", 8)])
+    assert len(skip_x) >= n_files // 2, (len(scan_x), n_files)
+    assert len(skip_y) >= n_files // 2, (len(scan_y), n_files)
+    # declared as a property, a later bare compaction keeps the layout
+    tx.tx_set_properties(p, {"zorder_by": ["x", "y"]})
+    tx.tx_append(
+        spark.createDataFrame([(1, 1, 9)], "x int, y int, payload int"), p
+    )
+    v2 = tx.tx_compact(spark, p, target_bytes=1)
+    assert v2 is not None
+    scan_x2, skip_x2 = tx.prune_files(p, [("x", "<", 8)])
+    assert skip_x2, "property-declared zorder lost on re-compaction"
