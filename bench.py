@@ -202,10 +202,11 @@ HEADLINE = [
     "tx_delete_dv",
     "tx_feed_dv_deletes",
     "mm_jpeg12_decode",
-    # round-8 addition: the conditional MERGE (three-clause CDC apply
+    # round-8 additions: the conditional MERGE (three-clause CDC apply
     # through deletion vectors, hash-checked vs a full-outer-join
-    # oracle)
+    # oracle) and the two-dimension ZORDER BY pruned read
     "tx_merge_cdc",
+    "tx_zorder_pruning",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -238,6 +239,7 @@ PRESTAGE = [
     "tx_delete_dv",
     "tx_feed_dv_deletes",
     "tx_merge_cdc",
+    "tx_zorder_pruning",
 ]
 
 

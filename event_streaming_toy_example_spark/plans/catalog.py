@@ -242,6 +242,11 @@ FAMILY_REP: dict[str, str] = {
     # column mapping: the post-rename cross-era read hash-checks
     # locally against an aliased oracle (round 7)
     "tx_rename_read": "tx_delete_dv",
+    # round 8: OPTIMIZE ZORDER BY — two-dimension Morton clustering on
+    # the transactional table; the staged build asserts BOTH axes
+    # became prunable, the read hash-checks the plain-filter oracle.
+    # Joins the layout family (its rep pins compaction invariance).
+    "tx_zorder_pruning": "layout_compact_invariance",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is

@@ -144,10 +144,90 @@ WHERE action <> 'delete'
 """
 
 
+def _build_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: events written ROW-MAJOR on user_id (so
+    event_id predicates prune nothing), then OPTIMIZE ZORDER BY
+    (event_id, user_id) — the build asserts both dimensions actually
+    became prunable, so a clustering regression fails the build."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.schemas import load_table
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        tx.tx_append(ev.repartitionByRange(8, "user_id"), tmp)
+        hi = ev.agg(F.max("event_id")).collect()[0][0]
+        scan0, _ = tx.prune_files(tmp, [("event_id", "<", hi // 8)])
+        assert len(scan0) == len(tx.snapshot(tmp).files), (
+            "precondition: event_id unprunable in the row-major layout"
+        )
+        v = tx.tx_compact(
+            spark, tmp, target_bytes=256 * 1024,
+            zorder_by=("event_id", "user_id"),
+        )
+        assert v is not None
+        n = len(tx.snapshot(tmp).files)
+        _, skip_e = tx.prune_files(tmp, [("event_id", "<", hi // 8)])
+        lo_u = ev.agg(F.min("user_id")).collect()[0][0]
+        hi_u = ev.agg(F.max("user_id")).collect()[0][0]
+        cut_u = lo_u + (hi_u - lo_u) // 8
+        _, skip_u = tx.prune_files(tmp, [("user_id", "<", cut_u)])
+        assert len(skip_e) >= n // 2, (len(skip_e), n)
+        assert len(skip_u) >= n // 2, (len(skip_u), n)
+
+    return stage_dir_once(build, "txtable_zorder_v2", sf_dir)
+
+
+def q_tx_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A two-dimension range read over the Z-ordered table — the
+    stats-pruned scan plus the real row filter must equal the plain
+    SQL answer exactly (pruning is an optimization, never a filter)."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.schemas import load_table
+
+    path = _build_zorder_table(spark, sf_dir)
+    hi = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("event_id"))
+        .collect()[0][0]
+    )
+    out = tx.read_table(
+        spark, path, where=[("event_id", "<", hi // 4)]
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+SQL_TX_ZORDER_PRUNING = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id,
+       MIN(user_id) AS min_user,
+       MAX(user_id) AS max_user
+FROM events
+WHERE event_id < (SELECT MAX(event_id) // 4 FROM events)
+GROUP BY event_type
+"""
+
+
 EXT33_QUERIES = {
     "tx_merge_cdc": q_tx_merge_cdc,
+    "tx_zorder_pruning": q_tx_zorder_pruning,
 }
 
 EXT33_ORACLES = {
     "tx_merge_cdc": SQL_TX_MERGE_CDC,
+    "tx_zorder_pruning": SQL_TX_ZORDER_PRUNING,
 }
