@@ -162,8 +162,19 @@ def _build_zorder_table(spark: SparkSession, sf_dir: str) -> str:
         assert len(scan0) == len(tx.snapshot(tmp).files), (
             "precondition: event_id unprunable in the row-major layout"
         )
+        # 16 output files = a 4x4 Morton grid (file boundaries align
+        # with curve quadrants), so a 1/8 slice on either dimension
+        # leaves most files provably disjoint; a byte-fixed target
+        # degenerates to too few files at small SFs (3 files cannot
+        # confine either dimension)
+        import os as _os
+
+        total = sum(
+            tx.get_data_store(tmp).size(_os.path.join(tmp, f))
+            for f in tx.snapshot(tmp).files
+        )
         v = tx.tx_compact(
-            spark, tmp, target_bytes=256 * 1024,
+            spark, tmp, target_bytes=max(1, total // 16),
             zorder_by=("event_id", "user_id"),
         )
         assert v is not None
@@ -176,7 +187,7 @@ def _build_zorder_table(spark: SparkSession, sf_dir: str) -> str:
         assert len(skip_e) >= n // 2, (len(skip_e), n)
         assert len(skip_u) >= n // 2, (len(skip_u), n)
 
-    return stage_dir_once(build, "txtable_zorder_v2", sf_dir)
+    return stage_dir_once(build, "txtable_zorder_v3", sf_dir)
 
 
 def q_tx_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
