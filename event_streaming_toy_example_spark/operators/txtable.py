@@ -2150,7 +2150,10 @@ def tx_merge(
 
     Duplicate source keys are refused up front (a target row matching
     two source rows makes the result order-dependent — same error
-    Delta raises).  Returns the committed version.
+    Delta raises).  Source columns OUTSIDE the table schema are legal
+    and never written: clause conditions reference them
+    (``source.change_type`` tombstones, CDC version stamps) — the
+    Delta scoping.  Returns the committed version.
 
     Oracle parity: hash-checked against DuckDB's native ``MERGE INTO``
     semantics expressed as a full-outer-join CASE in
@@ -2167,15 +2170,17 @@ def tx_merge(
 
     target_schema = StructType.fromJson(json.loads(state.schema))
     tcols = [f.name for f in target_schema.fields]
+    # EXTRA source columns (not in the table schema) are legal exactly
+    # as in Delta: clause conditions may reference them
+    # (``source.change_type``, CDC version stamps, ...), they ride in
+    # the source struct and are NEVER written — a MERGE does not
+    # auto-evolve the table.  Same-named columns still type-check, and
+    # missing table columns null-fill so inserts stay typed.
     extra = [c for c in source.columns if c not in tcols]
-    if extra:
-        raise ValueError(
-            f"tx_merge: source columns {extra} not in the table schema; "
-            "evolve the table first (tx_append/tx_evolve_types) — merge "
-            "does not auto-evolve"
-        )
     source = _check_evolution(state.schema, source)
-    source = _align(source, state.schema)
+    source = source.select(
+        *[F.col(c) for c in tcols], *[F.col(c) for c in extra]
+    )
     dup = source.groupBy(*keys).count().where("count > 1").limit(1).count()
     if dup:
         raise ValueError(
@@ -2252,7 +2257,9 @@ def tx_merge(
     )
     src = source.select(
         *[F.col(k).alias(jk) for k, jk in zip(keys, jkeys)],
-        F.struct(*[F.col(c) for c in tcols]).alias("source"),
+        F.struct(
+            *[F.col(c) for c in tcols], *[F.col(c) for c in extra]
+        ).alias("source"),
     )
     # ONE full-outer SortMergeJoin on the keys (FullOuter cannot
     # broadcast-hash in Spark, and should not here: the target side is

@@ -355,6 +355,7 @@ def follow_table(
     timeout_seconds: float = 300.0,
     max_versions_per_batch: int = 1,
     merge_on_read: bool = False,
+    via_merge: bool = False,
 ):
     """Maintain a FOLLOWER transactional table purely from the source
     table's change feed — the materialized-replica pattern a lakehouse
@@ -382,6 +383,15 @@ def follow_table(
     follower commits O(changed keys) bytes instead of rewriting every
     probed file — the right cost model for a replica trailing a large
     table; run ``tx_compact`` periodically to fold the DVs away.
+
+    ``via_merge=True`` applies each batch as ONE conditional
+    :func:`txtable.tx_merge` commit (tombstones ride as the
+    ``change_type`` source column, matched via
+    ``when_matched_delete``) instead of the delete+upsert commit pair:
+    half the commit volume, and the replica changes atomically per
+    batch — the intended default once a round of production soak
+    passes; the pair form stays for the version-count contracts
+    pinned by existing deployments.
 
     BLOCKING: drives the query with ``processAllAvailable`` until the
     feed has delivered every commit available at call time, then stops
@@ -425,6 +435,28 @@ def follow_table(
         ).where(F.col("__rn") == 1)
         finals = w_latest.persist()
         try:
+            if via_merge:
+                # ONE commit per batch: tombstones and upserts apply
+                # through a single conditional MERGE (the change_type
+                # rides as an extra source column, never written) —
+                # half the commit volume of the delete+upsert pair and
+                # the replica state changes atomically per batch
+                tx.tx_merge(
+                    spark,
+                    follower_path,
+                    finals.select(*keys, *content_cols, "version",
+                                  "change_type"),
+                    on=keys,
+                    when_matched_delete="source.change_type = 'delete'",
+                    when_matched_update={
+                        c: f"source.{c}"
+                        for c in list(content_cols) + ["version"]
+                    },
+                    when_not_matched_insert="source.change_type != 'delete'",
+                    stream_txn=(app_id, int(end_v)),
+                    merge_on_read=merge_on_read,
+                )
+                return
             dels = finals.where(F.col("change_type") == "delete").select(*keys)
             ups = finals.where(F.col("change_type") != "delete").select(
                 *keys, *content_cols, "version"

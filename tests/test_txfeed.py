@@ -404,3 +404,46 @@ def test_feed_from_timestamp_starts_after_that_instant(spark, tmp_path):
         q.stop()
     q.awaitTermination(60)
     assert seen == [(3, 3)]  # versions 1-2 predate the cut
+
+
+def test_follow_table_via_merge_single_commit_per_batch(spark, tmp_path):
+    """via_merge=True: each feed batch applies as ONE conditional
+    tx_merge commit (tombstones via the change_type source column) —
+    replica content identical to the delete+upsert pair, half the
+    commits, replay from a fresh checkpoint applies nothing."""
+    src = str(tmp_path / "src")
+    fol = str(tmp_path / "fol")
+    tx.tx_append(
+        _df(spark, [(i, 1, f"r{i}") for i in range(10)]).coalesce(1), src
+    )
+    tx.tx_upsert(spark, src, _df(spark, [(3, 5, "u3"), (20, 1, "new")]),
+                 ["k"], ["ts"])
+    tx.tx_delete(spark, src, [("k", "=", 7)])
+    seed = spark.createDataFrame([], "k int, v string, version long")
+    tx.tx_append(seed, fol)
+    v0 = tx.table_version(fol)
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck1"),
+        key="k", content_cols=["v"], via_merge=True,
+        merge_on_read=True, max_versions_per_batch=1,
+    )
+    s = sorted(
+        (r.k, r.v) for r in tx.read_table(spark, src).select("k", "v").collect()
+    )
+    f = sorted(
+        (r.k, r.v) for r in tx.read_table(spark, fol).select("k", "v").collect()
+    )
+    assert f == s, (s, f)
+    # one merge commit per non-empty feed batch (3 source data commits)
+    log = tx.read_log(fol)
+    applied = [c for c in log if c.version > v0]
+    assert all(c.action == "merge" for c in applied), [c.action for c in applied]
+    assert len(applied) == 3, [c.action for c in applied]
+    # exactly-once on a FRESH checkpoint
+    v1 = tx.table_version(fol)
+    txfeed.follow_table(
+        spark, src, fol, str(tmp_path / "ck2"),
+        key="k", content_cols=["v"], via_merge=True,
+        merge_on_read=True, max_versions_per_batch=1,
+    )
+    assert tx.table_version(fol) == v1

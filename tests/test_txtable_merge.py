@@ -114,11 +114,17 @@ def test_merge_guards(spark, tmp_path):
             spark, p, _df(spark, [(1, 1, 1.0, "a")]), on=["k"],
             when_matched_update={"k": "source.k + 1"},
         )
+    # EXTRA source columns are legal (conditions reference them, they
+    # are never written) — but UPDATING one is refused: merge does not
+    # auto-evolve the table
     extra = spark.createDataFrame(
         [(1, "x")], "k int, brand_new string"
     )
-    with pytest.raises(ValueError, match="not in the table schema"):
-        tx.tx_merge(spark, p, extra, on=["k"], when_matched_update="all")
+    with pytest.raises(ValueError, match="invalid"):
+        tx.tx_merge(
+            spark, p, extra, on=["k"],
+            when_matched_update={"brand_new": "source.brand_new"},
+        )
 
 
 def test_merge_respects_check_constraints(spark, tmp_path):
