@@ -1392,8 +1392,12 @@ def test_zorder_compaction_makes_both_dimensions_prune(spark, tmp_path):
     before = sorted(tuple(r) for r in tx.read_table(spark, p).collect())
     scan_x0, _ = tx.prune_files(p, [("x", "<", 8)])
     assert len(scan_x0) == 8, "precondition: x unprunable in row-major"
+    total = sum(
+        tx.get_data_store(p).size(os.path.join(p, f))
+        for f in tx.snapshot(p).files
+    )
     v = tx.tx_compact(
-        spark, p, target_bytes=1, zorder_by=("x", "y")
+        spark, p, target_bytes=max(1, total // 8), zorder_by=("x", "y")
     )
     assert v is not None
     # content-invariant
@@ -1410,7 +1414,7 @@ def test_zorder_compaction_makes_both_dimensions_prune(spark, tmp_path):
     tx.tx_append(
         spark.createDataFrame([(1, 1, 9)], "x int, y int, payload int"), p
     )
-    v2 = tx.tx_compact(spark, p, target_bytes=1)
+    v2 = tx.tx_compact(spark, p, target_bytes=max(1, total // 8))
     assert v2 is not None
     scan_x2, skip_x2 = tx.prune_files(p, [("x", "<", 8)])
     assert skip_x2, "property-declared zorder lost on re-compaction"
