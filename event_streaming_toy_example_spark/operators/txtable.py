@@ -540,22 +540,38 @@ def _read_files(
         return clean_df.unionByName(
             holed_df, allowMissingColumns=schema_json is None
         )
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(path, f) for f in files]
-    )
     if schema_json is not None:
-        from pyspark.sql.types import StructType
+        # IMPOSE the logged schema (under physical names) instead of
+        # mergeSchema inference: the log is the source of truth, so the
+        # reader never runs the footer-merge job mergeSchema schedules
+        # on EVERY DataFrame construction (at 34 files that job alone
+        # cost ~0.8 s per query — at a million files it would be a
+        # full metadata pass per read; Delta reads the schema from the
+        # log for exactly this reason).  Files written before an
+        # additive evolution simply lack the new physical columns and
+        # Spark's parquet reader null-fills them natively; type
+        # migrations rewrite every file (evolve-rewrite), so live
+        # files are always type-compatible with their snapshot schema.
+        from pyspark.sql.types import StructField, StructType
 
         target = StructType.fromJson(json.loads(schema_json))
-        have = set(df.columns)
+        phys = StructType(
+            [
+                StructField(_field_phys(f), f.dataType, True)
+                for f in target.fields
+            ]
+        )
+        df = spark.read.schema(phys).parquet(
+            *[os.path.join(path, f) for f in files]
+        )
         cols = [
-            F.col(_field_phys(f)).alias(f.name)
-            if _field_phys(f) in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in target.fields
+            F.col(_field_phys(f)).alias(f.name) for f in target.fields
         ]
         names = [f.name for f in target.fields]
     else:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in files]
+        )
         cols = [F.col(c) for c in df.columns]
         names = list(df.columns)
     dv_map = {f: s for f, s in (dvs or {}).items() if f in set(files)}
@@ -3373,6 +3389,12 @@ def history(path: str) -> list[dict]:
                 "read_version": c.read_version,
                 "stream_app": c.stream_txn[0] if c.stream_txn else None,
                 "stream_batch": c.stream_txn[1] if c.stream_txn else None,
+                # deletion-vector + protocol visibility: how many files
+                # this commit (re)vectored, and any feature upgrade it
+                # carried — the first things an operator checks when a
+                # reader starts erroring or a scan slows down
+                "n_dv": len(c.dv or {}),
+                "protocol": c.protocol,
             }
         )
     return out
@@ -3663,6 +3685,7 @@ def vacuum(
     path: str,
     retain_versions: int = 2,
     min_age_seconds: float = 3600.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files unreferenced by the newest ``retain_versions``
     snapshots — the physical-delete step snapshot isolation defers.
@@ -3684,7 +3707,10 @@ def vacuum(
 
     The walk runs entirely through the table's store (recursive
     ``list_files`` over the write-once ``data/`` tree) — object-store
-    clean, no directory semantics required."""
+    clean, no directory semantics required.  ``dry_run=True`` returns
+    the would-delete list without touching anything — what an operator
+    runs before the first destructive vacuum on a production table
+    (``VACUUM ... DRY RUN``)."""
     current = table_version(path)
     if current == 0:
         return []
@@ -3707,6 +3733,7 @@ def vacuum(
             continue
         mt = store.mtime(full)
         if mt is not None and mt <= horizon:
-            store.delete(full)
+            if not dry_run:
+                store.delete(full)
             deleted.append(rel)
     return deleted

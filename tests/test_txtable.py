@@ -1418,3 +1418,23 @@ def test_zorder_compaction_makes_both_dimensions_prune(spark, tmp_path):
     assert v2 is not None
     scan_x2, skip_x2 = tx.prune_files(p, [("x", "<", 8)])
     assert skip_x2, "property-declared zorder lost on re-compaction"
+
+
+def test_vacuum_dry_run_and_history_surface(spark, tmp_path):
+    """vacuum(dry_run=True) lists exactly what the real vacuum would
+    delete, deleting nothing; history() surfaces the DV count and any
+    protocol upgrade per commit."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(i, 1, f"r{i}") for i in range(10)]).coalesce(1), p)
+    tx.tx_delete(spark, p, [("k", "<", 3)], merge_on_read=True)
+    tx.tx_compact(spark, p, max_dv_fraction=0.2)  # materializes the DV
+    planned = tx.vacuum(p, retain_versions=1, min_age_seconds=0.0, dry_run=True)
+    assert planned, "the pre-compaction file + sidecar are unreferenced"
+    assert tx.read_table(spark, p, version=1).count() == 10  # untouched
+    deleted = tx.vacuum(p, retain_versions=1, min_age_seconds=0.0)
+    assert sorted(deleted) == sorted(planned)
+    h = {e["version"]: e for e in tx.history(p)}
+    assert h[2]["n_dv"] == 1 and h[3]["n_dv"] == 0
+    assert "parquet-checkpoint" in h[1]["protocol"]["min_reader_features"]
+    assert "deletion-vectors" in h[2]["protocol"]["min_reader_features"]
+    assert h[3]["protocol"] is None  # no upgrade carried
