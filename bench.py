@@ -433,6 +433,16 @@ def main(medians: bool = False) -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                # calibration-relative ratios in the DRIVER artifact too
+                # (VERDICT r8 item 8): the round-8 in-loop capture ran on
+                # a 1.42x-loaded box and its raw totals read as a fake 2x
+                # regression — with the ratios inline, BENCH_rN vs
+                # BENCH_r{N-1} comparisons can be made box-independent
+                # without reaching for BENCH_MEDIANS.json
+                "queries_rel_calibration": {
+                    k: round(v / cal["total_sec"], 4)
+                    for k, v in timings.items()
+                },
                 "calibration": cal,
                 "sf": sf_val,
                 "ingest": ingest,

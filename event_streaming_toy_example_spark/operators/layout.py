@@ -23,6 +23,8 @@ every subsequent selective scan cheap.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: bits kept per dimension (values are rank-compressed into this range)
@@ -46,6 +48,37 @@ def zorder_value(a: Column, b: Column) -> Column:
     return _spread_bits(a.cast("long")).bitwiseOR(
         F.shiftleft(_spread_bits(b.cast("long")), 1)
     )
+
+
+def zorder_bits_for(n: int) -> int:
+    """Bits kept per dimension for an ``n``-column interleave: 16 (the
+    2-D default) while the code fits a signed 64-bit long, narrower
+    beyond — 4 columns get 15 bits each (60-bit code), 6 get 10.  The
+    resolution loss is the standard Morton trade: more clustered
+    dimensions, coarser quantiles per dimension."""
+    if n < 2:
+        raise ValueError(f"zorder interleave needs >= 2 columns, got {n}")
+    return min(ZORDER_BITS, 62 // n)
+
+
+def zorder_value_n(cols: "Sequence[Column]") -> Column:
+    """Morton code of N non-negative integral columns (low
+    :func:`zorder_bits_for` (n) bits each — rescale or rank first).
+    The 2-column case routes to the magic-number fast path
+    (:func:`zorder_value`); N >= 3 builds the interleave as a flat
+    bit-gather expression — ``n * bits`` shift/mask/or terms, still
+    pure codegen'd JVM arithmetic, no UDF."""
+    cols = list(cols)
+    n = len(cols)
+    if n == 2:
+        return zorder_value(cols[0], cols[1])
+    bits = zorder_bits_for(n)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), j).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return out
 
 
 def write_zordered(

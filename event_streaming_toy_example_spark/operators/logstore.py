@@ -52,6 +52,13 @@ from collections.abc import Callable
 class LogStore:
     """Storage contract the commit protocol needs — nothing more."""
 
+    #: True when objects this store holds are ALSO reachable by Spark's
+    #: filesystem layer at the same path (posix-backed stores, or an
+    #: object store mounted through s3a://) — lets readers take a
+    #: distributed-scan fast path on store-held parquet objects instead
+    #: of materializing bytes through the driver.
+    spark_visible: bool = False
+
     def put_if_absent(self, path: str, body: bytes) -> bool:
         """Atomically create ``path`` with ``body`` iff it does not
         exist.  Returns True on success, False when ``path`` already
@@ -100,6 +107,8 @@ class PosixLogStore(LogStore):
     """Default store: the tmp + ``O_EXCL`` + ``fsync`` + ``link(2)``
     protocol ``txtable.commit`` has always used, verbatim — raced
     across real processes by ``tests/test_txtable_proc.py``."""
+
+    spark_visible = True
 
     def put_if_absent(self, path: str, body: bytes) -> bool:
         d = os.path.dirname(path)

@@ -170,6 +170,10 @@ from event_streaming_toy_example_spark.plans.queries_ext33 import (
     EXT33_ORACLES,
     EXT33_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext34 import (
+    EXT34_ORACLES,
+    EXT34_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -247,6 +251,27 @@ FAMILY_REP: dict[str, str] = {
     # became prunable, the read hash-checks the plain-filter oracle.
     # Joins the layout family (its rep pins compaction invariance).
     "tx_zorder_pruning": "layout_compact_invariance",
+    # round 9: the THREE-column Morton interleave (zorder_value_n) —
+    # same layout family; its build asserts all three axes prune
+    "tx_zorder3_pruning": "layout_compact_invariance",
+    # round 9 rotation (the one this round): tx_merge_evolution takes
+    # the PRIMARY slot — it runs the same conditional-merge machinery
+    # PLUS same-commit schema evolution (Delta withSchemaEvolution),
+    # the r8-VERDICT item-2 surface, hash-checked against a full-outer
+    # CASE oracle with the evolved column.  sim_topk_bruteforce moves
+    # here: the LSH rep's in-query recall@k contract COMPUTES the
+    # exact brute-force top-k internally (functions/similarity.py:81),
+    # so the brute scan stays driver-covered through it; the entry
+    # itself (hash-passed rounds 2-8) stays locally hash-replayed.
+    "sim_topk_bruteforce": "sim_lsh_topk",  # was itself a rep: dependents repointed to the LSH rep
+    # round 9: the SQL-addressable read surface (tx_view) — snapshot +
+    # VERSION AS OF as temp views queried by pure spark.sql; joins the
+    # merge/CDC family whose rep keeps the tx read path driver-checked
+    "tx_sql_surface": "tx_merge_cdc",
+    # round 9: the pre-r9 delete+upsert PAIR apply path of the feed
+    # follower, kept exercised after the PRIMARY rotated to the
+    # single-commit merge apply (VERDICT r8 item 7)
+    "tx_feed_follower_pair": "tx_feed_follower",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is
@@ -329,7 +354,7 @@ FAMILY_REP: dict[str, str] = {
     # round-2 demotions freeing driver slots for the curation family:
     # per-vector array-expression stats are the shuffle-free surface twin
     # of the brute-force cosine fold over the same embedding column
-    "array_surface_embeddings": "sim_topk_bruteforce",
+    "array_surface_embeddings": "sim_lsh_topk",
     # unpivot is the inverse reshaping surface of the pivot rep
     "unpivot_order_metrics": "pivot_type_by_day",
     # rolling rows-frame is a window-function surface; rank-window rep
@@ -404,7 +429,7 @@ FAMILY_REP: dict[str, str] = {
     # twin; the TPC-H shapes are SQL-analytics surfaces of the
     # decorrelated-subquery and broadcast-join families
     "mm_audio_dsp": "mm_jpeg_decode",
-    "rp_project": "sim_topk_bruteforce",
+    "rp_project": "sim_lsh_topk",
     "tpch_q17_small_qty_revenue": "orders_above_cust_avg",
     "tpch_q18_large_orders": "orders_above_cust_avg",
     "tpch_q14_promo_share": "join_revenue_by_nation",
@@ -421,8 +446,8 @@ FAMILY_REP: dict[str, str] = {
     # turned it into its recall-contract form; the raw neighbor list
     # is the `_neighbors` twin)
     "stream_join_outer": "stream_stream_join",
-    "sim_ivfpq_topk": "sim_topk_bruteforce",
-    "sim_ivfpq_topk_neighbors": "sim_topk_bruteforce",
+    "sim_ivfpq_topk": "sim_lsh_topk",
+    "sim_ivfpq_topk_neighbors": "sim_lsh_topk",
     # fifth wave: snapshot diff is the inverse (derive-a-change-feed)
     # surface of the CDC apply rep; profiling and winsorizing are
     # scan+aggregate surfaces of existing agg families
@@ -435,8 +460,8 @@ FAMILY_REP: dict[str, str] = {
     # locally; the raw assignments are the `_assignments` twin)
     "text_bpe_tokens": "text_token_stats",
     "text_bpe_tokens_counts": "text_token_stats",
-    "cluster_embeddings": "sim_topk_bruteforce",
-    "cluster_embeddings_assignments": "sim_topk_bruteforce",
+    "cluster_embeddings": "sim_lsh_topk",
+    "cluster_embeddings_assignments": "sim_lsh_topk",
     # seventh wave (event-analytics classics): funnel is a sequential
     # decorrelation chain (family rep: the decorrelated-subquery
     # entry); retention is a two-stage per-user aggregate (distinct-
@@ -652,6 +677,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT31_QUERIES,
     **EXT32_QUERIES,
     **EXT33_QUERIES,
+    **EXT34_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -689,6 +715,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT31_ORACLES,
     **EXT32_ORACLES,
     **EXT33_ORACLES,
+    **EXT34_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -74,9 +74,17 @@ def _build_feed_pair(spark: SparkSession, sf_dir: str) -> str:
             spark, src, updates.unionByName(inserts),
             keys=["event_id"], order_by=["ts"],
         )
-        tx.tx_delete(spark, src, [("value", "<", 2.0)])
-        v4 = tx.tx_compact(spark, src, target_bytes=1 << 30)
+        # MERGE-ON-READ delete + DV-density compaction: since round 9
+        # the sized rewrites leave this table ~1 file, so a bin-pack
+        # compact would be a no-op — the v4 compact instead
+        # MATERIALIZES the delete's deletion vector away
+        # (max_dv_fraction=0.0 rewrites every holed file), which must
+        # still emit NOTHING into the feed (compaction is
+        # content-invariant by contract)
+        tx.tx_delete(spark, src, [("value", "<", 2.0)], merge_on_read=True)
+        v4 = tx.tx_compact(spark, src, max_dv_fraction=0.0)
         assert v4 == 4, v4
+        assert not tx.snapshot(src).dvs, "compact left a DV behind"
 
         seed = spark.createDataFrame(
             [], "event_id bigint, event_type string, value double, version long"
@@ -95,6 +103,14 @@ def _build_feed_pair(spark: SparkSession, sf_dir: str) -> str:
         )
         v_fol = tx.table_version(fol)
         assert v_fol == _FOLLOWER_VERSION, v_fol
+        # since round 9 the default apply path is the SINGLE-COMMIT
+        # conditional MERGE (VERDICT r8 item 7): every applied batch
+        # must be one atomic merge commit
+        assert all(
+            c.action == "merge"
+            for c in tx.read_log(fol)
+            if c.version > 1
+        ), [c.action for c in tx.read_log(fol)]
         # 2. exactly-once: fresh checkpoint = full feed re-delivery;
         #    the per-app batch floor must skip every batch
         ck2 = os.path.join(tmp, "ck2")
@@ -104,7 +120,11 @@ def _build_feed_pair(spark: SparkSession, sf_dir: str) -> str:
         )
         assert tx.table_version(fol) == v_fol, "replay re-applied a batch"
 
-    return stage_dir_once(build, "txfeed_pair_v1", sf_dir)
+    # v2: round-9 sized rewrites (ceil(bytes/128 MB) output files per
+    # batch apply) — the staged follower drops from 34 two-KB files to
+    # one file per change batch, so the bench measures the layout the
+    # engine now actually writes
+    return stage_dir_once(build, "txfeed_pair_v2", sf_dir)
 
 
 def q_tx_feed_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +137,86 @@ def q_tx_feed_follower(spark: SparkSession, sf_dir: str) -> DataFrame:
     from event_streaming_toy_example_spark.operators import txtable as tx
 
     pair = _build_feed_pair(spark, sf_dir)
+    fol = tx.read_table(spark, os.path.join(pair, "follower"))
+    return fol.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.sum("event_id").alias("id_sum"),
+    ).select(
+        F.lit(_FOLLOWER_VERSION).cast("int").alias("follower_version"),
+        "event_type",
+        "n_rows",
+        "value_cents",
+        "id_sum",
+    )
+
+
+def _build_feed_pair_pairform(spark: SparkSession, sf_dir: str) -> str:
+    """The delete+upsert PAIR apply path (pre-round-9 default), kept
+    exercised as an EXTENDED entry after the PRIMARY follower rotated
+    to the single-commit merge apply (VERDICT r8 item 7)."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.sources import txfeed
+
+    def build(tmp: str) -> None:
+        import os
+
+        src = os.path.join(tmp, "source")
+        fol = os.path.join(tmp, "follower")
+        base = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_id") % 5 == 0)
+            .select(*_FEED_COLS)
+        )
+        pre = base.where(F.col("ts") < F.lit(_FEED_CUTOFF).cast("timestamp"))
+        tx.tx_append(pre.repartitionByRange(4, "event_id"), src)
+        mod = pre.where(F.col("event_id") % 100 == 0)
+        updates = mod.select(
+            "event_id", "ts", "user_id", "event_type",
+            (F.col("value") + F.lit(500.0)).alias("value"),
+        )
+        inserts = mod.select(
+            (F.col("event_id") + F.lit(20_000_000)).alias("event_id"),
+            "ts", "user_id", "event_type",
+            F.lit(3.0).alias("value"),
+        )
+        tx.tx_upsert(
+            spark, src, updates.unionByName(inserts),
+            keys=["event_id"], order_by=["ts"],
+        )
+        tx.tx_delete(spark, src, [("value", "<", 2.0)], merge_on_read=True)
+        v4 = tx.tx_compact(spark, src, max_dv_fraction=0.0)
+        assert v4 == 4, v4
+        seed = spark.createDataFrame(
+            [], "event_id bigint, event_type string, value double, version long"
+        )
+        tx.tx_append(seed, fol)
+        txfeed.follow_table(
+            spark, src, fol, os.path.join(tmp, "ck1"),
+            key="event_id", content_cols=["event_type", "value"],
+            via_merge=False,
+        )
+        s = tx.read_table(spark, src).select("event_id", "event_type", "value")
+        f = tx.read_table(spark, fol).select("event_id", "event_type", "value")
+        assert s.exceptAll(f).isEmpty() and f.exceptAll(s).isEmpty()
+        assert tx.table_version(fol) == _FOLLOWER_VERSION
+        # the pair path applies through upsert/delete commits, never merge
+        assert all(
+            c.action in ("upsert", "delete", "append")
+            for c in tx.read_log(fol)
+        ), [c.action for c in tx.read_log(fol)]
+
+    return stage_dir_once(build, "txfeed_pairform_v1", sf_dir)
+
+
+def q_tx_feed_follower_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same oracle-predictable aggregates as ``tx_feed_follower``, over
+    the follower maintained by the delete+upsert PAIR apply path."""
+    import os
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    pair = _build_feed_pair_pairform(spark, sf_dir)
     fol = tx.read_table(spark, os.path.join(pair, "follower"))
     return fol.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -233,10 +333,12 @@ GROUP BY event_type
 
 EXT31_QUERIES = {
     "tx_feed_follower": q_tx_feed_follower,
+    "tx_feed_follower_pair": q_tx_feed_follower_pair,
     "tx_partition_pruning": q_tx_partition_pruning,
 }
 
 EXT31_ORACLES = {
     "tx_feed_follower": SQL_TX_FEED_FOLLOWER,
+    "tx_feed_follower_pair": SQL_TX_FEED_FOLLOWER,
     "tx_partition_pruning": SQL_TX_PARTITION_PRUNING,
 }

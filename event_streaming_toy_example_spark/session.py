@@ -77,6 +77,22 @@ def get_spark(
         # and smaller files also mean fewer scan bytes downstream
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # File-listing strategy for EXPLICIT file lists (the txtable
+        # read path hands Spark one path per live data file): above
+        # this threshold Spark schedules a DISTRIBUTED listing job with
+        # one task per path — measured 190 ms at 34 paths, 0.9 s at
+        # 340, 7.6 s at 3400 on local[32] (round-9 A/B,
+        # tools/follower_ab_probe.py), because each task costs far more
+        # than the getFileStatus it wraps.  Driver-side threadpool
+        # listing handles the same counts in 107/166/728 ms (~10x).
+        # The Spark default (32) is tuned for S3 listing of DIRECTORY
+        # trees, not known-file manifests; 4096 keeps snapshot reads of
+        # up-to-thousands-of-file tables off the scheduler while still
+        # letting a genuinely huge (million-file) scan distribute.
+        # This was the round-8 tx_feed_follower bench regression: the
+        # follower table crossed 32 live files and every DataFrame
+        # construction started paying a ~150 ms listing job.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")

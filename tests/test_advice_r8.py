@@ -343,16 +343,29 @@ def test_version_as_of_is_sublinear_in_commit_reads(
 # ------------------------------------------------------------------ 5
 
 
-def test_feed_column_renamed_away_fails_actionably(spark, tmp_path):
+def test_feed_column_renamed_away_resolves_or_fails_actionably(
+    spark, tmp_path
+):
+    """Round-8 finding: a feed column matching no known name must never
+    silently read all-NULL.  Round 9 STRENGTHENED the resolution (ADVICE
+    r9 item 3): a renamed-away intermediate logical name now resolves
+    through the schema LOGGED AT THE REQUESTED VERSION (it was the
+    current name when those files were written), returning the real
+    bytes — so only a name no retained schema ever knew still raises,
+    and it raises typed."""
     p = str(tmp_path / "t")
     tx.tx_append(_df(spark, _rows(5)).coalesce(1), p)
     tx.tx_rename_column(p, "v", "amount")
     v3 = tx.tx_append(_df(spark, [(100, 1, None)], "k int, ts int, amount string"), p)
-    # a feed started under the intermediate name breaks typed once the
-    # column is renamed AGAIN (neither logical nor physical anymore)
     tx.tx_rename_column(p, "amount", "amt")
-    with pytest.raises(ValueError, match="'amount'.*renamed|amount"):
-        tx.commit_change_rows(p, v3, ["k"], ["amount"])
+    # the intermediate name was v3's CURRENT name: historical-schema
+    # resolution returns its bytes (round-9 behavior; round 8 raised)
+    assert tx.commit_change_rows(p, v3, ["k"], ["amount"]) == [
+        (100, None, "insert", v3)
+    ]
+    # a name NO schema ever carried still fails typed, never all-NULL
+    with pytest.raises(ValueError, match="'never_existed'"):
+        tx.commit_change_rows(p, v3, ["k"], ["never_existed"])
     # current logical and raw physical names both still resolve
     assert tx.commit_change_rows(p, v3, ["k"], ["amt"]) == [
         (100, None, "insert", v3)

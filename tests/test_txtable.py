@@ -1438,3 +1438,72 @@ def test_vacuum_dry_run_and_history_surface(spark, tmp_path):
     assert "parquet-checkpoint" in h[1]["protocol"]["min_reader_features"]
     assert "deletion-vectors" in h[2]["protocol"]["min_reader_features"]
     assert h[3]["protocol"] is None  # no upgrade carried
+
+
+# ------------------------------------------ distributed vacuum (r9)
+
+
+def test_distributed_vacuum_selects_the_same_victims(spark, tmp_path):
+    """vacuum(spark=...) must pick EXACTLY the files the driver-side
+    walk picks — crash orphans go, every retained version's files and
+    DV sidecars stay — with victim selection running as an anti-join
+    against the checkpoint inventory (VERDICT r8 item 5)."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, [(i, 1, f"r{i}") for i in range(20)]), p)
+    tx.tx_delete(spark, p, [("k", "<", 3)], merge_on_read=True)
+    tx.tx_upsert(spark, p, _df(spark, [(5, 9, "u5")]), ["k"], ["ts"])
+    orphans = tx._stage_files(_df(spark, [(99, 1, "crash")]), p)
+    would_driver = set(
+        tx.vacuum(p, retain_versions=2, min_age_seconds=0.0, dry_run=True)
+    )
+    would_spark = set(
+        tx.vacuum(
+            p, retain_versions=2, min_age_seconds=0.0, dry_run=True,
+            spark=spark,
+        )
+    )
+    assert would_spark == would_driver
+    assert set(orphans) <= would_spark
+    deleted = tx.vacuum(
+        p, retain_versions=2, min_age_seconds=0.0, spark=spark
+    )
+    assert set(deleted) == would_driver
+    # retained versions still resolve; DV read path intact
+    assert len(_content(spark, p)) == 17 + 1 - 1  # 20 - 3 deleted, u5 upserted in place
+    assert _content(spark, p, version=2)
+
+
+def test_distributed_vacuum_bounds_driver_list_calls(spark, tmp_path):
+    """On a mounted object store the audit trail must show a BOUNDED
+    number of driver LIST calls (the one data/ prefix list + the log
+    listings), never a per-prefix recursive walk — the per-prefix
+    listing ran on executors."""
+    from event_streaming_toy_example_spark.operators.logstore import (
+        SimulatedObjectStore,
+        register_object_store,
+        unregister_object_store,
+    )
+
+    p = str(tmp_path / "t")
+    store = SimulatedObjectStore()
+    register_object_store(p, store)
+    try:
+        tx.tx_append(_df(spark, [(i, 1, f"r{i}") for i in range(10)]), p)
+        tx.tx_upsert(spark, p, _df(spark, [(1, 9, "u1")]), ["k"], ["ts"])
+        tx._stage_files(_df(spark, [(50, 1, "crash")]), p)
+        store.ops.clear()
+        deleted = tx.vacuum(
+            p, retain_versions=1, min_age_seconds=0.0, spark=spark
+        )
+        assert deleted
+        lists = [
+            (op, q)
+            for op, q in store.ops
+            if op in ("list", "list-recursive") and "/data" in q
+        ]
+        # exactly one driver LIST of the data tree (the prefix fetch);
+        # the recursive walk would have shown list-recursive here
+        assert len(lists) == 1, lists
+        assert lists[0][0] == "list", lists
+    finally:
+        unregister_object_store(p)

@@ -264,3 +264,136 @@ def test_merge_stream_applies_clauses_exactly_once(spark, tmp_path):
     run(str(tmp_path / "ck2"))
     assert tx.table_version(p) == v1
     assert {r.k: r.amt for r in tx.read_table(spark, p).collect()} == got
+
+
+# ---------------------------------------------- schema evolution (r9)
+
+
+_EVO_SRC = "k int, ts int, amt double, status string, origin string"
+
+
+@pytest.mark.parametrize("mor", [False, True])
+def test_merge_allow_evolution_adds_source_columns(spark, tmp_path, mor):
+    """Delta's withSchemaEvolution(): an extra source column becomes a
+    real table column in the same commit — old rows read NULL for it,
+    updated/inserted rows carry the source value, and the evolved
+    schema survives in the log."""
+    p = str(tmp_path / f"t{mor}")
+    tx.tx_append(_df(spark, _base_rows()).coalesce(2), p)
+    src = _df(
+        spark,
+        [(2, 2, 25.0, "open", "cdc"), (50, 1, 500.0, "new", "cdc")],
+        _EVO_SRC,
+    )
+    tx.tx_merge(
+        spark, p, src, on=["k"],
+        when_matched_update="all",
+        when_not_matched_insert=True,
+        merge_on_read=mor,
+        allow_evolution=True,
+    )
+    out = tx.read_table(spark, p)
+    assert out.columns == ["k", "ts", "amt", "status", "origin"]
+    rows = {r.k: r.origin for r in out.collect()}
+    assert rows[2] == "cdc" and rows[50] == "cdc"
+    assert rows[1] is None  # pre-evolution row null-fills
+    assert len(rows) == 11
+
+
+def test_merge_without_evolution_still_never_writes_extras(
+    spark, tmp_path
+):
+    """Default path unchanged: extras ride as condition-only columns
+    and explicitly updating one is refused with the evolution hint."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, _base_rows()).coalesce(2), p)
+    src = _df(spark, [(2, 2, 25.0, "open", "cdc")], _EVO_SRC)
+    tx.tx_merge(
+        spark, p, src, on=["k"],
+        when_matched_update="all",
+        when_not_matched_insert=True,
+    )
+    assert tx.read_table(spark, p).columns == [
+        "k", "ts", "amt", "status",
+    ]
+    with pytest.raises(ValueError, match="allow_evolution"):
+        tx.tx_merge(
+            spark, p, src, on=["k"],
+            when_matched_update={"origin": "source.origin"},
+        )
+
+
+def test_merge_evolution_update_may_set_the_new_column(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, _base_rows()).coalesce(2), p)
+    src = _df(spark, [(3, 2, 30.0, "open", "cdc")], _EVO_SRC)
+    tx.tx_merge(
+        spark, p, src, on=["k"],
+        when_matched_update={"origin": "source.origin"},
+        allow_evolution=True,
+    )
+    rows = {r.k: r.origin for r in tx.read_table(spark, p).collect()}
+    assert rows[3] == "cdc" and rows[0] is None
+
+
+def test_merge_evolution_races_a_plain_append_additively(
+    spark, tmp_path, monkeypatch
+):
+    """OCC: an evolution merge racing a key-disjoint append commits —
+    and the published schema is the EVOLVED one (commit() re-unions
+    against the intervening commit's schema)."""
+    p = str(tmp_path / "t")
+    tx.tx_append(_df(spark, _base_rows()).coalesce(1), p)
+
+    orig = tx._stage_files
+    fired = {"done": False}
+
+    def hook(df, path_, schema_json=None):
+        if not fired["done"]:
+            fired["done"] = True
+            tx.tx_append(
+                _df(spark, [(900, 1, 0.0, "ingest")]).coalesce(1), p
+            )
+        return orig(df, path_, schema_json)
+
+    monkeypatch.setattr(tx, "_stage_files", hook)
+    src = _df(spark, [(2, 2, 25.0, "open", "cdc")], _EVO_SRC)
+    tx.tx_merge(
+        spark, p, src, on=["k"],
+        when_matched_update="all",
+        allow_evolution=True,
+    )
+    out = tx.read_table(spark, p)
+    assert "origin" in out.columns
+    rows = {r.k: r.origin for r in out.collect()}
+    assert rows[2] == "cdc" and rows[900] is None
+    assert len(rows) == 11
+
+
+def test_merge_evolution_never_resurrects_a_dropped_columns_bytes(
+    spark, tmp_path
+):
+    """Evolving a column whose NAME matches a previously dropped one
+    must mint a fresh physical name — the dropped bytes still sitting
+    in old files stay dead."""
+    p = str(tmp_path / "t")
+    tx.tx_append(
+        _df(
+            spark,
+            [(i, 1, float(i), "open", f"old{i}") for i in range(5)],
+            _EVO_SRC,
+        ).coalesce(1),
+        p,
+    )
+    tx.tx_drop_column(p, "origin")
+    src = _df(spark, [(2, 2, 25.0, "open", "fresh")], _EVO_SRC)
+    tx.tx_merge(
+        spark, p, src, on=["k"],
+        when_matched_update="all",
+        allow_evolution=True,
+    )
+    rows = {r.k: r.origin for r in tx.read_table(spark, p).collect()}
+    assert rows[2] == "fresh"
+    # rows 0,1,3,4 were never rewritten: their OLD origin bytes must
+    # NOT resurface under the re-added name
+    assert rows[0] is None and rows[4] is None
