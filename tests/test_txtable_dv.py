@@ -270,6 +270,10 @@ def test_follower_merge_on_read_replicates_exactly(spark, tmp_path):
     txfeed.follow_table(
         spark, src, fol, str(tmp_path / "ck"), key="k", content_cols=["v"],
         merge_on_read=True,
+        # the delete-action accounting below is the PAIR apply path's;
+        # the merge-apply default's MOR accounting is pinned in
+        # test_txfeed.py::test_follow_table_via_merge_single_commit_per_batch
+        via_merge=False,
     )
     src_rows = sorted(
         (r["k"], r["v"]) for r in tx.read_table(spark, src).collect()
