@@ -3176,6 +3176,199 @@ def tx_delete_keys(
     )
 
 
+def tx_update(
+    spark: SparkSession,
+    path: str,
+    set: dict,
+    where: Sequence[tuple] | None = None,
+    stream_txn: tuple[str, int] | None = None,
+    merge_on_read: bool = False,
+) -> int:
+    """SQL ``UPDATE t SET col = expr[, ...] [WHERE ...]`` — the
+    assignment DML the table's surface lacked between whole-row
+    :func:`tx_upsert` and clause-driven :func:`tx_merge`.  ``set``
+    maps target columns to SQL expression strings evaluated over the
+    row's PRE-update values (standard UPDATE semantics: all
+    assignments read the old row); ``where`` is the usual ``(col, op,
+    value)`` conjunction — rows where it is FALSE or NULL are
+    untouched.
+
+    Scale contract mirrors :func:`tx_delete`: files whose logged stats
+    prove NO row matches carry over by reference (never opened); only
+    may-match files are read.  Copy-on-write rewrites those files with
+    the assignments applied under ``CASE WHEN <pred>``;
+    ``merge_on_read=True`` instead deletion-vectors the matched rows
+    (O(matched) sidecar bytes) and appends their updated copies as one
+    new sized file — a k-row update on 1 GB files commits O(k) bytes.
+    A may-match file whose every live row matched drops whole under
+    MOR (its content moved to the new file).
+
+    Assignment values are cast to the column's existing type (an
+    UPDATE never changes the schema — that is :func:`tx_evolve_types`);
+    unknown target columns raise by name.  CHECK constraints run
+    against the updated rows.  Concurrency: the WHERE clauses are the
+    conflict domain exactly as in DELETE — a concurrent append whose
+    files provably contain no matching row commutes; with no WHERE the
+    update reads the whole table and validates strictly.  The change
+    feed sees the commit as removed-old/added-new files and emits
+    row-level updates, exactly like upsert."""
+    if not set or not isinstance(set, dict):
+        raise ValueError("tx_update: set must be a non-empty {col: sql_expr} dict")
+    # the SQL-shaped kwarg name shadows the builtin ``set`` for this
+    # whole function body — use ``frozenset`` below
+    assignments = dict(set)
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_update on a table with no commits: {path}")
+    read_version = state.version
+    snap = snapshot(path, read_version)
+
+    from pyspark.sql.types import StructType
+
+    target_schema = StructType.fromJson(json.loads(state.schema))
+    types = {f.name: f.dataType for f in target_schema.fields}
+    unknown = [c for c in assignments if c not in types]
+    if unknown:
+        raise ValueError(
+            f"tx_update: SET columns not in the table schema: {unknown} "
+            f"(schema has {sorted(types)}); an UPDATE never adds "
+            "columns — evolve the schema first"
+        )
+    pm = _phys_map(state.schema)
+    phys_where = [
+        (_phys_clause_col(pm, c), op, v) for c, op, v in (where or ())
+    ]
+    if where:
+        candidates, _pruned = prune_files(path, where, read_version)
+    else:
+        candidates = list(snap.files)
+    pred = (
+        F.coalesce(_where_expr(where), F.lit(False))
+        if where
+        else F.lit(True)
+    )
+
+    def _assigned(df: DataFrame, guard) -> DataFrame:
+        cols = []
+        for f in target_schema.fields:
+            if f.name in assignments:
+                new = F.expr(assignments[f.name]).cast(f.dataType)
+                cols.append(
+                    F.when(guard, new).otherwise(F.col(f.name)).alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
+
+    added: list[str] = []
+    remove: list[str] = []
+    stats: dict | None = None
+    dv_commit: dict | None = None
+    if candidates and merge_on_read:
+        # matched LIVE rows only (existing DVs applied — a dead row
+        # must not resurrect as an updated copy); their positions
+        # become DV entries, their updated copies one appended file
+        df = _read_files(
+            spark, path, candidates, snap.dvs,
+            file_pos_cols=("__f", "__p"), schema_json=state.schema,
+        )
+        matched = df.where(pred).persist()
+        try:
+            per_file = {
+                r["file"]: r["n"]
+                for r in matched.groupBy(F.col("__f").alias("file"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            touched = sorted(per_file)
+            if touched:
+                updated = _assigned(
+                    matched.drop("__f", "__p"), F.lit(True)
+                )
+                _check_constraints(
+                    updated, state.properties, "tx_update"
+                )
+                staged = _stage_files(
+                    _sized_for_write(updated, _plan_size_estimate(updated)),
+                    path,
+                    state.schema,
+                )
+                added.extend(staged)
+                stats = _footer_stats(path, staged)
+                # fully-matched files drop whole (all their live rows
+                # moved to the new file); live rows = physical rows
+                # minus existing DV holes
+                existing = {
+                    f: s
+                    for f, s in (snap.dvs or {}).items()
+                    if f in frozenset(touched)
+                }
+                holes: dict[str, int] = {}
+                if existing:
+                    holes = {
+                        r["file"]: r["n"]
+                        for r in _dv_positions_df(spark, path, existing)
+                        .groupBy("file")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                fully = [
+                    f
+                    for f in touched
+                    if per_file[f]
+                    == _parquet_rows(path, f) - holes.get(f, 0)
+                ]
+                dv_files = sorted(frozenset(touched) - frozenset(fully))
+                if dv_files:
+                    doomed = matched.where(
+                        F.col("__f").isin(dv_files)
+                    ).select(
+                        F.col("__f").alias("file"), F.col("__p").alias("pos")
+                    )
+                    still = {
+                        f: s for f, s in existing.items() if f in frozenset(dv_files)
+                    }
+                    if still:
+                        doomed = doomed.unionByName(
+                            _dv_positions_df(spark, path, still)
+                        ).distinct()
+                    sidecar = _stage_dv(doomed, path)
+                    dv_commit = {f: sidecar for f in dv_files}
+                remove = fully
+        finally:
+            matched.unpersist()
+    elif candidates:
+        df = _read_files(
+            spark, path, candidates, snap.dvs, schema_json=state.schema
+        )
+        rewritten = _assigned(df, pred)
+        _check_constraints(rewritten, state.properties, "tx_update")
+        staged = _stage_files(
+            _sized_for_write(rewritten, _live_bytes(path, candidates)),
+            path,
+            state.schema,
+        )
+        added.extend(staged)
+        stats = _footer_stats(path, staged)
+        remove = list(candidates)
+    return commit(
+        path,
+        "update",
+        added,
+        remove,
+        state.schema,
+        read_version,
+        stream_txn=stream_txn,
+        stats=stats,
+        conflict=(
+            {"kind": "where", "clauses": [tuple(cl) for cl in phys_where]}
+            if where
+            else None
+        ),
+        dv=dv_commit,
+    )
+
+
 def tx_replace_where(
     spark: SparkSession,
     path: str,
