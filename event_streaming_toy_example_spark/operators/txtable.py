@@ -938,6 +938,88 @@ def tx_drop_constraint(path: str, name: str) -> int:
     return _tx_update_properties(path, "tx_drop_constraint", _drop)
 
 
+def tx_set_bloom_filters(
+    path: str,
+    columns: Sequence[str],
+    fpp: float = 0.01,
+    max_bytes: int = 32768,
+) -> int:
+    """Declare per-file BLOOM FILTER indexing on ``columns`` (property
+    commit).  From the next write on, every staged file records a
+    size-capped Bloom filter per indexed column alongside its min/max
+    stats, and point predicates (``=`` / ``in``) prune files the
+    filter proves can't match — the data-skipping min/max can't give
+    on a high-cardinality UNCLUSTERED key, where every file's range
+    spans the space (see ``operators/bloom.py``).  Files written
+    before this commit carry no filter and simply keep scanning;
+    :func:`tx_compact` re-runs stats on its outputs, so compaction IS
+    the backfill.  Indexable types: strings, integers, dates,
+    timestamps — a float/bool/complex column raises by name."""
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_set_bloom_filters on a table with no commits: {path}")
+    fields = {
+        f["name"]: f["type"] for f in json.loads(state.schema)["fields"]
+    }
+    ok = {"string", "integer", "long", "short", "byte", "date",
+          "timestamp", "timestamp_ntz"}
+    for c in columns:
+        if c not in fields:
+            raise ValueError(
+                f"tx_set_bloom_filters: no column {c!r} in the table "
+                f"schema (has {sorted(fields)})"
+            )
+        if not isinstance(fields[c], str) or fields[c] not in ok:
+            raise ValueError(
+                f"tx_set_bloom_filters: column {c!r} has type "
+                f"{fields[c]!r}; bloom filters index only "
+                f"{sorted(ok)} (float equality is ill-posed, "
+                "bool/complex never prune)"
+            )
+    if not (0 < fpp < 1):
+        raise ValueError(f"tx_set_bloom_filters: fpp must be in (0, 1), got {fpp}")
+
+    def _set(props: dict) -> dict:
+        props["__bloom"] = {
+            "columns": list(columns),
+            "fpp": float(fpp),
+            "max_bytes": int(max_bytes),
+        }
+        return props
+
+    return _tx_update_properties(path, "tx_set_bloom_filters", _set)
+
+
+def _attach_blooms(path: str, out: dict) -> dict:
+    """Attach per-file Bloom filters to freshly harvested footer stats
+    when the table's ``__bloom`` property asks for them.  Filters ride
+    INSIDE the column's stats entry (``{"min","max","nulls","rows",
+    "bloom"}``) so they travel with the commit, survive checkpoints
+    (stats are JSON there), and reach the planner through the same
+    snapshot fold as every other stat.  Columns are translated to
+    their physical names — stats keys are physical."""
+    state = _fold_state(path)
+    cfg = (state.properties or {}).get("__bloom") if state else None
+    if not cfg or not out:
+        return out
+    from . import bloom as _bloommod
+
+    pm = _phys_map(state.schema)
+    phys_cols = [pm.get(c, c) for c in cfg.get("columns", ())]
+    blooms = _bloommod.compute_file_blooms(
+        path,
+        list(out),
+        phys_cols,
+        fpp=cfg.get("fpp", _bloommod.DEFAULT_FPP),
+        max_bytes=cfg.get("max_bytes", _bloommod.DEFAULT_MAX_BYTES),
+    )
+    for f, per in blooms.items():
+        for c, bl in per.items():
+            if c in (out.get(f) or {}):
+                out[f][c]["bloom"] = bl
+    return out
+
+
 def oldest_readable_version(path: str) -> int:
     """Smallest version :func:`snapshot` can still resolve: 1 while the
     full commit history is retained, else the oldest surviving
@@ -1355,7 +1437,7 @@ def _footer_stats(path: str, names: Sequence[str]) -> dict:
         for c in per_col.values():
             c["rows"] = md.num_rows
         out[name] = per_col
-    return out
+    return _attach_blooms(path, out)
 
 
 # ----------------------------------------- partition-column transforms
@@ -1437,15 +1519,34 @@ def _clause_may_match(fstats: dict | None, col: str, op: str, val) -> bool:
     lo, hi = s["min"], s["max"]
     if s["rows"] == s["nulls"]:
         return False  # all-NULL column: no comparison can hold
-    vals = val if op == "in" else [val]
-    vals = [_norm_stat(v) for v in vals]
+    raw = list(val) if op == "in" else [val]
+    vals = [_norm_stat(v) for v in raw]
     if any(v is None or not _comparable(v, lo) for v in vals):
         return True
     if op == "in":
-        return any(lo <= v <= hi for v in vals)
+        # values inside the range may still be provably absent from a
+        # per-file BLOOM filter (probed with the ORIGINAL literal —
+        # the filter's canonical encoding is type-tagged, not the
+        # JSON-normalized stat form)
+        hits = [o for v, o in zip(vals, raw) if lo <= v <= hi]
+        if not hits:
+            return False
+        bl = s.get("bloom")
+        if bl:
+            from .bloom import bloom_may_contain
+
+            return any(bloom_may_contain(bl, o) for o in hits)
+        return True
     v = vals[0]
     if op in ("=", "=="):
-        return lo <= v <= hi
+        if not (lo <= v <= hi):
+            return False
+        bl = s.get("bloom")
+        if bl:
+            from .bloom import bloom_may_contain
+
+            return bloom_may_contain(bl, raw[0])
+        return True
     if op == "<":
         return lo < v
     if op == "<=":

@@ -174,6 +174,10 @@ from event_streaming_toy_example_spark.plans.queries_ext34 import (
     EXT34_ORACLES,
     EXT34_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext35 import (
+    EXT35_ORACLES,
+    EXT35_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -272,6 +276,14 @@ FAMILY_REP: dict[str, str] = {
     # follower, kept exercised after the PRIMARY rotated to the
     # single-commit merge apply (VERDICT r8 item 7)
     "tx_feed_follower_pair": "tx_feed_follower",
+    # round 9: per-file BLOOM-FILTER skipping — point lookups on a
+    # high-cardinality unclustered key prune where min/max cannot
+    # (operators/bloom.py); joins the data-skipping family whose rep
+    # keeps the stats-pruned read driver-checked
+    "tx_bloom_pruning": "tx_delete_dv",
+    # round 9: SQL UPDATE (tx_update, CoW + merge-on-read paths),
+    # row-level hash vs a CASE projection; joins the DML family
+    "tx_update_dml": "tx_merge_cdc",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is
@@ -678,6 +690,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT32_QUERIES,
     **EXT33_QUERIES,
     **EXT34_QUERIES,
+    **EXT35_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -716,6 +729,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT32_ORACLES,
     **EXT33_ORACLES,
     **EXT34_ORACLES,
+    **EXT35_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -1,0 +1,180 @@
+"""Round-9 second wave: Bloom-filter data skipping and SQL UPDATE.
+
+- ``tx_bloom_pruning`` — per-file Bloom filters
+  (``operators/bloom.py`` + ``tx_set_bloom_filters``) prune point
+  lookups on a HIGH-CARDINALITY UNCLUSTERED key, the case min/max
+  stats structurally cannot help: every file's [min, max] of an md5
+  key spans ~the whole hex space.  The staged build asserts a point
+  probe skips at least half the files and an absent key skips ALL of
+  them; the read hash-checks the plain-filter oracle (pruning is an
+  optimization, never a filter).
+- ``tx_update_dml`` — SQL UPDATE (``tx_update``): one copy-on-write
+  assignment under a status predicate and one merge-on-read assignment
+  under a range predicate (deletion-vector + updated-copies commit),
+  hash-checked row-level against the equivalent CASE projection.
+
+The reference has no stats, no indexes, and no UPDATE (432-line
+single-node pipeline, ``toy_glue.py`` rewrites directories wholesale);
+both surfaces follow the public Delta bloom-filter-index / UPDATE
+semantics re-expressed on this engine's commit log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.plans.queries_ext import (
+    stage_dir_once,
+)
+from event_streaming_toy_example_spark.schemas import load_table
+
+# event_ids that exist at every shipped SF (ids are 0..n-1, n >= 1000)
+_PROBE_IDS = (7, 42, 511)
+
+
+# ------------------------------------------------- bloom-filter skipping
+
+
+def _build_bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: events keyed by ``md5(event_id)`` —
+    maximal-entropy, unclustered — written time-clustered across 8
+    files, bloom-indexed on the key via property + compaction
+    backfill.  Asserts the skipping contract both ways."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        import os as _os
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.md5(F.col("event_id").cast("string")).alias("key"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        tx.tx_append(ev.repartitionByRange(12, "event_id"), tmp)
+        tx.tx_set_bloom_filters(tmp, ["key"])
+        total = sum(
+            tx.get_data_store(tmp).size(_os.path.join(tmp, f))
+            for f in tx.snapshot(tmp).files
+        )
+        # backfill blooms: 12 event-id-clustered files bin-pack into 8
+        # (the worth check needs fewer outputs than victims); the key
+        # column stays maximal-entropy in every output file
+        v = tx.tx_compact(
+            spark, tmp,
+            target_bytes=max(1, -(-total // 8)),
+            small_file_bytes=1 << 40,
+            order_col="event_id",
+        )
+        assert v is not None
+        n = len(tx.snapshot(tmp).files)
+        import hashlib as _h
+
+        probe = _h.md5(b"7").hexdigest()
+        scan, skip = tx.prune_files(tmp, [("key", "=", probe)])
+        assert len(skip) >= n // 2, (len(scan), len(skip), n)
+        # absent key: every file's filter proves absence
+        scan2, _skip2 = tx.prune_files(tmp, [("key", "=", "f" * 32)])
+        assert scan2 == [], scan2
+
+    return stage_dir_once(build, "txtable_bloom_v1", sf_dir)
+
+
+def q_tx_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three point lookups through the Bloom-pruned read — identical
+    values to the full-scan filter, far fewer files opened."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    import hashlib as _h
+
+    path = _build_bloom_table(spark, sf_dir)
+    keys = tuple(
+        _h.md5(str(i).encode()).hexdigest() for i in _PROBE_IDS
+    )
+    out = tx.read_table(spark, path, where=[("key", "in", keys)])
+    return out.select("event_id", "key", "user_id", "event_type", "value")
+
+
+SQL_TX_BLOOM = """
+SELECT event_id,
+       md5(CAST(event_id AS VARCHAR)) AS key,
+       user_id, event_type, value
+FROM events
+WHERE event_id IN (7, 42, 511)
+"""
+
+
+# ------------------------------------------------- SQL UPDATE
+
+
+def _build_update_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: orders range-clustered on o_orderkey,
+    then (1) a copy-on-write UPDATE on the F-status rows and (2) a
+    merge-on-read UPDATE on the low-orderkey decile — the build
+    asserts the range update carried disjoint files by reference and
+    the MOR commit is DV-borne."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        hi = o.agg(F.max("o_orderkey")).collect()[0][0]
+        tx.tx_append(o.repartitionByRange(8, "o_orderkey"), tmp)
+        # CoW: status predicate is unclustered -> every file may match
+        tx.tx_update(
+            spark, tmp,
+            set={
+                "o_totalprice": "o_totalprice + 1.0",
+                "o_orderstatus": "'X'",
+            },
+            where=[("o_orderstatus", "=", "F")],
+        )
+        # MOR: range predicate on the clustered key -> disjoint files
+        # carry by reference, matched rows are DV'd + re-appended
+        before = set(tx.snapshot(tmp).files)
+        tx.tx_update(
+            spark, tmp,
+            set={"o_custkey": "o_custkey + 1000000"},
+            where=[("o_orderkey", "<", max(1, hi // 10))],
+            merge_on_read=True,
+        )
+        snap = tx.snapshot(tmp)
+        assert before & set(snap.files), "range update rewrote everything"
+        assert snap.dvs, "merge-on-read update committed no DV"
+
+    return stage_dir_once(build, "txtable_update_v1", sf_dir)
+
+
+def q_tx_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-updated table, row-level — every row's value must
+    equal the oracle's CASE projection bit-for-bit."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    path = _build_update_table(spark, sf_dir)
+    return tx.read_table(spark, path)
+
+
+SQL_TX_UPDATE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey <
+                 GREATEST(1, (SELECT MAX(o_orderkey) FROM orders) // 10)
+            THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+       CASE WHEN o_orderstatus = 'F'
+            THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderstatus = 'F'
+            THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+"""
+
+
+EXT35_QUERIES = {
+    "tx_bloom_pruning": q_tx_bloom_pruning,
+    "tx_update_dml": q_tx_update_dml,
+}
+
+EXT35_ORACLES = {
+    "tx_bloom_pruning": SQL_TX_BLOOM,
+    "tx_update_dml": SQL_TX_UPDATE,
+}
