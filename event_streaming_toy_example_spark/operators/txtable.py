@@ -124,7 +124,8 @@ class ProtocolUnsupportedError(RuntimeError):
 #: these sets and refuse unknown names typed
 #: (:class:`ProtocolUnsupportedError`).
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletion-vectors", "column-mapping", "parquet-checkpoint"}
+    {"deletion-vectors", "column-mapping", "parquet-checkpoint",
+     "absolute-paths"}
 )
 SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES
 
@@ -641,15 +642,25 @@ def _read_files(
     if not dv_map and file_pos_cols is None:
         return df.select(*cols) if schema_json is not None else df
     fcol, pcol = file_pos_cols or ("__dv_file", "__dv_pos")
-    # table-relative name = everything after the LAST "/data/" in the
-    # scan path, prefixed back — handles both the write-once
-    # ``data/s-*/part-*.parquet`` layout and legacy flat names
-    rel = F.concat(
-        F.lit(f"{_DATA_DIR}/"),
-        F.substring_index(
-            F.col("_metadata.file_path"), f"/{_DATA_DIR}/", -1
-        ),
+    # SNAPSHOT-NAME tag: a file under this table's own prefix tags as
+    # its table-relative name — everything after the LAST "/data/",
+    # prefixed back (handles both the write-once ``data/s-*/part-*``
+    # layout and legacy flat names); an EXTERNALLY referenced file (a
+    # shallow clone's source data) tags as its absolute path.  Either
+    # way the tag equals the name the snapshot's file list and DV
+    # mapping use, so the DV anti-join and the MOR writers' per-file
+    # accounting work unchanged across clone boundaries.
+    norm = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^[a-zA-Z][\w+.-]*:/+", "/"
     )
+    own_prefix = os.path.abspath(path) + "/"
+    rel = F.when(
+        norm.startswith(own_prefix),
+        F.concat(
+            F.lit(f"{_DATA_DIR}/"),
+            F.substring_index(norm, f"/{_DATA_DIR}/", -1),
+        ),
+    ).otherwise(norm)
     tagged = df.select(
         *cols,
         rel.alias(fcol),
@@ -1926,6 +1937,11 @@ def commit(
         cur_protocol = state.protocol if state is not None else {}
         _check_writer_protocol(cur_protocol, path)
         required = _required_features(commit_schema, dv)
+        if any(os.path.isabs(f) for f in add):
+            # externally referenced data (shallow clone): a reader
+            # unaware of absolute names would os.path.join them into
+            # garbage — gate it like every other format feature
+            required = required | {"absolute-paths"}
         if current == 0:
             # baseline for NEW tables: their checkpoints are columnar
             # from day one, so the requirement is declared before the
@@ -3835,6 +3851,86 @@ def tx_restore(path: str, version: int) -> int:
         # data change the add/remove sets alone cannot detect
         conflict={"kind": "restore", "files": sorted(tgt_files)},
         dv=dv or None,
+    )
+
+
+def tx_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+    shallow: bool = True,
+    properties: dict | None = None,
+) -> int:
+    """CLONE TABLE — Delta's ``CREATE TABLE ... CLONE src [VERSION AS
+    OF v]``.  ``shallow=True`` (default) is ZERO-COPY: the clone's
+    first commit references the source snapshot's data files by
+    ABSOLUTE path — no data bytes move, a 100 TB table clones in
+    O(metadata) — and carries the source's schema (column-mapping ids
+    verbatim), per-file stats, and properties.  From then on the two
+    tables DIVERGE: writes to the clone stage under the clone's own
+    prefix, rewrites/compactions gradually materialize referenced
+    data locally, and the clone's vacuum can never delete source
+    files (they are outside its prefix, so its listing never yields
+    them).  ``shallow=False`` copies the resolved data (a plain
+    append of the snapshot read) under a fresh log.
+
+    Inherited deletion vectors are the one piece rewritten at clone
+    time: sidecar contents name files source-RELATIVE, the clone
+    references them absolutely, so the live DV set is re-staged under
+    the clone with translated names — O(deleted rows), metadata-scale,
+    never the data files.
+
+    The commit demands the ``absolute-paths`` protocol feature, so a
+    build unaware of external references refuses the table BY NAME
+    instead of joining garbage paths.  The standard Delta caveat
+    applies and is deliberate: the SOURCE's vacuum does not know about
+    clones — source files dropped there after the cloned snapshot's
+    rewrite leave the clone raising on read (keep the source's
+    retention window longer than clone lifetimes, or deep-clone)."""
+    src_state = _fold_state(src, version)
+    if src_state is None:
+        raise ValueError(f"tx_clone: source has no commits: {src}")
+    if table_version(dst):
+        raise ValueError(
+            f"tx_clone: destination already has commits: {dst} — clone "
+            "creates a NEW table"
+        )
+    snap = snapshot(src, version)
+    props = dict(src_state.properties or {})
+    props.update(properties or {})
+    if not shallow:
+        df = read_table(spark, src, version)
+        return tx_append(df, dst, properties=props or None)
+    src_abs = os.path.abspath(src)
+    files = [os.path.join(src_abs, f) for f in snap.files]
+    stats = {
+        os.path.join(src_abs, f): s
+        for f, s in (snap.stats or {}).items()
+        if s is not None
+    }
+    dv_commit: dict | None = None
+    if snap.dvs:
+        translated = _dv_positions_df(spark, src, dict(snap.dvs)).select(
+            F.concat(F.lit(src_abs + "/"), F.col("file")).alias("file"),
+            "pos",
+        )
+        sidecar = _stage_dv(translated, dst)
+        dv_commit = {
+            os.path.join(src_abs, f): sidecar for f in snap.dvs
+        }
+    props["cloned_from"] = src_abs
+    props["cloned_version"] = snap.version
+    return commit(
+        dst,
+        "clone",
+        files,
+        [],
+        snap.schema,
+        read_version=0,
+        stats=stats or None,
+        properties=props,
+        dv=dv_commit,
     )
 
 

@@ -284,6 +284,10 @@ FAMILY_REP: dict[str, str] = {
     # round 9: SQL UPDATE (tx_update, CoW + merge-on-read paths),
     # row-level hash vs a CASE projection; joins the DML family
     "tx_update_dml": "tx_merge_cdc",
+    # round 9: zero-copy shallow CLONE — absolute-path file refs,
+    # inherited-DV translation, divergent writes; joins the
+    # snapshot/lifecycle family
+    "tx_clone_divergence": "tx_snapshot_isolation",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is

@@ -169,12 +169,87 @@ FROM orders
 """
 
 
+# ------------------------------------------------- shallow clone
+
+
+def _build_clone_pair(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: customer as the SOURCE (with a live
+    deletion vector the clone must inherit), a ZERO-COPY clone, then
+    divergent writes on the clone only — a CoW update over absolutely
+    referenced files and a MOR delete punching a DV into one.  The
+    build asserts the clone staged no data parquet and the source
+    stayed bit-identical."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        src = _os.path.join(tmp, "src")
+        dst = _os.path.join(tmp, "dst")
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        tx.tx_append(c.repartitionByRange(4, "c_custkey"), src)
+        tx.tx_delete(
+            spark, src, [("c_mktsegment", "=", "BUILDING")],
+            merge_on_read=True,
+        )
+        before = sorted(
+            tuple(r) for r in tx.read_table(spark, src).collect()
+        )
+        tx.tx_clone(spark, src, dst)
+        n_copied = sum(
+            1
+            for root, _d, fs in _os.walk(_os.path.join(dst, "data"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert n_copied <= 1, n_copied  # only the translated DV sidecar
+        tx.tx_update(
+            spark, dst,
+            set={"c_acctbal": "c_acctbal + 1000"},
+            where=[("c_nationkey", "=", 3)],
+        )
+        tx.tx_delete(
+            spark, dst, [("c_nationkey", "=", 5)], merge_on_read=True
+        )
+        after = sorted(
+            tuple(r) for r in tx.read_table(spark, src).collect()
+        )
+        assert after == before, "divergent clone writes leaked to source"
+
+    return stage_dir_once(build, "txtable_clone_v1", sf_dir)
+
+
+def q_tx_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diverged clone, row-level: inherited DV applied, the
+    clone-only update and delete visible, the source untouched."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    pair = _build_clone_pair(spark, sf_dir)
+    return tx.read_table(spark, _os.path.join(pair, "dst"))
+
+
+SQL_TX_CLONE = """
+SELECT c_custkey, c_nationkey,
+       CASE WHEN c_nationkey = 3
+            THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+FROM customer
+WHERE c_mktsegment <> 'BUILDING' AND c_nationkey <> 5
+"""
+
+
 EXT35_QUERIES = {
     "tx_bloom_pruning": q_tx_bloom_pruning,
     "tx_update_dml": q_tx_update_dml,
+    "tx_clone_divergence": q_tx_clone_divergence,
 }
 
 EXT35_ORACLES = {
     "tx_bloom_pruning": SQL_TX_BLOOM,
     "tx_update_dml": SQL_TX_UPDATE,
+    "tx_clone_divergence": SQL_TX_CLONE,
 }
