@@ -3048,19 +3048,35 @@ def tx_delete(
         raise ValueError(f"tx_delete on a table with no commits: {path}")
     read_version = state.version
     snap = snapshot(path, read_version)
-    candidates, _pruned = prune_files(path, where, read_version)
+    if isinstance(where, str):
+        # RAW SQL predicate (the SQL DML surface): arbitrary
+        # expressions can't be proven against per-file stats, so no
+        # file prunes or drops whole, and validation is STRICT (the
+        # whole table is the conflict domain) — the price of
+        # generality; clause tuples keep the stats fast path
+        pred = F.coalesce(F.expr(where), F.lit(False))
+        candidates = list(snap.files)
+        whole: list[str] = []
+        straddle = list(candidates)
+        phys_where: list[tuple] = []
+    else:
+        pred = F.coalesce(_where_expr(where), F.lit(False))
+        candidates, _pruned = prune_files(path, where, read_version)
     fstats = snap.stats or {}
     pm = _phys_map(state.schema)
-    phys_where = [(_phys_clause_col(pm, c), op, v) for c, op, v in where]
-    whole = [
-        f
-        for f in candidates
-        if all(
-            _clause_all_match(fstats.get(f), c, op, v)
-            for c, op, v in phys_where
-        )
-    ]
-    straddle = [f for f in candidates if f not in set(whole)]
+    if not isinstance(where, str):
+        phys_where = [
+            (_phys_clause_col(pm, c), op, v) for c, op, v in where
+        ]
+        whole = [
+            f
+            for f in candidates
+            if all(
+                _clause_all_match(fstats.get(f), c, op, v)
+                for c, op, v in phys_where
+            )
+        ]
+        straddle = [f for f in candidates if f not in set(whole)]
     added: list[str] = []
     stats: dict | None = None
     dv_commit: dict | None = None
@@ -3074,9 +3090,9 @@ def tx_delete(
             spark, path, straddle, dvs=None,
             file_pos_cols=("__f", "__p"), schema_json=state.schema,
         )
-        doomed = df.where(
-            F.coalesce(_where_expr(where), F.lit(False))
-        ).select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
+        doomed = df.where(pred).select(
+            F.col("__f").alias("file"), F.col("__p").alias("pos")
+        )
         existing = {
             f: s for f, s in (snap.dvs or {}).items() if f in set(straddle)
         }
@@ -3115,7 +3131,7 @@ def tx_delete(
             spark, path, straddle, snap.dvs, schema_json=state.schema
         )
         # keep rows where the predicate is FALSE or NULL
-        survivors = df.where(~F.coalesce(_where_expr(where), F.lit(False)))
+        survivors = df.where(~pred)
         staged = _stage_files(
             _sized_for_write(survivors, _live_bytes(path, straddle)),
             path,
@@ -3137,8 +3153,17 @@ def tx_delete(
         read_version,
         stream_txn=stream_txn,
         stats=stats,
-        # conflict clauses in PHYSICAL names: commit stats are physical
-        conflict={"kind": "where", "clauses": [tuple(cl) for cl in phys_where]},
+        # conflict clauses in PHYSICAL names: commit stats are physical.
+        # A raw-SQL predicate has no provable clause set -> None means
+        # STRICT validation against any concurrent data change.
+        conflict=(
+            None
+            if isinstance(where, str)
+            else {
+                "kind": "where",
+                "clauses": [tuple(cl) for cl in phys_where],
+            }
+        ),
         dv=dv_commit,
     )
 
@@ -3352,18 +3377,25 @@ def tx_update(
             "columns — evolve the schema first"
         )
     pm = _phys_map(state.schema)
-    phys_where = [
-        (_phys_clause_col(pm, c), op, v) for c, op, v in (where or ())
-    ]
-    if where:
-        candidates, _pruned = prune_files(path, where, read_version)
-    else:
+    if isinstance(where, str):
+        # RAW SQL predicate (the SQL DML surface): no stats pruning,
+        # strict validation — same trade as :func:`tx_delete`
+        phys_where: list[tuple] = []
         candidates = list(snap.files)
-    pred = (
-        F.coalesce(_where_expr(where), F.lit(False))
-        if where
-        else F.lit(True)
-    )
+        pred = F.coalesce(F.expr(where), F.lit(False))
+    else:
+        phys_where = [
+            (_phys_clause_col(pm, c), op, v) for c, op, v in (where or ())
+        ]
+        if where:
+            candidates, _pruned = prune_files(path, where, read_version)
+        else:
+            candidates = list(snap.files)
+        pred = (
+            F.coalesce(_where_expr(where), F.lit(False))
+            if where
+            else F.lit(True)
+        )
 
     def _assigned(df: DataFrame, guard) -> DataFrame:
         cols = []
@@ -3479,7 +3511,7 @@ def tx_update(
         stats=stats,
         conflict=(
             {"kind": "where", "clauses": [tuple(cl) for cl in phys_where]}
-            if where
+            if where and not isinstance(where, str)
             else None
         ),
         dv=dv_commit,

@@ -288,6 +288,10 @@ FAMILY_REP: dict[str, str] = {
     # inherited-DV translation, divergent writes; joins the
     # snapshot/lifecycle family
     "tx_clone_divergence": "tx_snapshot_isolation",
+    # round 9: the SQL-WRITABLE surface (operators/txsql.py) — DELETE
+    # / raw-predicate UPDATE / subquery MERGE / null-filling INSERT as
+    # SQL text routed onto the transactional operators; DML family
+    "tx_sql_dml": "tx_merge_cdc",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is

@@ -242,14 +242,80 @@ WHERE c_mktsegment <> 'BUILDING' AND c_nationkey <> 5
 """
 
 
+# ------------------------------------------------- SQL DML routing
+
+
+def _build_sql_dml_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: orders mutated ENTIRELY through SQL text
+    (``operators/txsql.py``) — a clause-tuple DELETE, a raw-predicate
+    UPDATE (modulo arithmetic: no stats fast path), a MERGE whose
+    source is a subquery over the registered view, and an INSERT with
+    named-column null-fill."""
+    from event_streaming_toy_example_spark.operators import txsql
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        tx.tx_append(o.repartitionByRange(4, "o_orderkey"), tmp)
+        txsql.tx_register(spark, tmp, "sqldml_orders")
+        txsql.tx_sql(
+            spark, "DELETE FROM sqldml_orders WHERE o_orderstatus = 'P'"
+        )
+        txsql.tx_sql(
+            spark,
+            "UPDATE sqldml_orders SET o_totalprice = o_totalprice + 1.0 "
+            "WHERE o_orderkey % 3 = 0",
+        )
+        txsql.tx_sql(spark, """
+            MERGE INTO sqldml_orders t
+            USING (SELECT * FROM sqldml_orders WHERE o_orderkey % 5 = 0) s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+        """)
+        txsql.tx_sql(
+            spark,
+            "INSERT INTO sqldml_orders (o_orderkey, o_orderstatus) "
+            "VALUES (99999999, 'Z')",
+        )
+        assert tx.table_version(tmp) == 5
+
+    return stage_dir_once(build, "txtable_sqldml_v1", sf_dir)
+
+
+def q_tx_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-mutated table, row-level against the oracle's composed
+    CASE/filter/UNION projection."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    path = _build_sql_dml_table(spark, sf_dir)
+    return tx.read_table(spark, path)
+
+
+SQL_TX_SQL_DML = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 5 = 0
+            THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+WHERE o_orderstatus <> 'P'
+UNION ALL
+SELECT 99999999, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 'Z'
+"""
+
+
 EXT35_QUERIES = {
     "tx_bloom_pruning": q_tx_bloom_pruning,
     "tx_update_dml": q_tx_update_dml,
     "tx_clone_divergence": q_tx_clone_divergence,
+    "tx_sql_dml": q_tx_sql_dml,
 }
 
 EXT35_ORACLES = {
     "tx_bloom_pruning": SQL_TX_BLOOM,
     "tx_update_dml": SQL_TX_UPDATE,
     "tx_clone_divergence": SQL_TX_CLONE,
+    "tx_sql_dml": SQL_TX_SQL_DML,
 }
