@@ -207,6 +207,18 @@ HEADLINE = [
     # oracle) and the two-dimension ZORDER BY pruned read
     "tx_merge_cdc",
     "tx_zorder_pruning",
+    # round-9 additions: MERGE schema evolution, the SQL read surface
+    # (tx_view), 3-column Morton, the merge-apply follower's pair twin,
+    # Bloom-filter point-lookup pruning, SQL UPDATE (CoW + MOR), the
+    # zero-copy shallow clone, and the SQL DML router
+    "tx_merge_evolution",
+    "tx_sql_surface",
+    "tx_zorder3_pruning",
+    "tx_feed_follower_pair",
+    "tx_bloom_pruning",
+    "tx_update_dml",
+    "tx_clone_divergence",
+    "tx_sql_dml",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -240,6 +252,14 @@ PRESTAGE = [
     "tx_feed_dv_deletes",
     "tx_merge_cdc",
     "tx_zorder_pruning",
+    "tx_merge_evolution",
+    "tx_sql_surface",
+    "tx_zorder3_pruning",
+    "tx_feed_follower_pair",
+    "tx_bloom_pruning",
+    "tx_update_dml",
+    "tx_clone_divergence",
+    "tx_sql_dml",
 ]
 
 
