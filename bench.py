@@ -219,6 +219,7 @@ HEADLINE = [
     "tx_update_dml",
     "tx_clone_divergence",
     "tx_sql_dml",
+    "tx_matview_incremental",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -260,6 +261,7 @@ PRESTAGE = [
     "tx_update_dml",
     "tx_clone_divergence",
     "tx_sql_dml",
+    "tx_matview_incremental",
 ]
 
 

@@ -4140,7 +4140,8 @@ def commit_change_rows(
     version: int,
     key_cols: Sequence[str],
     content_cols: Sequence[str],
-) -> list[tuple]:
+    frames: bool = False,
+):
     """Row-level CDC for ONE commit, computed from the commit's own
     add/remove file lists — O(commit delta), never O(table): an append
     reads only the appended files; an upsert/delete/replace reads its
@@ -4159,7 +4160,13 @@ def commit_change_rows(
 
     Returns tuples ``(*keys, *content, change_type, version)`` with
     change_type in insert/update/delete; delete rows carry the OLD
-    content values.  Keys are assumed unique per side (the keyed-table
+    content values.  ``frames=True`` instead returns the RAW
+    ``(old_rows, new_rows)`` pandas frames — the removed-live and
+    added-live row multisets BEFORE the keyed diff (append → empty
+    old; compaction → both empty).  That is the shape incremental
+    aggregate maintenance needs (every removed row subtracts, every
+    added row adds; an unchanged-but-rewritten row cancels), and it
+    needs no row key at all — pass ``key_cols=[]``.  Keys are assumed unique per side (the keyed-table
     contract ``tx_upsert`` maintains).  Raises :class:`IOError` naming
     the file if a referenced delta file was already vacuumed — the
     feed, like Delta's, is readable only within the vacuum retention
@@ -4367,9 +4374,14 @@ def commit_change_rows(
 
     keys = list(key_cols)
     if c.action == "compact":
+        if frames:
+            e = pd.DataFrame(columns=cols)
+            return e, e.copy()
         return []
     if c.action == "append":
         new = load(c.add)
+        if frames:
+            return pd.DataFrame(columns=cols), new
         return [
             tuple(_py(v) for v in row) + ("insert", version)
             for row in new.itertuples(index=False, name=None)
@@ -4405,6 +4417,8 @@ def commit_change_rows(
             if new.empty
             else pd.concat([new, dvd_live], ignore_index=True)
         )
+    if frames:
+        return old, new
     if old.empty and new.empty:
         return []
     if old.empty or new.empty:  # pure add / pure drop: no diff needed

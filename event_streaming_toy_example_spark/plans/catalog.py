@@ -292,6 +292,11 @@ FAMILY_REP: dict[str, str] = {
     # / raw-predicate UPDATE / subquery MERGE / null-filling INSERT as
     # SQL text routed onto the transactional operators; DML family
     "tx_sql_dml": "tx_merge_cdc",
+    # round 9: incrementally-maintained MATERIALIZED VIEW over the
+    # change feed (operators/matview.py) — delta-mode count/sum/avg
+    # maintenance, O(changed rows) per refresh, exactly-once MERGE
+    # apply; joins the IVM family whose rep pins the join-delta form
+    "tx_matview_incremental": "ivm_join_delta",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is

@@ -306,11 +306,115 @@ SELECT 99999999, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 'Z'
 """
 
 
+# ------------------------------------------- incremental materialized view
+
+
+def _build_matview(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: orders → a count/sum/avg view by status
+    (delta mode), then a group-killing DELETE, a raw-predicate UPDATE,
+    and an APPEND on the source — ONE refresh catches the view up from
+    the change feed alone (O(changed rows), the build pins that the
+    source table is never re-read), applied as one exactly-once
+    MERGE."""
+    import os as _os
+    import unittest.mock as _m
+
+    from event_streaming_toy_example_spark.operators import matview as mvw
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        src = _os.path.join(tmp, "src")
+        dst = _os.path.join(tmp, "mv")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        tx.tx_append(o.repartitionByRange(4, "o_orderkey"), src)
+        mvw.tx_create_matview(
+            spark, src, dst, ["o_orderstatus"],
+            {
+                "n": ("count", "*"),
+                "revenue": ("sum", "o_totalprice"),
+                "avg_price": ("avg", "o_totalprice"),
+            },
+        )
+        tx.tx_delete(spark, src, [("o_orderstatus", "=", "P")])
+        tx.tx_update(
+            spark, src,
+            set={"o_totalprice": "o_totalprice + 1.0"},
+            where="o_orderkey % 2 = 0",
+        )
+        tx.tx_append(
+            o.where(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                F.lit("Q").alias("o_orderstatus"),
+            ),
+            src,
+        )
+        calls = []
+        orig = tx.read_table
+
+        def spy(sp, path, *a, **k):
+            calls.append(path)
+            return orig(sp, path, *a, **k)
+
+        with _m.patch.object(mvw.tx, "read_table", side_effect=spy):
+            mvw.tx_refresh_matview(spark, dst)
+        assert src not in calls, "delta refresh re-read the source"
+        applied, cur = mvw.matview_lag(dst)
+        assert applied == cur == tx.table_version(src)
+        groups = {
+            r["o_orderstatus"]
+            for r in tx.read_table(spark, dst).collect()
+        }
+        assert "P" not in groups and "Q" in groups
+
+    return stage_dir_once(build, "txtable_matview_v1", sf_dir)
+
+
+def q_tx_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incrementally-maintained view's public columns; double
+    aggregates rounded (cents / 2dp) because incremental addition
+    order legitimately differs from a single-pass sum."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    base = _build_matview(spark, sf_dir)
+    out = tx.read_table(spark, _os.path.join(base, "mv"))
+    return out.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("revenue"), 2).alias("revenue"),
+        F.round(F.col("avg_price"), 2).alias("avg_price"),
+    )
+
+
+SQL_TX_MATVIEW = """
+WITH final AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+         o_orderstatus AS st
+  FROM orders WHERE o_orderstatus <> 'P'
+  UNION ALL
+  SELECT o_totalprice AS price, 'Q' AS st
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT st AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(price), 2) AS revenue,
+       ROUND(AVG(price), 2) AS avg_price
+FROM final GROUP BY st
+"""
+
+
 EXT35_QUERIES = {
     "tx_bloom_pruning": q_tx_bloom_pruning,
     "tx_update_dml": q_tx_update_dml,
     "tx_clone_divergence": q_tx_clone_divergence,
     "tx_sql_dml": q_tx_sql_dml,
+    "tx_matview_incremental": q_tx_matview_incremental,
 }
 
 EXT35_ORACLES = {
@@ -318,4 +422,5 @@ EXT35_ORACLES = {
     "tx_update_dml": SQL_TX_UPDATE,
     "tx_clone_divergence": SQL_TX_CLONE,
     "tx_sql_dml": SQL_TX_SQL_DML,
+    "tx_matview_incremental": SQL_TX_MATVIEW,
 }
