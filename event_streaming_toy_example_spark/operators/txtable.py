@@ -1008,8 +1008,14 @@ def _attach_blooms(path: str, out: dict) -> dict:
     "bloom"}``) so they travel with the commit, survive checkpoints
     (stats are JSON there), and reach the planner through the same
     snapshot fold as every other stat.  Columns are translated to
-    their physical names — stats keys are physical."""
-    state = _fold_state(path)
+    their physical names — stats keys are physical.
+
+    The property lookup goes through the MEMOIZED fold: stats are
+    harvested on every commit of every table, and an unmemoized
+    head-fold here would add a full O(log) re-read per write to
+    bloom-less tables too."""
+    v = table_version(path)
+    state = _fold_state_memo(path, v) if v else None
     cfg = (state.properties or {}).get("__bloom") if state else None
     if not cfg or not out:
         return out
