@@ -220,6 +220,7 @@ HEADLINE = [
     "tx_clone_divergence",
     "tx_sql_dml",
     "tx_matview_incremental",
+    "tx_pushdown_source",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -262,6 +263,7 @@ PRESTAGE = [
     "tx_clone_divergence",
     "tx_sql_dml",
     "tx_matview_incremental",
+    "tx_pushdown_source",
 ]
 
 

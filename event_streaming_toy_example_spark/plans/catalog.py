@@ -297,6 +297,10 @@ FAMILY_REP: dict[str, str] = {
     # maintenance, O(changed rows) per refresh, exactly-once MERGE
     # apply; joins the IVM family whose rep pins the join-delta form
     "tx_matview_incremental": "ivm_join_delta",
+    # round 9: the txtable Python DataSource with Spark 4.1 filter
+    # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
+    # commit log's stats/bloom pruning; Python-DataSource family
+    "tx_pushdown_source": "gen_events_profile",
     # ANN recall-contract family: LSH and IVF carry the identical
     # in-query recall@k-vs-exact contract (functions/similarity.py:81);
     # the LSH form keeps the driver slot, IVF (hash-passed r04) is

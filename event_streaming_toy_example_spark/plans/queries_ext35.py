@@ -409,12 +409,88 @@ FROM final GROUP BY st
 """
 
 
+# ------------------------------------------ pushdown DataSource reads
+
+
+def _build_pushdown_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: lineitem range-clustered into 8 files as
+    a transactional table; the build asserts a pushed range filter
+    prunes the reader's FILE PARTITIONS (Spark 4.1 Python DataSource
+    pushFilters → the engine's stats pruning)."""
+    from pyspark.sql.datasource import LessThan
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.sources import txsource
+
+    def build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+        )
+        tx.tx_append(li.repartitionByRange(8, "l_orderkey"), tmp)
+        hi = li.agg(F.max("l_orderkey")).collect()[0][0]
+        r = txsource.TxTableReader({"path": tmp, "pushdown": "true"})
+        leftover = list(r.pushFilters([LessThan(("l_orderkey",), max(1, hi // 4))]))
+        assert leftover == []  # fully translated -> retained
+        n_all = len(tx.snapshot(tmp).files)
+        n_pruned = len(r.partitions())
+        assert n_pruned <= max(1, n_all // 2), (n_pruned, n_all)
+
+    return stage_dir_once(build, "txtable_pushdown_v1", sf_dir)
+
+
+def q_tx_pushdown_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain SQL over the registered ``txtable`` source — the WHERE
+    clause reaches the commit log as a pushed filter and the answer
+    equals the oracle exactly (Spark re-applies every filter
+    post-scan)."""
+    from event_streaming_toy_example_spark.sources import txsource
+
+    path = _build_pushdown_table(spark, sf_dir)
+    txsource.register(spark)
+    df = (
+        spark.read.format("txtable")
+        .option("path", path)
+        .option("pushdown", "true")  # one load, one query: the safe
+        # opted-in pattern (see sources/txsource.py)
+        .load()
+    )
+    df.createOrReplaceTempView("tx_pushdown_t")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               MIN(l_orderkey) AS min_order,
+               MAX(l_orderkey) AS max_order
+        FROM tx_pushdown_t
+        WHERE l_orderkey < GREATEST(1,
+              (SELECT MAX(l_orderkey) FROM tx_pushdown_t) DIV 4)
+          AND l_partkey % 2 = 0
+        GROUP BY l_returnflag
+    """)
+
+
+SQL_TX_PUSHDOWN = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       MIN(l_orderkey) AS min_order,
+       MAX(l_orderkey) AS max_order
+FROM lineitem
+WHERE l_orderkey < GREATEST(1, (SELECT MAX(l_orderkey) FROM lineitem) // 4)
+  AND l_partkey % 2 = 0
+GROUP BY l_returnflag
+"""
+
+
 EXT35_QUERIES = {
     "tx_bloom_pruning": q_tx_bloom_pruning,
     "tx_update_dml": q_tx_update_dml,
     "tx_clone_divergence": q_tx_clone_divergence,
     "tx_sql_dml": q_tx_sql_dml,
     "tx_matview_incremental": q_tx_matview_incremental,
+    "tx_pushdown_source": q_tx_pushdown_source,
 }
 
 EXT35_ORACLES = {
@@ -423,4 +499,5 @@ EXT35_ORACLES = {
     "tx_clone_divergence": SQL_TX_CLONE,
     "tx_sql_dml": SQL_TX_SQL_DML,
     "tx_matview_incremental": SQL_TX_MATVIEW,
+    "tx_pushdown_source": SQL_TX_PUSHDOWN,
 }

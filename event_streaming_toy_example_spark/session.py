@@ -65,6 +65,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python DataSource filter pushdown (Spark 4.1) — lets the
+        # txtable source (sources/txsource.py) translate SQL WHERE
+        # clauses into commit-log stats/bloom file pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # INT64 micros over the legacy INT96 default: INT96 carries NO
         # parquet min/max statistics, so timestamp predicates can't
         # prune row groups (Spark) or files (the txtable commit-log
