@@ -192,3 +192,22 @@ def test_null_group_key_in_delta_raises(spark, tmp_path):
     tx.tx_append(spark.createDataFrame([(999, None, 1.0)], _SCHEMA), src)
     with pytest.raises(ValueError, match="NULL group-by key"):
         mv.tx_refresh_matview(spark, dst)
+
+
+def test_metadata_only_commits_advance_the_watermark(spark, tmp_path):
+    # property commits / compactions produce an empty change delta;
+    # the refresh must still advance the applied-version watermark
+    # (as an exactly-once empty merge) and later real changes apply
+    src = _stage_src(spark, tmp_path, n=8)
+    dst = str(tmp_path / "mvw")
+    mv.tx_create_matview(spark, src, dst, ["grp"], {"n": ("count", "*")})
+    tx.tx_set_properties(src, {"owner": "x"})
+    v = mv.tx_refresh_matview(spark, dst)
+    assert v is not None
+    applied, cur = mv.matview_lag(dst)
+    assert applied == cur == tx.table_version(src)
+    tx.tx_delete(spark, src, [("grp", "=", "g0")])
+    mv.tx_refresh_matview(spark, dst)
+    assert all(
+        r["grp"] != "g0" for r in tx.read_table(spark, dst).collect()
+    )
