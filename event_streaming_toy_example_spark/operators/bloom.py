@@ -94,6 +94,7 @@ def build_bloom(
     unindexable (mixed/unsupported column — conservative: no filter,
     file always scanned)."""
     canons = []
+    vt = None
     for v in values:
         if v is None:
             continue
@@ -101,6 +102,7 @@ def build_bloom(
         if c is None:
             return None
         canons.append(c)
+        vt = c[:1].decode()  # single parquet type per column
     m, k = bloom_params(len(canons), fpp, max_bytes)
     bits = bytearray(m // 8)
     for c in canons:
@@ -108,18 +110,30 @@ def build_bloom(
         for i in range(k):
             pos = (h1 + i * h2) % m
             bits[pos >> 3] |= 1 << (pos & 7)
-    return {
+    out = {
         "m": m,
         "k": k,
         "b": base64.b64encode(bytes(bits)).decode("ascii"),
     }
+    if vt is not None:
+        # the builder's value-type tag: a probe whose literal type
+        # canonicalizes differently (a string probing a timestamp
+        # column) can NEVER prove absence — it must scan, exactly as
+        # the min/max stats would
+        out["vt"] = vt
+    return out
 
 
 def bloom_may_contain(bloom: dict, v) -> bool:
     """Probe: False only when the filter PROVES absence.  Unknown
-    types and nulls return True (cannot prune)."""
+    types, nulls, and CROSS-TYPE probes (literal type differs from the
+    column's — the canonical encodings would never collide, so a
+    definitive False would be a false negative) return True."""
     c = bloom_canon(v)
     if c is None:
+        return True
+    vt = bloom.get("vt")
+    if vt is not None and c[:1].decode() != vt:
         return True
     m, k = bloom["m"], bloom["k"]
     bits = base64.b64decode(bloom["b"])

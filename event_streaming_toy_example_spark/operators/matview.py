@@ -125,6 +125,20 @@ def tx_create_matview(
     if not v_src:
         raise ValueError(f"tx_create_matview: source has no commits: {src}")
     base = tx.read_table(spark, src)
+    # NULL group keys are unrefreshable (the MERGE key-equality
+    # contract cannot address a NULL group): refuse at CREATE instead
+    # of wedging the first refresh that touches such a row
+    null_pred = None
+    for g in group_by:
+        p = F.col(g).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if base.where(null_pred).limit(1).count():
+        raise ValueError(
+            "tx_create_matview: the source holds NULL group-by keys "
+            f"in {list(group_by)} — a NULL group cannot be addressed "
+            "by the refresh MERGE; filter nulls upstream or group on "
+            "a coalesced key"
+        )
     delta = _delta_mode(aggs)
     mv = base.groupBy(*group_by).agg(*_agg_exprs(group_by, aggs, delta))
     spec = {

@@ -145,11 +145,14 @@ def _literal(s: str):
     return float(m.group("num")) if m.group("frac") else int(m.group("num"))
 
 
-# a clause column is a plain name or one of the engine's stats-derived
-# time transforms (txtable._TRANSFORM_RE); any OTHER function call is
-# not a clause column and falls back to the raw-SQL path
+# a clause column is a PLAIN name only.  The engine's derived time
+# transforms (``day(ts)`` clause tuples) are deliberately NOT accepted
+# from SQL text: in SQL, ``day(ts)`` is the day-of-month function, and
+# compiling it to the engine's ISO-prefix transform would silently
+# change the statement's meaning — function calls fall back to the
+# raw-SQL path where Spark's parser gives them SQL semantics.
 _TERM_RE = re.compile(
-    r"^\s*(?P<col>\w+|(?:year|month|day|hour)\(\w+\))"
+    r"^\s*(?P<col>\w+)"
     r"\s*(?P<op><=|>=|==|=|<|>)\s*(?P<rhs>.+?)\s*$",
     re.DOTALL,
 )
@@ -190,10 +193,55 @@ def _compile_clauses(where: str) -> list[tuple] | None:
     return clauses or None
 
 
-def _where_arg(where: str | None):
+#: literal python type -> the schema types a compiled clause may
+#: compare it against.  Everything else (a quoted string against a
+#: timestamp/date column, a number against a string, any bool/complex
+#: column) falls back to the raw-SQL path: the engine's stats are
+#: stored in a normalized form whose ordering only matches the
+#: literal's when the types line up — a mismatched compiled clause
+#: could PRUNE a file that holds matching rows (silent row loss),
+#: while the raw path merely costs the pruning.
+_NUMERIC = {"byte", "short", "integer", "long", "float", "double"}
+
+
+def _clauses_typed_ok(clauses: list[tuple], path: str) -> bool:
+    import json as _json
+
+    schema_json = tx._current_schema(path)
+    if schema_json is None:
+        return False
+    fields = {
+        f["name"]: f["type"]
+        for f in _json.loads(schema_json).get("fields", [])
+    }
+    for col, op, val in clauses:
+        t = fields.get(col)
+        if not isinstance(t, str):
+            return False
+        if op in ("isnull", "notnull"):
+            continue
+        vals = val if op == "in" else (val,)
+        for v in vals:
+            if isinstance(v, bool):
+                return False
+            if isinstance(v, str):
+                if t != "string":
+                    return False
+            elif isinstance(v, (int, float)):
+                if t not in _NUMERIC and not t.startswith("decimal"):
+                    return False
+            else:
+                return False
+    return True
+
+
+def _where_arg(where: str | None, path: str):
     if where is None:
         return None
-    return _compile_clauses(where) or where
+    clauses = _compile_clauses(where)
+    if clauses and _clauses_typed_ok(clauses, path):
+        return clauses
+    return where
 
 
 def _assignments(s: str) -> dict:
@@ -243,7 +291,7 @@ def _delete(spark: SparkSession, s: str) -> int:
         raise ValueError(f"tx_sql: cannot parse DELETE: {s!r}")
     name, where = m.group(1), m.group(2)
     path = _resolve(name)
-    v = tx.tx_delete(spark, path, _where_arg(where) or "true")
+    v = tx.tx_delete(spark, path, _where_arg(where, path) or "true")
     _refresh(spark, name)
     return v
 
@@ -262,7 +310,7 @@ def _update(spark: SparkSession, s: str) -> int:
     assigns = _assignments(rest if i_where == -1 else rest[:i_where])
     where = None if i_where == -1 else rest[i_where + 5:].strip()
     path = _resolve(name)
-    v = tx.tx_update(spark, path, set=assigns, where=_where_arg(where))
+    v = tx.tx_update(spark, path, set=assigns, where=_where_arg(where, path))
     _refresh(spark, name)
     return v
 
@@ -328,10 +376,17 @@ def _insert(spark: SparkSession, s: str) -> int:
 
 def _scope(expr: str, t_alias: str, s_alias: str) -> str:
     """Rewrite ``alias.col`` references to the engine's canonical
-    ``target.`` / ``source.`` scoping."""
-    expr = re.sub(rf"\b{re.escape(t_alias)}\.", "target.", expr)
-    expr = re.sub(rf"\b{re.escape(s_alias)}\.", "source.", expr)
-    return expr
+    ``target.`` / ``source.`` scoping — in ONE pass, so an alias that
+    happens to be the literal word ``target``/``source`` (or one
+    rewrite's output matching the other's pattern) cannot be rewritten
+    twice.  (Substitution is textual: it also fires inside string
+    literals, like Delta's own error-prone spots — keep aliases out of
+    quoted strings.)"""
+    mapping = {t_alias: "target.", s_alias: "source."}
+    pat = re.compile(
+        rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\."
+    )
+    return pat.sub(lambda m: mapping[m.group(1)], expr)
 
 
 _WHEN_M = re.compile(

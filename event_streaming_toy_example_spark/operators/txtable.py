@@ -1190,7 +1190,12 @@ def checkpoint_files_df(
                 for f in full
             ]
         )
-        return spark.createDataFrame(t.to_pandas())
+        # pin the schema: pandas inference on an all-null dv/stats
+        # column (or a zero-file inventory) would yield NullType and
+        # the relation's shape would differ by store backend
+        return spark.createDataFrame(
+            t.to_pandas(), schema="file string, stats string, dv string"
+        )
     raise ValueError(
         f"no columnar checkpoint at or below version "
         f"{version if version is not None else 'latest'} in {path}; "
@@ -3949,8 +3954,17 @@ def tx_clone(
     }
     dv_commit: dict | None = None
     if snap.dvs:
+        # translate RELATIVE names only: a source that is itself a
+        # shallow clone already names externally referenced files
+        # absolutely, and os.path.join-style semantics must hold
+        # (prefixing an absolute name would corrupt it and the DV
+        # anti-join would silently resurrect deleted rows)
         translated = _dv_positions_df(spark, src, dict(snap.dvs)).select(
-            F.concat(F.lit(src_abs + "/"), F.col("file")).alias("file"),
+            F.when(
+                F.col("file").startswith("/"), F.col("file")
+            ).otherwise(
+                F.concat(F.lit(src_abs + "/"), F.col("file"))
+            ).alias("file"),
             "pos",
         )
         sidecar = _stage_dv(translated, dst)
@@ -4508,7 +4522,7 @@ def vacuum(
     ddir = _data_dir(path)
     if spark is not None and store.spark_visible:
         victims = _vacuum_victims_distributed(
-            spark, path, start, current, horizon
+            spark, path, start, current, horizon, allow_checkpoint=not dry_run
         )
         if victims is not None:
             deleted = []
@@ -4542,6 +4556,7 @@ def _vacuum_victims_distributed(
     start: int,
     current: int,
     horizon: float,
+    allow_checkpoint: bool = True,
 ) -> list[str] | None:
     """Distributed victim selection: ``(store listing) LEFT ANTI
     (live inventory)`` as Spark relations.  The live set is the newest
@@ -4572,6 +4587,11 @@ def _vacuum_victims_distributed(
 
     found = _newest_columnar_at_or_below(start)
     if found is None:
+        if not allow_checkpoint:
+            # DRY RUN promised to touch nothing: fall back to the
+            # driver walk instead of committing a checkpoint object as
+            # a side effect
+            return None
         if write_checkpoint(path, start) is None:
             return None
         found = _newest_columnar_at_or_below(start)

@@ -241,7 +241,10 @@ class TxTableReader(DataSourceReader):
                 .to_pylist()
             )
             if dead:
-                keep = [i for i in range(t.num_rows) if i not in set(dead)]
+                dead_set = set(dead)
+                keep = [
+                    i for i in range(t.num_rows) if i not in dead_set
+                ]
                 t = t.take(pa.array(keep, pa.int64()))
         # column mapping: project physical names onto logical, null-
         # filling columns this (pre-evolution) file does not carry

@@ -34,10 +34,10 @@ def test_compile_clauses_fast_path():
         ("k", ">=", 2), ("grp", "<", 3), ("s", "=", "x'y"),
     ]
     assert txsql._compile_clauses("k IN (1, 2, 3)") == [("k", "in", (1, 2, 3))]
-    assert txsql._compile_clauses("day(ts) = '2024-01-01'") == [
-        ("day(ts)", "=", "2024-01-01")
-    ]
-    # richer shapes fall back to the raw path
+    # richer shapes fall back to the raw path — including FUNCTION
+    # calls: SQL day(ts) is day-of-month, NOT the engine's day()
+    # partition transform, so it must reach Spark's parser verbatim
+    assert txsql._compile_clauses("day(ts) = '2024-01-01'") is None
     assert txsql._compile_clauses("k = 5 OR grp = 1") is None
     assert txsql._compile_clauses("k % 2 = 0") is None
     assert txsql._compile_clauses("upper(status) = 'OPEN'") is None
@@ -177,3 +177,43 @@ def test_sql_merge_on_must_be_key_equality(spark, tmp_path):
             MERGE INTO t_mrg3 t USING mrg_src3 s ON t.k > s.k
             WHEN MATCHED THEN DELETE
         """)
+
+
+def test_typed_literals_gate_the_clause_fast_path(spark, tmp_path):
+    # a quoted literal against a TIMESTAMP column must NOT compile to
+    # a clause tuple: stats are ISO-normalized ('T' separator) and a
+    # space-form literal would compare below min and PRUNE files that
+    # hold matching rows — silent row loss.  The raw path costs only
+    # the pruning.
+    import datetime
+
+    p = str(tmp_path / "t_ts")
+    rows = [
+        (i, datetime.datetime(2024, 3, 5, 9 + i))
+        for i in range(4)
+    ]
+    tx.tx_append(
+        spark.createDataFrame(rows, "k int, ts timestamp").coalesce(1), p
+    )
+    txsql.tx_register(spark, p, "t_ts")
+    v = txsql.tx_sql(
+        spark, "DELETE FROM t_ts WHERE ts = '2024-03-05 10:00:00'"
+    )
+    assert v == 2
+    left = sorted(r["k"] for r in tx.read_table(spark, p).collect())
+    assert left == [0, 2, 3]  # k=1 (10:00) deleted
+    # and the gate itself: string vs non-string column -> not ok
+    assert not txsql._clauses_typed_ok([("ts", "=", "2024-03-05")], p)
+    assert not txsql._clauses_typed_ok([("k", "=", "5")], p)
+    assert txsql._clauses_typed_ok([("k", "=", 5)], p)
+
+
+def test_scope_alias_named_target_or_source(spark, tmp_path):
+    # single-pass rewrite: an alias literally named 'target' must not
+    # be double-rewritten to 'source.'
+    assert txsql._scope("a.v < target.v", "a", "target") == (
+        "target.v < source.v"
+    )
+    assert txsql._scope("source.v = t.v", "source", "t") == (
+        "target.v = source.v"
+    )

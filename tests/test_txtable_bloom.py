@@ -161,3 +161,18 @@ def test_update_rewrite_keeps_bloom_current(spark, tmp_path):
     assert scan == []  # old value provably gone
     scan2, _ = tx.prune_files(p, [("key", "=", "z_" + _key(10))])
     assert len(scan2) == 1
+
+
+def test_cross_type_probe_never_proves_absence():
+    # a filter built from datetimes probed with the value's STRING
+    # form must scan (the canonical encodings differ); a false
+    # negative here would silently lose rows
+    import datetime
+
+    vals = [datetime.datetime(2024, 3, 5, 10), datetime.datetime(2024, 3, 6)]
+    b = bl.build_bloom(vals)
+    assert bl.bloom_may_contain(b, vals[0])
+    assert bl.bloom_may_contain(b, "2024-03-05T10:00:00")  # cross-type
+    assert not bl.bloom_may_contain(b, datetime.datetime(1999, 1, 1))
+    ints = bl.build_bloom([1, 2, 3])
+    assert bl.bloom_may_contain(ints, "2")  # cross-type: cannot prove

@@ -201,3 +201,35 @@ def test_old_build_refuses_clone_table_by_name(spark, tmp_path, monkeypatch):
     )
     with pytest.raises(tx.ProtocolUnsupportedError, match="absolute-paths"):
         tx.read_table(spark, dst)
+
+
+def test_clone_of_a_clone_preserves_inherited_dvs(spark, tmp_path):
+    # B's DVs name A's files ABSOLUTELY; cloning B->C must not prefix
+    # those names again (a corrupted name would miss the anti-join and
+    # resurrect deleted rows)
+    a = _stage_src(spark, tmp_path, n=12)
+    b = str(tmp_path / "b")
+    tx.tx_clone(spark, a, b)
+    tx.tx_delete(spark, b, [("k", "in", (2, 9))], merge_on_read=True)
+    c = str(tmp_path / "c")
+    tx.tx_clone(spark, b, c)
+    assert _content(spark, c) == [
+        r for r in _rows(0, 12) if r[0] not in (2, 9)
+    ]
+    # and C's own MOR delete stays cumulative over the inherited DV
+    tx.tx_delete(spark, c, [("k", "=", 4)], merge_on_read=True)
+    assert _content(spark, c) == [
+        r for r in _rows(0, 12) if r[0] not in (2, 4, 9)
+    ]
+
+
+def test_vacuum_dry_run_commits_nothing(spark, tmp_path):
+    src = _stage_src(spark, tmp_path, n=6)
+    tx.tx_update(spark, src, set={"amt": "amt * 2"})
+    before_log = tx.read_log(src)
+    would = tx.vacuum(src, retain_versions=1, min_age_seconds=0.0,
+                      dry_run=True, spark=spark)
+    after_log = tx.read_log(src)
+    assert [c.version for c in after_log] == [c.version for c in before_log]
+    assert would  # the rewritten originals are reclaimable
+    assert all(os.path.exists(os.path.join(src, f)) for f in would)
