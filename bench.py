@@ -221,6 +221,10 @@ HEADLINE = [
     "tx_sql_dml",
     "tx_matview_incremental",
     "tx_pushdown_source",
+    # round-10 additions: the SQL DDL / utility surface and inline
+    # time travel in SQL text
+    "tx_sql_ddl",
+    "tx_sql_timetravel",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -264,6 +268,8 @@ PRESTAGE = [
     "tx_sql_dml",
     "tx_matview_incremental",
     "tx_pushdown_source",
+    "tx_sql_ddl",
+    "tx_sql_timetravel",
 ]
 
 

@@ -1441,7 +1441,15 @@ def _footer_stats(path: str, names: Sequence[str]) -> dict:
                     bad.add(cname)
                     per_col.pop(cname, None)
                     continue
-                lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+                try:
+                    lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+                except Exception:
+                    # pyarrow can't extract stats for every physical
+                    # type (e.g. decimal in some versions): treat as
+                    # stat-less — the file is never skipped on it
+                    bad.add(cname)
+                    per_col.pop(cname, None)
+                    continue
                 nulls = st.null_count if st.has_null_count else None
                 if lo is None or hi is None or nulls is None:
                     bad.add(cname)
@@ -2237,6 +2245,24 @@ def upsert_prune_probe(
     )
 
 
+def _probe_rel(path: str, uri: str) -> str:
+    """Map a pruning probe's ``input_file_name`` URI into the
+    snapshot's file-name space — the SAME rule :func:`_read_files`
+    applies to ``_metadata.file_path`` tags: a file under this table's
+    OWN prefix maps to its table-relative name (everything after the
+    last ``/data/``), while an EXTERNALLY referenced file (a shallow
+    clone's source data, logged by absolute path) keeps its
+    scheme-stripped absolute path verbatim.  Without the own-prefix
+    branch, a clone's external refs would be mis-relativized into
+    names not present in ``snap.files`` and the probe's subset
+    assertion would fire (or, under ``python -O``, the writer would
+    try to read a nonexistent relative path)."""
+    norm = _re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", uri)
+    if norm.startswith(os.path.abspath(path) + "/"):
+        return f"{_DATA_DIR}/{norm.rsplit(f'/{_DATA_DIR}/', 1)[-1]}"
+    return norm
+
+
 def tx_upsert(
     spark: SparkSession,
     path: str,
@@ -2297,13 +2323,9 @@ def tx_upsert(
     affected_paths = {
         r["f"] for r in upsert_prune_probe(current, changes, keys).collect()
     }
-    # map absolute input_file_name URIs back to table-relative names
-    def _rel(name: str) -> str:
-        # table-relative name from an input_file_name URI: everything
-        # after the last "/data/" (subdir-layout and legacy-flat safe)
-        return f"{_DATA_DIR}/{name.rsplit(f'/{_DATA_DIR}/', 1)[-1]}"
-
-    affected = sorted({_rel(p) for p in affected_paths})
+    # map input_file_name URIs back into snapshot name space (own files
+    # relative, clone-external refs absolute — _probe_rel)
+    affected = sorted({_probe_rel(path, p) for p in affected_paths})
     assert set(affected) <= set(snap.files), (
         "pruning probe returned files outside the snapshot"
     )
@@ -2588,9 +2610,7 @@ def tx_merge(
             r["f"]
             for r in upsert_prune_probe(current, source, keys).collect()
         }
-        affected = sorted(
-            {f"{_DATA_DIR}/{p0.rsplit(f'/{_DATA_DIR}/', 1)[-1]}" for p0 in probed}
-        )
+        affected = sorted({_probe_rel(path, p0) for p0 in probed})
         assert set(affected) <= set(snap.files)
 
     fcol, pcol = "__merge_f", "__merge_p"
@@ -3220,13 +3240,9 @@ def tx_delete_keys(
         r["f"]
         for r in upsert_prune_probe(current, keys_df, key_cols).collect()
     }
-
-    def _rel(name: str) -> str:
-        # table-relative name from an input_file_name URI: everything
-        # after the last "/data/" (subdir-layout and legacy-flat safe)
-        return f"{_DATA_DIR}/{name.rsplit(f'/{_DATA_DIR}/', 1)[-1]}"
-
-    affected = sorted({_rel(p) for p in affected_paths})
+    # snapshot name space: own files relative, clone-external refs
+    # absolute (_probe_rel)
+    affected = sorted({_probe_rel(path, p) for p in affected_paths})
     assert set(affected) <= set(snap.files)
     added: list[str] = []
     remove: list[str] = list(affected)
@@ -4032,6 +4048,46 @@ def tx_evolve_types(
         migrated,
         read_version,
         stats=_footer_stats(path, files),
+    )
+
+
+def tx_add_column(path: str, name: str, dtype: str) -> int:
+    """ALTER TABLE ADD COLUMN — a METADATA-ONLY commit (no data file is
+    read or written): the new NULLABLE field joins the logical schema
+    with a fresh column-mapping id and a physical name guaranteed not
+    to collide with any live or RETIRED physical column (re-adding a
+    dropped name maps to fresh bytes, never resurrecting the dropped
+    data — same rule :func:`_union_schema` applies to evolving
+    appends).  Every existing file simply lacks the physical column
+    and the imposed-schema read null-fills it natively.  Concurrency:
+    additive — commutes with appends exactly like an evolving append
+    does (the commit loop unions schemas on a lost race)."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(f"tx_add_column on a table with no commits: {path}")
+    st = StructType.fromJson(json.loads(state.schema))
+    if name in {f.name for f in st.fields}:
+        raise ValueError(f"tx_add_column: column '{name}' already exists")
+    dt = _parse_datatype_string(dtype)
+    retired = state.properties.get("__retired_phys", ())
+    used_phys = {_field_phys(f) for f in st.fields} | set(retired)
+    next_id = _next_col_id(st.fields)
+    phys = name if name not in used_phys else f"c{next_id}_{name}"
+    from pyspark.sql.types import StructField
+
+    new_field = _with_field_cm(
+        StructField(name, dt, True), next_id, phys
+    )
+    return commit(
+        path,
+        "append",  # additive: commutes with concurrent appends
+        [],
+        [],
+        StructType(list(st.fields) + [new_field]).json(),
+        state.version,
+        conflict={"kind": "empty"},
     )
 
 

@@ -178,6 +178,10 @@ from event_streaming_toy_example_spark.plans.queries_ext35 import (
     EXT35_ORACLES,
     EXT35_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext36 import (
+    EXT36_ORACLES,
+    EXT36_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -292,6 +296,15 @@ FAMILY_REP: dict[str, str] = {
     # / raw-predicate UPDATE / subquery MERGE / null-filling INSERT as
     # SQL text routed onto the transactional operators; DML family
     "tx_sql_dml": "tx_merge_cdc",
+    # round 10: the SQL DDL / utility surface (VERDICT r9 item 1) —
+    # CTAS / ALTER ADD-RENAME-DROP COLUMN / OPTIMIZE ZORDER BY /
+    # DESCRIBE HISTORY / VACUUM DRY RUN as pure SQL text, final state
+    # hash-checked vs one DuckDB projection; DML/DDL routing family
+    "tx_sql_ddl": "tx_merge_cdc",
+    # round 10: INLINE time travel in SQL text (VERDICT r9 item 3) —
+    # one statement names two snapshots (VERSION AS OF + FOR VERSION
+    # AS OF) and joins them; snapshot/lifecycle family
+    "tx_sql_timetravel": "tx_snapshot_isolation",
     # round 9: incrementally-maintained MATERIALIZED VIEW over the
     # change feed (operators/matview.py) — delta-mode count/sum/avg
     # maintenance, O(changed rows) per refresh, exactly-once MERGE
@@ -708,6 +721,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT33_QUERIES,
     **EXT34_QUERIES,
     **EXT35_QUERIES,
+    **EXT36_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -747,6 +761,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT33_ORACLES,
     **EXT34_ORACLES,
     **EXT35_ORACLES,
+    **EXT36_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

@@ -1,0 +1,198 @@
+"""Round-10 first wave: the SQL DDL / utility surface and inline time
+travel in SQL text (VERDICT r9 items 1 and 3).
+
+- ``tx_sql_ddl`` — a table created, evolved, mutated, re-shaped,
+  optimized, and inspected ENTIRELY through SQL text routed by
+  ``operators/txsql.py``: CTAS → ALTER ADD COLUMN → INSERT → UPDATE →
+  RENAME COLUMN → DROP COLUMN → OPTIMIZE ZORDER BY → DESCRIBE HISTORY
+  → VACUUM DRY RUN, with the final state hash-checked against the
+  equivalent single-statement DuckDB projection.  A SQL-first user
+  never touches the Python API; CREATE self-registers the name.
+- ``tx_sql_timetravel`` — the query TEXT itself names two versions
+  (``VERSION AS OF`` inline, Delta's and Spark's ``FOR`` form both
+  parse): current-vs-v1 join computing per-order price drift after a
+  SQL UPDATE and DELETE, hash-checked against the oracle's
+  reconstruction of both snapshots.
+
+The reference has no SQL at all (432-line pipeline, ``toy_glue.py``);
+the statement surface follows public Delta Lake / Spark SQL DDL and
+time-travel semantics re-expressed on this engine's commit log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from event_streaming_toy_example_spark.plans.queries_ext import (
+    stage_dir_once,
+)
+from event_streaming_toy_example_spark.schemas import load_table
+
+
+# ---------------------------------------------------- SQL DDL surface
+
+
+def _build_sql_ddl_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: every DDL/utility verb the router
+    supports, in one chain of pure SQL statements."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txsql
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "ddl_orders_raw"
+        )
+        loc = _os.path.join(tmp, "t")
+        txsql.tx_sql(spark, f"""
+            CREATE TABLE sqlddl_orders LOCATION '{loc}'
+            TBLPROPERTIES ('owner' = 'ddl-suite')
+            AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+               FROM ddl_orders_raw
+        """)
+        txsql.tx_sql(
+            spark, "ALTER TABLE sqlddl_orders ADD COLUMN priority_flag STRING"
+        )
+        txsql.tx_sql(
+            spark,
+            "INSERT INTO sqlddl_orders VALUES "
+            "(99999999, NULL, NULL, 'Z', 'new')",
+        )
+        txsql.tx_sql(
+            spark,
+            "UPDATE sqlddl_orders SET priority_flag = 'high' "
+            "WHERE o_totalprice > 200000",
+        )
+        txsql.tx_sql(
+            spark,
+            "ALTER TABLE sqlddl_orders RENAME COLUMN priority_flag TO prio",
+        )
+        txsql.tx_sql(spark, "ALTER TABLE sqlddl_orders DROP COLUMN o_custkey")
+        # content-invariant maintenance, still pure SQL
+        txsql.tx_sql(
+            spark, "OPTIMIZE sqlddl_orders ZORDER BY (o_orderkey, o_totalprice)"
+        )
+        hist = txsql.tx_sql(spark, "DESCRIBE HISTORY sqlddl_orders").collect()
+        assert [h["version"] for h in hist][-1] == 1
+        assert hist[-1]["action"] == "append"  # the CTAS create
+        dry = txsql.tx_sql(
+            spark, "VACUUM sqlddl_orders RETAIN 1 VERSIONS RETAIN 0 HOURS "
+            "DRY RUN"
+        ).collect()
+        assert dry, "the z-order rewrite left reclaimable originals"
+        assert all(
+            tx.get_data_store(loc).exists(_os.path.join(loc, r["path"]))
+            for r in dry
+        ), "DRY RUN must not delete"
+
+    return stage_dir_once(build, "txtable_sqlddl_v1", sf_dir)
+
+
+def q_tx_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DDL-built table read back through plain SQL (the name is
+    re-registered because replay may start from a staged directory in
+    a fresh session)."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txsql
+
+    base = _build_sql_ddl_table(spark, sf_dir)
+    txsql.tx_register(spark, _os.path.join(base, "t"), "sqlddl_orders")
+    return txsql.tx_sql(
+        spark,
+        "SELECT o_orderkey, o_totalprice, o_orderstatus, prio "
+        "FROM sqlddl_orders",
+    )
+
+
+SQL_TX_SQL_DDL = """
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       CASE WHEN o_totalprice > 200000 THEN 'high' END AS prio
+FROM orders
+UNION ALL
+SELECT 99999999, CAST(NULL AS DOUBLE), 'Z', 'new'
+"""
+
+
+# ------------------------------------------------ inline time travel
+
+
+def _build_sql_tt_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: v1 = CTAS of orders, v2 = UPDATE
+    (+1.5 on every even key), v3 = DELETE ('F' status gone)."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txsql
+
+    def build(tmp: str) -> None:
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "tt_orders_raw"
+        )
+        loc = _os.path.join(tmp, "t")
+        txsql.tx_sql(spark, f"""
+            CREATE TABLE sqltt_orders LOCATION '{loc}'
+            AS SELECT o_orderkey, o_totalprice, o_orderstatus
+               FROM tt_orders_raw
+        """)
+        txsql.tx_sql(
+            spark,
+            "UPDATE sqltt_orders SET o_totalprice = o_totalprice + 1.5 "
+            "WHERE o_orderkey % 2 = 0",
+        )
+        txsql.tx_sql(
+            spark, "DELETE FROM sqltt_orders WHERE o_orderstatus = 'F'"
+        )
+
+    return stage_dir_once(build, "txtable_sqltt_v1", sf_dir)
+
+
+def q_tx_sql_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE SQL string naming two snapshots of the same table inline —
+    the live head joined to ``VERSION AS OF 1`` (both of Spark's and
+    Delta's spellings), computing each surviving order's price drift
+    since creation."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txsql
+
+    base = _build_sql_tt_table(spark, sf_dir)
+    txsql.tx_register(spark, _os.path.join(base, "t"), "sqltt_orders")
+    return txsql.tx_sql(spark, """
+        SELECT cur.o_orderkey,
+               ROUND(cur.o_totalprice, 2) AS price_now,
+               ROUND(cur.o_totalprice - old.o_totalprice, 2) AS drift,
+               (SELECT COUNT(*) FROM sqltt_orders FOR VERSION AS OF 1)
+                 AS n_at_v1
+        FROM sqltt_orders cur
+        JOIN sqltt_orders VERSION AS OF 1 old
+          ON cur.o_orderkey = old.o_orderkey
+    """)
+
+
+SQL_TX_SQL_TT = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+), cur AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderstatus <> 'F'
+)
+SELECT cur.o_orderkey,
+       ROUND(cur.o_totalprice, 2) AS price_now,
+       ROUND(cur.o_totalprice - v1.o_totalprice, 2) AS drift,
+       (SELECT COUNT(*) FROM v1) AS n_at_v1
+FROM cur JOIN v1 ON cur.o_orderkey = v1.o_orderkey
+"""
+
+
+EXT36_QUERIES = {
+    "tx_sql_ddl": q_tx_sql_ddl,
+    "tx_sql_timetravel": q_tx_sql_timetravel,
+}
+
+EXT36_ORACLES = {
+    "tx_sql_ddl": SQL_TX_SQL_DDL,
+    "tx_sql_timetravel": SQL_TX_SQL_TT,
+}

@@ -318,6 +318,16 @@ class TxTableDataSource(DataSource):
             if self.options.get("version")
             else None
         )
+        # resolve as_of exactly as TxTableReader.__init__ does: the
+        # relation schema must be the one logged AT the read version —
+        # after a schema evolution the latest schema would not match
+        # the Arrow batch columns read() projects (ADVICE r10)
+        if self.options.get("as_of"):
+            if version is not None:
+                raise ValueError("txtable source: pass version OR as_of")
+            version = tx.version_as_of(
+                os.path.abspath(path), float(self.options["as_of"])
+            )
         snap = tx.snapshot(os.path.abspath(path), version)
         if snap is None:
             raise ValueError(f"txtable source: no commits at {path}")

@@ -131,6 +131,31 @@ def test_time_travel_option(spark, tmp_path):
     assert _src(spark, p, version=2).count() == 10
 
 
+def test_as_of_resolves_the_schema_of_that_version(spark, tmp_path):
+    # ADVICE r10: schema() honored 'version' but ignored 'as_of', so an
+    # as_of read after a schema evolution paired the LATEST relation
+    # schema with the as_of version's Arrow batches.
+    import time
+
+    _register(spark)
+    p = str(tmp_path / "t")
+    tx.tx_append(
+        spark.createDataFrame([(1, 1.0)], "k int, amt double"), p
+    )
+    time.sleep(0.05)
+    cut = time.time()
+    time.sleep(0.05)
+    tx.tx_append(
+        spark.createDataFrame(
+            [(2, 2.0, "x")], "k int, amt double, note string"
+        ),
+        p,
+    )
+    df = _src(spark, p, pushdown=False, as_of=cut)
+    assert df.columns == ["k", "amt"]
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 1.0)]
+
+
 def test_column_mapping_and_evolution(spark, tmp_path):
     _register(spark)
     p = str(tmp_path / "t")

@@ -223,6 +223,67 @@ def test_clone_of_a_clone_preserves_inherited_dvs(spark, tmp_path):
     ]
 
 
+def test_merge_on_fresh_shallow_clone(spark, tmp_path):
+    # ADVICE r10 (medium): the key-probe writers used to relativize
+    # EVERY probe path via rsplit('/data/'), producing names not in
+    # snap.files for a clone's external refs — merge/upsert/
+    # delete_keys on a fresh shallow clone always failed.  The probe
+    # now applies _read_files' own-prefix rule (_probe_rel).
+    src = _stage_src(spark, tmp_path, n=12)
+    dst = str(tmp_path / "dst")
+    tx.tx_clone(spark, src, dst)
+    source = _df(spark, [(2, 99, 200.0), (50, 99, 500.0)])
+    tx.tx_merge(
+        spark, dst, source, on=["k"],
+        when_matched_update="all", when_not_matched_insert=True,
+    )
+    assert _content(spark, dst) == sorted(
+        [r for r in _rows(0, 12) if r[0] != 2]
+        + [(2, 99, 200.0), (50, 99, 500.0)]
+    )
+    assert _content(spark, src) == _rows(0, 12)  # source untouched
+
+
+def test_merge_mor_on_fresh_shallow_clone(spark, tmp_path):
+    src = _stage_src(spark, tmp_path, n=12)
+    dst = str(tmp_path / "dst")
+    tx.tx_clone(spark, src, dst)
+    source = _df(spark, [(3, 99, 300.0)])
+    tx.tx_merge(
+        spark, dst, source, on=["k"],
+        when_matched_update="all", when_not_matched_insert=True,
+        merge_on_read=True,
+    )
+    assert _content(spark, dst) == sorted(
+        [r for r in _rows(0, 12) if r[0] != 3] + [(3, 99, 300.0)]
+    )
+
+
+def test_upsert_on_fresh_shallow_clone(spark, tmp_path):
+    src = _stage_src(spark, tmp_path, n=10)
+    dst = str(tmp_path / "dst")
+    tx.tx_clone(spark, src, dst)
+    changes = _df(spark, [(4, 99, 400.0), (77, 99, 770.0)])
+    tx.tx_upsert(spark, dst, changes, keys=["k"], order_by=["amt"])
+    assert _content(spark, dst) == sorted(
+        [r for r in _rows(0, 10) if r[0] != 4]
+        + [(4, 99, 400.0), (77, 99, 770.0)]
+    )
+    assert _content(spark, src) == _rows(0, 10)
+
+
+def test_delete_keys_on_fresh_shallow_clone(spark, tmp_path):
+    src = _stage_src(spark, tmp_path, n=10)
+    dst = str(tmp_path / "dst")
+    tx.tx_clone(spark, src, dst)
+    keys_df = spark.createDataFrame([(1,), (8,)], "k int")
+    tx.tx_delete_keys(spark, dst, keys_df, ["k"])
+    assert _content(spark, dst) == [
+        r for r in _rows(0, 10) if r[0] not in (1, 8)
+    ]
+    assert _content(spark, src) == _rows(0, 10)
+
+
 def test_vacuum_dry_run_commits_nothing(spark, tmp_path):
     src = _stage_src(spark, tmp_path, n=6)
     tx.tx_update(spark, src, set={"amt": "amt * 2"})
