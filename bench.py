@@ -221,10 +221,11 @@ HEADLINE = [
     "tx_sql_dml",
     "tx_matview_incremental",
     "tx_pushdown_source",
-    # round-10 additions: the SQL DDL / utility surface and inline
-    # time travel in SQL text
+    # round-10 additions: the SQL DDL / utility surface, inline time
+    # travel in SQL text, and the factorized two-sided join matview
     "tx_sql_ddl",
     "tx_sql_timetravel",
+    "tx_matview_join",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -270,6 +271,7 @@ PRESTAGE = [
     "tx_pushdown_source",
     "tx_sql_ddl",
     "tx_sql_timetravel",
+    "tx_matview_join",
 ]
 
 

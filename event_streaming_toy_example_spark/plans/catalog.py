@@ -310,6 +310,12 @@ FAMILY_REP: dict[str, str] = {
     # maintenance, O(changed rows) per refresh, exactly-once MERGE
     # apply; joins the IVM family whose rep pins the join-delta form
     "tx_matview_incremental": "ivm_join_delta",
+    # round 10: JOIN matviews (VERDICT r9 item 2) — factorized
+    # two-sided IVM (operators/matview_join.py): grouped aggregates
+    # over an equi-join maintained from BOTH change feeds without
+    # re-reading either source (spy-asserted), one exactly-once MERGE
+    # under a packed (vA, vB) token; IVM family
+    "tx_matview_join": "ivm_join_delta",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

@@ -187,12 +187,121 @@ FROM cur JOIN v1 ON cur.o_orderkey = v1.o_orderkey
 """
 
 
+# ------------------------------------------------- join matview (IVM)
+
+
+def _build_matview_join(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: a revenue-by-(status, segment) view over
+    orders ⋈ customer, maintained through a delete on the A side and a
+    partial update on the B side in ONE refresh — spy-asserted to
+    never re-read either source (the factorized-state contract),
+    applied exactly-once under the packed two-version token."""
+    import os as _os
+    import unittest.mock as _m
+
+    from event_streaming_toy_example_spark.operators import (
+        matview_join as mj,
+    )
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        a = _os.path.join(tmp, "a")
+        b = _os.path.join(tmp, "b")
+        dst = _os.path.join(tmp, "mv")
+        tx.tx_append(
+            load_table(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            ).repartitionByRange(4, "custkey"),
+            a,
+        )
+        tx.tx_append(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("custkey"),
+                "c_mktsegment",
+                "c_acctbal",
+            ).repartitionByRange(4, "custkey"),
+            b,
+        )
+        mj.tx_create_matview_join(
+            spark, a, b, dst, on=["custkey"],
+            group_by_a=["o_orderstatus"], group_by_b=["c_mktsegment"],
+            aggs={
+                "n": ("count", "*"),
+                "revenue": ("sum", "a.o_totalprice"),
+                "avg_bal": ("avg", "b.c_acctbal"),
+            },
+        )
+        tx.tx_delete(spark, a, [("o_orderstatus", "=", "P")])
+        tx.tx_update(
+            spark, b,
+            set={"c_acctbal": "c_acctbal + 10.0"},
+            where="custkey % 10 = 0",
+        )
+        calls = []
+        orig = tx.read_table
+
+        def spy(sp, path, *args, **kwargs):
+            calls.append(_os.path.abspath(path))
+            return orig(sp, path, *args, **kwargs)
+
+        with _m.patch.object(mj.tx, "read_table", side_effect=spy):
+            mj.tx_refresh_matview_join(spark, dst)
+        bad = set(calls) & {_os.path.abspath(a), _os.path.abspath(b)}
+        assert not bad, f"delta refresh re-read source table(s): {bad}"
+        (pa, pb), (ca, cb) = mj.matview_join_lag(dst)
+        assert (pa, pb) == (ca, cb) == (2, 2)
+
+    return stage_dir_once(build, "txtable_matview_join_v1", sf_dir)
+
+
+def q_tx_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained join view's public columns; double aggregates
+    rounded (2dp) because incremental addition order legitimately
+    differs from a single-pass recompute."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    base = _build_matview_join(spark, sf_dir)
+    out = tx.read_table(spark, _os.path.join(base, "mv"))
+    return out.select(
+        "o_orderstatus",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("revenue"), 2).alias("revenue"),
+        F.round(F.col("avg_bal"), 2).alias("avg_bal"),
+    )
+
+
+SQL_TX_MATVIEW_JOIN = """
+WITH a AS (
+  SELECT o_custkey AS custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderstatus <> 'P'
+), b AS (
+  SELECT c_custkey AS custkey, c_mktsegment,
+         CASE WHEN c_custkey % 10 = 0
+              THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+)
+SELECT a.o_orderstatus, b.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(a.o_totalprice), 2) AS revenue,
+       ROUND(AVG(b.c_acctbal), 2) AS avg_bal
+FROM a JOIN b ON a.custkey = b.custkey
+GROUP BY 1, 2
+"""
+
+
 EXT36_QUERIES = {
     "tx_sql_ddl": q_tx_sql_ddl,
     "tx_sql_timetravel": q_tx_sql_timetravel,
+    "tx_matview_join": q_tx_matview_join,
 }
 
 EXT36_ORACLES = {
     "tx_sql_ddl": SQL_TX_SQL_DDL,
     "tx_sql_timetravel": SQL_TX_SQL_TT,
+    "tx_matview_join": SQL_TX_MATVIEW_JOIN,
 }
