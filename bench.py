@@ -226,6 +226,7 @@ HEADLINE = [
     "tx_sql_ddl",
     "tx_sql_timetravel",
     "tx_matview_join",
+    "tx_matview_sketch",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -272,6 +273,7 @@ PRESTAGE = [
     "tx_sql_ddl",
     "tx_sql_timetravel",
     "tx_matview_join",
+    "tx_matview_sketch",
 ]
 
 

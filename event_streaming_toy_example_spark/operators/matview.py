@@ -27,9 +27,29 @@ contract the streaming sinks use.  The view is itself a first-class
 transactional table: snapshot reads, time travel, its own change feed,
 cloning — everything composes.
 
+Round 10 (VERDICT r9 item 5) widened the aggregate surface:
+
+- ``count(col)`` — the non-null count, a sum-of-indicator and
+  therefore fully delta-able (it was previously refused);
+- ``approx_distinct(col)`` — a per-group K-MINIMUM-VALUES distinct
+  sketch (``functions/sketches.py`` idiom: md5-prefix hash into a
+  2⁴⁸ space, keep the k smallest distinct values), stored as an
+  internal ``array<long>`` column next to the exposed integer
+  estimate ``(k−1)·2⁴⁸ div h₍ₖ₎``.  Pure integer arithmetic, so the
+  estimate is bit-identical to the DuckDB twin and hash-checkable.
+  KMV sets are an insert-only monoid: an APPEND refresh merges
+  sketches in O(delta) (union + re-take-k), but a refresh whose
+  delta REMOVES rows cannot retract a hash — those refreshes fall
+  back to recomputing the affected groups from source (O(affected
+  groups), same path min/max always takes), and only then.  The
+  per-group top-k is computed with a window rank, never an unbounded
+  per-group collect, so a billion-distinct group costs k longs of
+  state.
+
 Limitations (documented, typed): group-by keys must not be NULL (the
 merge key-equality contract); ``avg`` maintains internal ``__sum_*`` /
-``__cnt_*`` columns alongside the exposed mean.
+``__cnt_*`` columns alongside the exposed mean; ``approx_distinct``
+maintains ``__kmv_*``.
 
 The reference has nothing of the kind (its one aggregate is a
 duplicate counter, ``pipeline.py``); the design follows the standard
@@ -48,7 +68,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import txtable as tx
 
 _APP = "matview"
-_FNS = ("count", "sum", "avg", "min", "max")
+_FNS = ("count", "sum", "avg", "min", "max", "approx_distinct")
+
+#: KMV sketch shape — matches ``functions/sketches.py``: 12 hex md5
+#: chars hash into a 2⁴⁸ space; k smallest distinct values per group.
+_KMV_K = 64
+_KMV_SPACE = 16**12
 
 
 def _check_spec(group_by: Sequence[str], aggs: dict) -> None:
@@ -62,27 +87,106 @@ def _check_spec(group_by: Sequence[str], aggs: dict) -> None:
                 f"tx_create_matview: unsupported aggregate {fn!r} for "
                 f"{out!r}; supported: {_FNS}"
             )
-        if fn == "count" and col != "*":
-            raise ValueError(
-                f"tx_create_matview: count supports only '*' (got "
-                f"{col!r}); count(col) = sum of non-null indicator — "
-                "use sum over an indicator expression upstream"
-            )
-        if fn != "count" and col == "*":
+        if fn not in ("count",) and col == "*":
             raise ValueError(f"tx_create_matview: {fn}('*') is not a thing")
 
 
 def _delta_mode(aggs: dict) -> bool:
-    return all(fn in ("count", "sum", "avg") for fn, _ in aggs.values())
+    return all(
+        fn in ("count", "sum", "avg", "approx_distinct")
+        for fn, _ in aggs.values()
+    )
+
+
+def _kmv_hash(col: str):
+    """The deterministic KMV hash (``functions/sketches.py`` idiom):
+    md5 prefix as a 48-bit integer, NULL keyed distinctly — the SAME
+    null sentinel as the sketch module so the DuckDB twins agree."""
+    from event_streaming_toy_example_spark.functions.hashkeys import (
+        NULL_KEY,
+    )
+
+    return F.conv(
+        F.substring(
+            F.md5(F.coalesce(F.col(col).cast("string"), F.lit(NULL_KEY))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _kmv_estimate(name: str):
+    """Integer KMV estimator over the named sketch column —
+    bit-identical across engines (``div`` is exact BIGINT division;
+    a float path would lose precision above 2⁵³): fewer than k
+    distinct hashes means the sketch saw everything."""
+    size = F.size(F.col(name))
+    return F.when(size < _KMV_K, size.cast("long")).otherwise(
+        F.expr(
+            f"CAST({(_KMV_K - 1) * _KMV_SPACE} AS BIGINT) "
+            f"div element_at({name}, {_KMV_K})"
+        )
+    )
+
+
+def _kmv_agg_df(df: DataFrame, group_by: Sequence[str], col: str,
+                out: str) -> DataFrame:
+    """Per-group k smallest distinct hashes of ``col`` as
+    ``__kmv_<out>`` — computed with a window RANK over the distinct
+    hash set, never an unbounded per-group collect (the aggregation
+    buffer holds at most k longs per group)."""
+    from pyspark.sql import Window
+
+    hashes = df.select(*group_by, _kmv_hash(col).alias("__h")).distinct()
+    w = Window.partitionBy(*group_by).orderBy("__h")
+    return (
+        hashes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= _KMV_K)
+        .groupBy(*group_by)
+        .agg(F.sort_array(F.collect_list("__h")).alias(f"__kmv_{out}"))
+    )
+
+
+def _kmv_outs(aggs: dict) -> list[tuple[str, str]]:
+    return [
+        (out, col)
+        for out, (fn, col) in aggs.items()
+        if fn == "approx_distinct"
+    ]
+
+
+def _attach_sketches(df: DataFrame, base: DataFrame,
+                     group_by: Sequence[str], aggs: dict) -> DataFrame:
+    """Join the per-group KMV columns onto a grouped result and expose
+    their estimates (groups absent from the hash frame — possible only
+    for all-NULL inputs, which still hash — keep empty sketches)."""
+    for out, col in _kmv_outs(aggs):
+        df = df.join(
+            _kmv_agg_df(base, group_by, col, out), list(group_by), "left"
+        )
+        kmv = F.coalesce(
+            F.col(f"__kmv_{out}"),
+            F.array().cast("array<long>"),
+        )
+        df = df.withColumn(f"__kmv_{out}", kmv).withColumn(
+            out, _kmv_estimate(f"__kmv_{out}")
+        )
+    return df
 
 
 def _agg_exprs(group_cols: Sequence[str], aggs: dict, delta: bool):
     """The Spark aggregate list for a full (re)compute, including the
-    delta-mode internal columns."""
+    delta-mode internal columns (``approx_distinct`` columns are
+    attached separately — see :func:`_attach_sketches`)."""
     exprs = []
     for out, (fn, col) in aggs.items():
         if fn == "count":
-            exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+            if col == "*":
+                exprs.append(F.count(F.lit(1)).cast("long").alias(out))
+            else:
+                exprs.append(F.count(col).cast("long").alias(out))
         elif fn == "sum":
             exprs.append(F.sum(col).alias(out))
         elif fn == "avg":
@@ -96,6 +200,10 @@ def _agg_exprs(group_cols: Sequence[str], aggs: dict, delta: bool):
             exprs.append(F.min(col).alias(out))
         elif fn == "max":
             exprs.append(F.max(col).alias(out))
+        elif fn == "approx_distinct":
+            # placeholder; _attach_sketches overwrites from the hash
+            # frame (the estimate is a function of the sketch column)
+            exprs.append(F.lit(0).cast("long").alias(out))
     exprs.append(F.count(F.lit(1)).cast("long").alias("__rows"))
     return exprs
 
@@ -141,6 +249,7 @@ def tx_create_matview(
         )
     delta = _delta_mode(aggs)
     mv = base.groupBy(*group_by).agg(*_agg_exprs(group_by, aggs, delta))
+    mv = _attach_sketches(mv, base, group_by, aggs)
     spec = {
         "src": os.path.abspath(src),
         "group_by": list(group_by),
@@ -204,11 +313,20 @@ def tx_refresh_matview(spark: SparkSession, dst: str) -> int | None:
             stream_txn=(_APP, cur),
         )
     delta = spec.get("mode", "delta") == "delta"
+    if delta and _kmv_outs(aggs) and not old.empty:
+        # a KMV set cannot retract a removed hash (another live row
+        # may still carry the key): a delta that deletes rows falls
+        # back to recomputing the affected groups from source —
+        # O(affected groups), the same path min/max always takes.
+        # Append-only refreshes (the common sketch workload) stay
+        # O(delta).
+        delta = False
     if delta:
         source = _delta_source(spark, dst, group_by, aggs, old, new)
     else:
         source = _recompute_source(
-            spark, src, dst, group_by, aggs, old, new
+            spark, src, dst, group_by, aggs, old, new,
+            internals=spec.get("mode", "delta") == "delta",
         )
     return tx.tx_merge(
         spark, dst, source,
@@ -246,7 +364,15 @@ def _delta_source(spark, dst, group_by, aggs, old, new) -> DataFrame:
         exprs = [F.count(F.lit(1)).cast("long").alias(f"__d_rows_{tag}")]
         for out, (fn, col) in aggs.items():
             if fn == "count":
+                if col != "*":
+                    # count(col): a sum-of-non-null-indicator delta
+                    exprs.append(
+                        F.count(col).cast("long")
+                        .alias(f"__d_cnt_{out}_{tag}")
+                    )
                 continue
+            if fn == "approx_distinct":
+                continue  # sketch deltas come from the hash frame
             exprs.append(F.sum(col).alias(f"__d_sum_{out}_{tag}"))
             if fn == "avg":
                 exprs.append(
@@ -273,15 +399,34 @@ def _delta_source(spark, dst, group_by, aggs, old, new) -> DataFrame:
             return pos
         return z(f"{base}_n") - z(f"{base}_o")
 
+    # sketch deltas: per-group KMV of the NEW rows only (the caller
+    # routes any refresh with removed rows to _recompute_source when
+    # sketches are present, so old is empty here)
+    sketch_outs = _kmv_outs(aggs)
+    if sketch_outs and not new.empty:
+        new_sdf = spark.createDataFrame(new)
+        for out, col in sketch_outs:
+            dk = _kmv_agg_df(new_sdf, group_by, col, out)
+            d = d.join(
+                dk.withColumnRenamed(f"__kmv_{out}", f"__dkmv_{out}"),
+                group_by, "left",
+            )
     cur = tx.read_table(spark, dst).join(
         F.broadcast(keys), group_by, "left_semi"
     )
     merged = d.join(cur, group_by, "left")
     out_cols = list(group_by)
     new_rows = z("__rows") + dcol("__d_rows")
+    empty_arr = F.array().cast("array<long>")
     for out, (fn, col) in aggs.items():
         if fn == "count":
-            out_cols.append(new_rows.alias(out))
+            if col == "*":
+                out_cols.append(new_rows.alias(out))
+            else:
+                out_cols.append(
+                    (z(out) + dcol(f"__d_cnt_{out}"))
+                    .cast("long").alias(out)
+                )
         elif fn == "sum":
             out_cols.append(
                 (z(out) + dcol(f"__d_sum_{out}")).alias(out)
@@ -294,26 +439,67 @@ def _delta_source(spark, dst, group_by, aggs, old, new) -> DataFrame:
             )
             out_cols.append(s.alias(f"__sum_{out}"))
             out_cols.append(c.cast("long").alias(f"__cnt_{out}"))
+        elif fn == "approx_distinct":
+            # KMV merge: union of the stored and delta hash sets,
+            # re-take the k smallest — the insert-only monoid
+            dname = f"__dkmv_{out}"
+            dcol_kmv = (
+                F.coalesce(F.col(dname), empty_arr)
+                if dname in merged.columns
+                else empty_arr
+            )
+            kmv = F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce(F.col(f"__kmv_{out}"), empty_arr),
+                            dcol_kmv,
+                        )
+                    )
+                ),
+                1,
+                _KMV_K,
+            )
+            out_cols.append(kmv.alias(f"__kmv_{out}"))
     out_cols.append(new_rows.cast("long").alias("__rows"))
     out_cols.append((new_rows <= 0).alias("__dead"))
-    return merged.select(*out_cols)
+    source = merged.select(*out_cols)
+    # the estimate is a function of the merged sketch column
+    for out, _col in sketch_outs:
+        source = source.withColumn(out, _kmv_estimate(f"__kmv_{out}"))
+    return source
 
 
-def _recompute_source(spark, src, dst, group_by, aggs, old, new) -> DataFrame:
+def _recompute_source(spark, src, dst, group_by, aggs, old, new,
+                      internals: bool = False) -> DataFrame:
     """Recompute the affected groups from the CURRENT source snapshot
-    (min/max are not retractable); groups with no remaining source
-    rows come back dead."""
+    (min/max are not retractable; neither is a KMV hash); groups with
+    no remaining source rows come back dead.  ``internals`` keeps the
+    delta-mode ``__sum_/__cnt_`` columns in the output when the view's
+    schema carries them (a sketch-delete fallback inside delta
+    mode)."""
     keys = _affected_keys_df(spark, group_by, old, new)
     base = tx.read_table(spark, src).join(
         F.broadcast(keys), group_by, "left_semi"
     )
     fresh = base.groupBy(*group_by).agg(
-        *_agg_exprs(group_by, aggs, delta=False)
+        *_agg_exprs(group_by, aggs, delta=internals)
     )
+    fresh = _attach_sketches(fresh, base, group_by, aggs)
     joined = keys.join(fresh, group_by, "left")
     out_cols = list(group_by)
-    for out, _ in aggs.items():
+    sketch_outs = {out for out, _c in _kmv_outs(aggs)}
+    for out, (fn, _col) in aggs.items():
         out_cols.append(F.col(out))
+        if internals and fn == "avg":
+            out_cols.append(F.col(f"__sum_{out}"))
+            out_cols.append(F.col(f"__cnt_{out}"))
+        if out in sketch_outs:
+            out_cols.append(
+                F.coalesce(
+                    F.col(f"__kmv_{out}"), F.array().cast("array<long>")
+                ).alias(f"__kmv_{out}")
+            )
     out_cols.append(
         F.coalesce(F.col("__rows"), F.lit(0)).cast("long").alias("__rows")
     )

@@ -316,6 +316,12 @@ FAMILY_REP: dict[str, str] = {
     # re-reading either source (spy-asserted), one exactly-once MERGE
     # under a packed (vA, vB) token; IVM family
     "tx_matview_join": "ivm_join_delta",
+    # round 10: matview count(col) + KMV approximate COUNT DISTINCT
+    # (VERDICT r9 item 5) — integer-exact sketch estimate hash-checked
+    # against the DuckDB twin; append refresh merges sketches O(delta),
+    # delete refresh takes the documented recompute fallback; IVM +
+    # sketch families
+    "tx_matview_sketch": "distinct_users_daily",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

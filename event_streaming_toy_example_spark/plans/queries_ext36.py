@@ -294,14 +294,143 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------- matview: count(col) + KMV distinct
+
+
+def _build_matview_sketch(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: a per-event-type view carrying count(*),
+    count(col) (null-bearing input) and a KMV approximate COUNT
+    DISTINCT of user_id, maintained through an APPEND refresh
+    (spy-asserted O(delta) sketch merge, no source re-read) and then a
+    DELETE refresh (KMV cannot retract a hash: the fallback recomputes
+    only the affected groups — asserted by both refreshes landing)."""
+    import os as _os
+    import unittest.mock as _m
+
+    from event_streaming_toy_example_spark.operators import matview as mvw
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        src = _os.path.join(tmp, "src")
+        dst = _os.path.join(tmp, "mv")
+        base = load_table(spark, sf_dir, "events").select(
+            "event_type",
+            "user_id",
+            F.when(F.col("event_id") % 7 == 0, None)
+            .otherwise(F.col("value"))
+            .alias("value"),
+            "event_id",
+        )
+        tx.tx_append(base.repartitionByRange(4, "event_id"), src)
+        mvw.tx_create_matview(
+            spark, src, dst, ["event_type"],
+            {
+                "n_all": ("count", "*"),
+                "n_val": ("count", "value"),
+                "nd_users": ("approx_distinct", "user_id"),
+            },
+        )
+        # APPEND refresh: sketch union + re-take-k, never the source
+        tx.tx_append(
+            tx.read_table(spark, src)
+            .where("event_id % 5 = 0")
+            .select(
+                "event_type",
+                (F.col("user_id") + 1000000).alias("user_id"),
+                "value",
+                (F.col("event_id") + 10000000).alias("event_id"),
+            ),
+            src,
+        )
+        calls = []
+        orig = tx.read_table
+
+        def spy(sp, path, *a, **kw):
+            calls.append(path)
+            return orig(sp, path, *a, **kw)
+
+        with _m.patch.object(mvw.tx, "read_table", side_effect=spy):
+            assert mvw.tx_refresh_matview(spark, dst) is not None
+        assert src not in calls, "append-only sketch refresh re-read source"
+        # DELETE refresh: the documented recompute fallback
+        tx.tx_delete(spark, src, "event_id % 13 = 0")
+        assert mvw.tx_refresh_matview(spark, dst) is not None
+        applied, cur = mvw.matview_lag(dst)
+        assert applied == cur == tx.table_version(src)
+
+    return stage_dir_once(build, "txtable_matview_sketch_v1", sf_dir)
+
+
+def q_tx_matview_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained view's public columns — the KMV estimate is pure
+    BIGINT arithmetic, so it is hash-checked EXACTLY against the
+    DuckDB twin (same md5-prefix hash, same integer estimator)."""
+    import os as _os
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    base = _build_matview_sketch(spark, sf_dir)
+    return tx.read_table(spark, _os.path.join(base, "mv")).select(
+        "event_type",
+        F.col("n_all").cast("long").alias("n_all"),
+        F.col("n_val").cast("long").alias("n_val"),
+        F.col("nd_users").cast("long").alias("nd_users"),
+    )
+
+
+# 64-MinValues estimator over a 16^12 hash space: (k-1)*space = 63*16^12
+SQL_TX_MATVIEW_SKETCH = """
+WITH base AS (
+  SELECT event_type, user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+         event_id
+  FROM events
+), final AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT event_type, user_id + 1000000 AS user_id, value,
+         event_id + 10000000 AS event_id
+  FROM base WHERE event_id % 5 = 0
+), live AS (
+  SELECT * FROM final WHERE event_id % 13 <> 0
+), hashes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(coalesce(CAST(user_id AS VARCHAR),
+                                      '<NULL>')), 1, 12))::BIGINT AS h
+  FROM live
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+), kmv AS (
+  SELECT event_type,
+         count(*) AS nd_exact,
+         count(CASE WHEN rn <= 64 THEN 1 END) AS kc,
+         max(CASE WHEN rn <= 64 THEN h END) AS hk
+  FROM ranked GROUP BY 1
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_all,
+         CAST(count(value) AS BIGINT) AS n_val
+  FROM live GROUP BY 1
+)
+SELECT a.event_type, a.n_all, a.n_val,
+       CAST(CASE WHEN k.kc < 64 THEN k.nd_exact
+                 ELSE 17732923532771328 // k.hk END AS BIGINT) AS nd_users
+FROM agg a JOIN kmv k USING (event_type)
+"""
+
+
 EXT36_QUERIES = {
     "tx_sql_ddl": q_tx_sql_ddl,
     "tx_sql_timetravel": q_tx_sql_timetravel,
     "tx_matview_join": q_tx_matview_join,
+    "tx_matview_sketch": q_tx_matview_sketch,
 }
 
 EXT36_ORACLES = {
     "tx_sql_ddl": SQL_TX_SQL_DDL,
     "tx_sql_timetravel": SQL_TX_SQL_TT,
     "tx_matview_join": SQL_TX_MATVIEW_JOIN,
+    "tx_matview_sketch": SQL_TX_MATVIEW_SKETCH,
 }
