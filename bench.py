@@ -227,6 +227,8 @@ HEADLINE = [
     "tx_sql_timetravel",
     "tx_matview_join",
     "tx_matview_sketch",
+    "tx_stream_source",
+    "tx_auto_maintenance",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -274,6 +276,8 @@ PRESTAGE = [
     "tx_sql_timetravel",
     "tx_matview_join",
     "tx_matview_sketch",
+    "tx_stream_source",
+    "tx_auto_maintenance",
 ]
 
 

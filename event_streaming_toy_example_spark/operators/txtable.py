@@ -1001,6 +1001,93 @@ def tx_set_bloom_filters(
     return _tx_update_properties(path, "tx_set_bloom_filters", _set)
 
 
+def tx_set_maintenance(
+    path: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    small_file_count: int = 16,
+) -> int:
+    """Declare an AUTO-MAINTENANCE policy (property commit, VERDICT r9
+    item 4): after every data commit through the write operators, if
+    the snapshot holds MORE than ``small_file_count`` live files
+    smaller than ``small_file_bytes``, ONE sized :func:`tx_compact`
+    runs automatically — so a long-lived table under streaming MERGE
+    apply keeps its file count bounded without anyone remembering to
+    compact.  Bloom filters rebuild with the rewrite for free (stats
+    harvesting attaches them whenever the ``__bloom`` property is
+    set), and declared ``cluster_by`` / ``zorder_by`` layout is
+    preserved (compaction honors the table properties).
+
+    Cost shape: the per-commit check is FREE until the live file
+    COUNT exceeds the policy count (a snapshot metadata read); only
+    then does it HEAD file sizes to confirm.  Two writers racing the
+    same trigger are OCC-safe — compaction validates its victims, the
+    loser aborts quietly, exactly one rewrite lands."""
+    if small_file_bytes <= 0 or small_file_count <= 0:
+        raise ValueError(
+            "tx_set_maintenance: small_file_bytes and small_file_count "
+            "must be positive"
+        )
+    state = _fold_state(path)
+    if state is None:
+        raise ValueError(
+            f"tx_set_maintenance on a table with no commits: {path}"
+        )
+
+    def _set(props: dict) -> dict:
+        props["__maintenance"] = {
+            "small_file_bytes": int(small_file_bytes),
+            "small_file_count": int(small_file_count),
+        }
+        return props
+
+    return _tx_update_properties(path, "tx_set_maintenance", _set)
+
+
+def maybe_auto_maintain(spark: SparkSession, path: str) -> int | None:
+    """Post-commit maintenance hook (called by the data writers): run
+    one sized compaction when the declared policy's small-file trigger
+    fires.  Returns the compaction's version, or None (no policy, not
+    triggered, nothing worth packing, or lost the OCC race — all
+    fine)."""
+    state = _fold_state(path)
+    if state is None:
+        return None
+    policy = (state.properties or {}).get("__maintenance")
+    if not policy:
+        return None
+    snap = snapshot(path, state.version)
+    count_cap = int(policy["small_file_count"])
+    if snap is None or len(snap.files) <= count_cap:
+        return None  # free precondition: file count from metadata
+    byte_cap = int(policy["small_file_bytes"])
+    store = get_data_store(path)
+    small = 0
+    for f in snap.files:
+        try:
+            if store.size(os.path.join(path, f)) < byte_cap:
+                small += 1
+        except OSError:
+            return None  # racing vacuum/writer: skip this cycle
+        if small > count_cap:
+            break
+    if small <= count_cap:
+        return None
+    try:
+        return tx_compact(spark, path, small_file_bytes=byte_cap)
+    except ConcurrentWriteError:
+        return None  # another writer's auto-compaction won the race
+
+
+def _commit_and_maintain(spark: SparkSession | None, path: str,
+                         *args, **kwargs) -> int:
+    """Commit a data transaction, then give the auto-maintenance
+    policy its post-commit look (a no-op without the property)."""
+    v = commit(path, *args, **kwargs)
+    if spark is not None:
+        maybe_auto_maintain(spark, path)
+    return v
+
+
 def _attach_blooms(path: str, out: dict) -> dict:
     """Attach per-file Bloom filters to freshly harvested footer stats
     when the table's ``__bloom`` property asks for them.  Filters ride
@@ -2217,7 +2304,8 @@ def tx_append(
         state.schema, df, state.properties.get("__retired_phys", ())
     )
     files = _stage_files(df, path, union)
-    return commit(
+    return _commit_and_maintain(
+        df.sparkSession,
         path,
         "append",
         files,
@@ -2436,7 +2524,8 @@ def tx_upsert(
             if any(v is not None for v in ranges.values())
             else None  # no indexable key column: strict validation
         )
-    return commit(
+    return _commit_and_maintain(
+        spark,
         path,
         "upsert",
         files,
@@ -2817,7 +2906,8 @@ def tx_merge(
                 if any(v is not None for v in ranges.values())
                 else None
             )
-    return commit(
+    return _commit_and_maintain(
+        spark,
         path,
         "merge",
         added,
@@ -3175,7 +3265,8 @@ def tx_delete(
             else:
                 added.append(f)
         stats = {f: s for f, s in stats.items() if f in added}
-    return commit(
+    return _commit_and_maintain(
+        spark,
         path,
         "delete",
         added,
@@ -3331,7 +3422,8 @@ def tx_delete_keys(
             if any(v is not None for v in ranges.values())
             else None
         )
-    return commit(
+    return _commit_and_maintain(
+        spark,
         path,
         "delete",
         added,
@@ -3527,7 +3619,8 @@ def tx_update(
         added.extend(staged)
         stats = _footer_stats(path, staged)
         remove = list(candidates)
-    return commit(
+    return _commit_and_maintain(
+        spark,
         path,
         "update",
         added,
@@ -3642,7 +3735,8 @@ def tx_replace_where(
     files = _stage_files(
         _sized_for_write(out, rewrite_est), path, union_schema
     )
-    return commit(
+    return _commit_and_maintain(
+        spark,
         path,
         "replace",
         files,

@@ -322,6 +322,15 @@ FAMILY_REP: dict[str, str] = {
     # delete refresh takes the documented recompute fallback; IVM +
     # sketch families
     "tx_matview_sketch": "distinct_users_daily",
+    # round 10: the txtable STREAMING source (VERDICT r9 item 7) —
+    # spark.readStream over the commit log with option-borne clause
+    # pushdown through the same stats/bloom pruning, one executor task
+    # per added file; change-feed/streaming family
+    "tx_stream_source": "tx_feed_follower",
+    # round 10: auto-maintenance policy (VERDICT r9 item 4) — a
+    # declared small-file trigger fires exactly one sized compaction
+    # under a follower-shaped merge workload; layout family
+    "tx_auto_maintenance": "layout_compact_invariance",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

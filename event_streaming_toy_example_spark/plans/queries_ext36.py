@@ -421,11 +421,136 @@ FROM agg a JOIN kmv k USING (event_type)
 """
 
 
+# ------------------------------------------ streaming txtable source
+
+
+def _build_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: events as a transactional table built in
+    THREE type-clustered append commits plus one compaction (which the
+    stream must skip — content-invariant)."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        for i in range(3):
+            tx.tx_append(
+                ev.where(F.col("event_id") % 3 == i)
+                .repartitionByRange(2, "event_type"),
+                tmp,
+            )
+        assert tx.tx_compact(spark, tmp, small_file_bytes=1 << 40) is not None
+
+    return stage_dir_once(build, "txtable_streamsrc_v1", sf_dir)
+
+
+def q_tx_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.readStream.format("txtable")`` (VERDICT r9 item 7): the
+    table's append stream with OPTION-borne clause pushdown (the
+    streaming Python DataSource API has no planner hook) — the
+    ``where`` clauses prune each commit's added files through the same
+    stats/bloom machinery as the batch reader and re-apply row-exactly
+    in-read; the staged compaction commit is skipped as
+    content-invariant, so no row ever doubles."""
+    import json as _json
+    import uuid as _uuid
+
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        await_or_raise,
+    )
+
+    path = _build_stream_src(spark, sf_dir)
+    txsource_mod = __import__(
+        "event_streaming_toy_example_spark.sources.txsource",
+        fromlist=["register"],
+    )
+    txsource_mod.register(spark)
+    stream = (
+        spark.readStream.format("txtable")
+        .option("path", path)
+        .option("where", _json.dumps([["value", ">=", 50.0]]))
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cc"),
+    )
+    name = f"txstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, "tx_stream_source")
+    return spark.table(name)
+
+
+SQL_TX_STREAM_SOURCE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cc
+FROM events
+WHERE value >= 50.0
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------- auto-maintenance policy
+
+
+def _build_auto_maintained(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: a declared small-file policy under a
+    follower-shaped workload — 8 small MERGE-apply commits; the build
+    asserts EXACTLY ONE auto-compaction landed and the live file count
+    stayed bounded (VERDICT r9 item 4's done-criteria)."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        tx.tx_append(o.where(F.col("o_orderkey") % 9 == 0).coalesce(1), tmp)
+        tx.tx_set_maintenance(
+            tmp, small_file_bytes=1 << 30, small_file_count=5
+        )
+        for i in range(1, 9):
+            tx.tx_merge(
+                spark, tmp,
+                o.where(F.col("o_orderkey") % 9 == i).coalesce(1),
+                on=["o_orderkey"],
+                when_not_matched_insert=True,
+            )
+        acts = [c.action for c in tx.read_log(tmp)]
+        assert acts.count("compact") == 1, acts
+        assert len(tx.snapshot(tmp).files) <= 6, len(tx.snapshot(tmp).files)
+
+    return stage_dir_once(build, "txtable_automaint_v1", sf_dir)
+
+
+def q_tx_auto_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-maintained table reads back content-invariant: the
+    policy's one compaction changed layout, never rows."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    path = _build_auto_maintained(spark, sf_dir)
+    return tx.read_table(spark, path)
+
+
+SQL_TX_AUTO_MAINTENANCE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+"""
+
+
 EXT36_QUERIES = {
     "tx_sql_ddl": q_tx_sql_ddl,
     "tx_sql_timetravel": q_tx_sql_timetravel,
     "tx_matview_join": q_tx_matview_join,
     "tx_matview_sketch": q_tx_matview_sketch,
+    "tx_stream_source": q_tx_stream_source,
+    "tx_auto_maintenance": q_tx_auto_maintenance,
 }
 
 EXT36_ORACLES = {
@@ -433,4 +558,6 @@ EXT36_ORACLES = {
     "tx_sql_timetravel": SQL_TX_SQL_TT,
     "tx_matview_join": SQL_TX_MATVIEW_JOIN,
     "tx_matview_sketch": SQL_TX_MATVIEW_SKETCH,
+    "tx_stream_source": SQL_TX_STREAM_SOURCE,
+    "tx_auto_maintenance": SQL_TX_AUTO_MAINTENANCE,
 }

@@ -213,86 +213,272 @@ class TxTableReader(DataSourceReader):
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return _read_file_partition(partition)
 
-        if not partition.name:
-            return
-        from event_streaming_toy_example_spark.operators import txtable as tx
 
-        target = StructType.fromJson(json.loads(partition.schema_json))
-        full = os.path.join(partition.table, partition.name)
-        t = pq.read_table(full)
-        # deletion vector: drop dead positions for THIS file
-        if partition.sidecar is not None:
-            sc = pq.read_table(
-                os.path.join(partition.table, partition.sidecar),
-                columns=["file", "pos"],
+def _read_file_partition(partition: _FilePartition) -> Iterator:
+    """Executor-side resolved read of ONE data file: DV anti-filter,
+    column-mapping projection onto the logged schema (null-filling
+    pre-evolution columns), retained clauses re-applied row-exactly.
+    Shared by the batch reader and the streaming reader — identical
+    row semantics on both paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not partition.name:
+        return
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    target = StructType.fromJson(json.loads(partition.schema_json))
+    full = os.path.join(partition.table, partition.name)
+    t = pq.read_table(full)
+    # deletion vector: drop dead positions for THIS file
+    if partition.sidecar is not None:
+        sc = pq.read_table(
+            os.path.join(partition.table, partition.sidecar),
+            columns=["file", "pos"],
+        )
+        import pyarrow.compute as pc
+
+        # sidecar rows name files exactly as the snapshot does
+        # (table-relative; absolute for cloned references)
+        dead = sorted(
+            sc.filter(
+                pc.equal(sc.column("file"), partition.name)
             )
-            import pyarrow.compute as pc
+            .column("pos")
+            .to_pylist()
+        )
+        if dead:
+            dead_set = set(dead)
+            keep = [
+                i for i in range(t.num_rows) if i not in dead_set
+            ]
+            t = t.take(pa.array(keep, pa.int64()))
+    # column mapping: project physical names onto logical, null-
+    # filling columns this (pre-evolution) file does not carry
+    from pyspark.sql.pandas.types import to_arrow_type
 
-            # sidecar rows name files exactly as the snapshot does
-            # (table-relative; absolute for cloned references)
-            dead = sorted(
-                sc.filter(
-                    pc.equal(sc.column("file"), partition.name)
+    cols, names = [], []
+    for f in target.fields:
+        phys = tx._field_phys(f)
+        at = to_arrow_type(f.dataType)
+        if phys in t.column_names:
+            cols.append(t.column(phys).cast(at))
+        else:
+            cols.append(pa.nulls(t.num_rows, at))
+        names.append(f.name)
+    out = pa.table(dict(zip(names, cols)))
+    # RETAINED filters are the source's responsibility: re-apply
+    # them row-exactly (pruning only skipped whole files; a
+    # surviving file still holds non-matching rows).  SQL
+    # comparison semantics: NULL never satisfies — arrow's
+    # comparisons yield null there and Table.filter drops them.
+    if partition.clauses and out.num_rows:
+        import pyarrow.compute as pc
+
+        mask = None
+        for col, op, val in partition.clauses:
+            c = out.column(col)
+            if op in ("=", "=="):
+                m = pc.equal(c, pa.scalar(val, c.type))
+            elif op == "<":
+                m = pc.less(c, pa.scalar(val, c.type))
+            elif op == "<=":
+                m = pc.less_equal(c, pa.scalar(val, c.type))
+            elif op == ">":
+                m = pc.greater(c, pa.scalar(val, c.type))
+            elif op == ">=":
+                m = pc.greater_equal(c, pa.scalar(val, c.type))
+            elif op == "in":
+                m = pc.is_in(c, value_set=pa.array(list(val), c.type))
+            elif op == "isnull":
+                m = pc.is_null(c)
+            elif op == "notnull":
+                m = pc.is_valid(c)
+            else:  # pragma: no cover - pushFilters only emits the above
+                raise ValueError(f"untranslated retained op {op!r}")
+            mask = m if mask is None else pc.and_kleene(mask, m)
+        out = out.filter(mask)
+    for batch in out.to_batches(max_chunksize=1 << 16):
+        yield batch
+
+
+try:
+    from pyspark.sql.datasource import DataSourceStreamReader
+except ImportError:  # pragma: no cover - older runtime
+    DataSourceStreamReader = None  # type: ignore[assignment]
+
+
+def _parse_where_option(raw: str | None) -> list[tuple]:
+    """The streaming source's clause pushdown rides an OPTION (Spark
+    4.1's Python STREAMING DataSource API has no planner ``pushFilters``
+    hook): ``where='[["k", ">=", 10], ["s", "=", "x"]]'`` — the same
+    ``(col, op, value)`` clause tuples the batch reader translates from
+    planner filters, stats/bloom-pruned per commit and re-applied
+    row-exactly in-read."""
+    if not raw:
+        return []
+    clauses = json.loads(raw)
+    ok_ops = {"=", "==", "<", "<=", ">", ">=", "in", "isnull", "notnull"}
+    out = []
+    for c in clauses:
+        if not isinstance(c, list) or len(c) != 3 or c[1] not in ok_ops:
+            raise ValueError(
+                f"txtable stream: cannot parse where clause {c!r} — "
+                'expected [col, op, value] with op in '
+                f"{sorted(ok_ops)}"
+            )
+        val = tuple(c[2]) if c[1] == "in" else c[2]
+        out.append((c[0], c[1], val))
+    return out
+
+
+if DataSourceStreamReader is not None:
+
+    class TxTableStreamReader(DataSourceStreamReader):
+        """``spark.readStream.format("txtable")`` — the table's APPEND
+        STREAM: offset = committed log version (``sources/txfeed.py``'s
+        contract over the immutable log), each micro-batch's work =
+        ONE EXECUTOR TASK PER DATA FILE the batch's commits added (the
+        batch reader's partition-per-file shape), each task the same
+        resolved pyarrow read (column-mapping projection onto the
+        stream's schema, null-filled pre-evolution columns, option
+        clauses stats/bloom-pruned at planning and re-applied
+        row-exactly).
+
+        Commit semantics follow Delta's streaming source: APPEND
+        commits stream their added files; a commit that REMOVED files
+        (delete/update/merge rewrites) raises BY NAME unless
+        ``skipChangeCommits=true`` (skip it entirely) or
+        ``ignoreChanges=true`` (stream its added files — rewritten
+        rows re-deliver, Delta's documented caveat); compaction and
+        z-order rewrites are content-invariant by contract and always
+        skip.  Files stream DV-free: a deletion vector attaches only
+        in LATER commits, and at its add commit a file's rows are
+        exactly the appended rows.
+
+        Restart exactly-once: offsets live in the query checkpoint;
+        the engine's recovery re-plan (``partitions(committed,
+        committed)``) advances the admission-control base before any
+        ``latestOffset`` cap computes — the same order
+        ``TxFeedPartitionedStreamReader`` pins in
+        ``tests/test_txfeed.py``."""
+
+        def __init__(self, options: dict) -> None:
+            from event_streaming_toy_example_spark.operators import (
+                txtable as tx,
+            )
+            from event_streaming_toy_example_spark.sources.txfeed import (
+                _resolve_start,
+            )
+
+            path = options.get("path")
+            if not path:
+                raise ValueError(
+                    "txtable stream: option 'path' (the table root) is "
+                    "required"
                 )
-                .column("pos")
-                .to_pylist()
+            self.path = os.path.abspath(path)
+            self.start = _resolve_start(self.path, options)
+            self.per_batch = int(options.get("maxversionsperbatch", "0"))
+            self.clauses = _parse_where_option(options.get("where"))
+            self.skip_change = (
+                str(options.get("skipchangecommits", "")).lower() == "true"
             )
-            if dead:
-                dead_set = set(dead)
-                keep = [
-                    i for i in range(t.num_rows) if i not in dead_set
-                ]
-                t = t.take(pa.array(keep, pa.int64()))
-        # column mapping: project physical names onto logical, null-
-        # filling columns this (pre-evolution) file does not carry
-        from pyspark.sql.pandas.types import to_arrow_type
+            self.ignore_changes = (
+                str(options.get("ignorechanges", "")).lower() == "true"
+            )
+            snap = tx.snapshot(self.path)
+            if snap is None:
+                raise ValueError(
+                    f"txtable stream on a table with no commits: {path}"
+                )
+            self._schema_json = snap.schema
+            self._hwm = self.start
+            self._floor = self.start
 
-        cols, names = [], []
-        for f in target.fields:
-            phys = tx._field_phys(f)
-            at = to_arrow_type(f.dataType)
-            if phys in t.column_names:
-                cols.append(t.column(phys).cast(at))
-            else:
-                cols.append(pa.nulls(t.num_rows, at))
-            names.append(f.name)
-        out = pa.table(dict(zip(names, cols)))
-        # RETAINED filters are the source's responsibility: re-apply
-        # them row-exactly (pruning only skipped whole files; a
-        # surviving file still holds non-matching rows).  SQL
-        # comparison semantics: NULL never satisfies — arrow's
-        # comparisons yield null there and Table.filter drops them.
-        if partition.clauses and out.num_rows:
-            import pyarrow.compute as pc
+        def initialOffset(self) -> dict:
+            return {"version": self.start}
 
-            mask = None
-            for col, op, val in partition.clauses:
-                c = out.column(col)
-                if op in ("=", "=="):
-                    m = pc.equal(c, pa.scalar(val, c.type))
-                elif op == "<":
-                    m = pc.less(c, pa.scalar(val, c.type))
-                elif op == "<=":
-                    m = pc.less_equal(c, pa.scalar(val, c.type))
-                elif op == ">":
-                    m = pc.greater(c, pa.scalar(val, c.type))
-                elif op == ">=":
-                    m = pc.greater_equal(c, pa.scalar(val, c.type))
-                elif op == "in":
-                    m = pc.is_in(c, value_set=pa.array(list(val), c.type))
-                elif op == "isnull":
-                    m = pc.is_null(c)
-                elif op == "notnull":
-                    m = pc.is_valid(c)
-                else:  # pragma: no cover - pushFilters only emits the above
-                    raise ValueError(f"untranslated retained op {op!r}")
-                mask = m if mask is None else pc.and_kleene(mask, m)
-            out = out.filter(mask)
-        for batch in out.to_batches(max_chunksize=1 << 16):
-            yield batch
+        def latestOffset(self) -> dict:
+            from event_streaming_toy_example_spark.operators import (
+                txtable as tx,
+            )
+
+            cur = tx.table_version(self.path)
+            if self.per_batch > 0:
+                cur = min(cur, self._hwm + self.per_batch)
+            end = max(cur, self._hwm)
+            self._hwm = end
+            return {"version": end}
+
+        def _commit_adds(self, version: int) -> list[str]:
+            from event_streaming_toy_example_spark.operators import (
+                txtable as tx,
+            )
+
+            c = tx._read_commit(self.path, version)
+            if c.action == "compact":
+                return []  # content-invariant by contract
+            if c.remove:
+                if self.skip_change:
+                    return []
+                if not self.ignore_changes:
+                    raise ValueError(
+                        f"txtable stream: commit {version} at "
+                        f"{self.path} is a data CHANGE ({c.action}: "
+                        f"{len(c.remove)} file(s) removed); an append "
+                        "stream cannot represent it — pass "
+                        "skipChangeCommits=true to skip such commits, "
+                        "or ignoreChanges=true to stream their added "
+                        "files (rewritten rows re-deliver)"
+                    )
+            if not self.clauses:
+                return list(c.add)
+            pm = tx._phys_map(self._schema_json)
+            pw = [
+                (tx._phys_clause_col(pm, col), op, v)
+                for col, op, v in self.clauses
+            ]
+            return [
+                f
+                for f in c.add
+                if all(
+                    tx._clause_may_match(
+                        (c.stats or {}).get(f), col, op, v
+                    )
+                    for col, op, v in pw
+                )
+            ]
+
+        def partitions(self, start: dict, end: dict):
+            s, e = int(start["version"]), int(end["version"])
+            self._hwm = max(self._hwm, s, e)
+            lo = max(s, self._floor)
+            self._floor = max(self._floor, lo, e)
+            out = []
+            for v in range(lo + 1, e + 1):
+                for f in self._commit_adds(v):
+                    out.append(
+                        _FilePartition(
+                            self.path, f, None, self._schema_json,
+                            self.clauses,
+                        )
+                    )
+            if not out:
+                # the API requires >= 1 partition; the empty sentinel
+                # reads nothing
+                out.append(
+                    _FilePartition(self.path, "", None, self._schema_json)
+                )
+            return out
+
+        def read(self, partition: _FilePartition) -> Iterator:
+            return _read_file_partition(partition)
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets are durable in the query checkpoint
 
 
 class TxTableDataSource(DataSource):
@@ -335,6 +521,14 @@ class TxTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TxTableReader:
         return TxTableReader(dict(self.options), schema)
+
+    def streamReader(self, schema: StructType):
+        if DataSourceStreamReader is None:  # pragma: no cover
+            raise NotImplementedError(
+                "pyspark.sql.datasource.DataSourceStreamReader "
+                "unavailable in this runtime"
+            )
+        return TxTableStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -1,0 +1,150 @@
+"""The ``txtable`` STREAMING source (``sources/txsource.py``,
+VERDICT r9 item 7): ``spark.readStream.format("txtable")`` — offset =
+log version, one executor task per added file, option-borne clause
+pushdown (stats/bloom pruning + exact in-read re-filter), Delta-style
+change-commit semantics, and checkpoint-restart exactly-once."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_streaming_toy_example_spark.operators import txtable as tx
+from event_streaming_toy_example_spark.sources import txsource
+
+_SCHEMA = "k int, grp int, amt double"
+
+
+def _stage(spark, tmp_path, commits=3, per=10):
+    p = str(tmp_path / "t")
+    for c in range(commits):
+        rows = [(i, i % 3, float(i)) for i in range(c * per, (c + 1) * per)]
+        tx.tx_append(
+            spark.createDataFrame(rows, _SCHEMA).coalesce(1), p
+        )
+    return p
+
+
+def _drain(spark, tmp_path, p, ck_name="ck", **opts):
+    txsource.register(spark)
+    r = spark.readStream.format("txtable").option("path", p)
+    for key, v in opts.items():
+        r = r.option(key, str(v))
+    seen: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        seen.extend(tuple(row) for row in batch_df.collect())
+
+    q = (
+        r.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / ck_name))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    return seen
+
+
+def test_stream_delivers_every_appended_row(spark, tmp_path):
+    p = _stage(spark, tmp_path)
+    got = _drain(spark, tmp_path, p)
+    want = [tuple(r) for r in tx.read_table(spark, p).collect()]
+    assert sorted(got) == sorted(want) and len(got) == 30
+
+
+def test_where_option_prunes_and_filters_exactly(spark, tmp_path):
+    p = _stage(spark, tmp_path, commits=3, per=10)
+    got = _drain(
+        spark, tmp_path, p,
+        where=json.dumps([["k", ">=", 10], ["k", "<", 20]]),
+    )
+    assert sorted(r[0] for r in got) == list(range(10, 20))
+    # pruning actually happened: the reader plans only the files whose
+    # stats may match
+    reader = txsource.TxTableStreamReader(
+        {"path": p, "where": json.dumps([["k", "<", 10]])}
+    )
+    parts = reader.partitions({"version": 0}, {"version": 3})
+    names = [pt.name for pt in parts if pt.name]
+    assert len(names) == 1  # only commit 1's file survives the stats
+
+
+def test_change_commit_raises_by_name(spark, tmp_path):
+    p = _stage(spark, tmp_path, commits=2)
+    tx.tx_delete(spark, p, [("k", "=", 3)])
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain(spark, tmp_path, p)
+
+
+def test_skip_change_commits_and_ignore_changes(spark, tmp_path):
+    p = _stage(spark, tmp_path, commits=2, per=5)
+    tx.tx_delete(spark, p, [("k", "=", 3)])  # rewrites commit 1's file
+    skipped = _drain(
+        spark, tmp_path, p, ck_name="ck_skip", skipChangeCommits=True
+    )
+    # the delete commit contributes nothing; appends deliver verbatim
+    assert sorted(r[0] for r in skipped) == list(range(10))
+    redelivered = _drain(
+        spark, tmp_path, p, ck_name="ck_ign", ignoreChanges=True
+    )
+    # the rewrite's added file re-delivers its surviving rows
+    assert sorted(r[0] for r in redelivered) == sorted(
+        list(range(10)) + [i for i in range(5) if i != 3]
+    )
+
+
+def test_compaction_commits_always_skip(spark, tmp_path):
+    p = _stage(spark, tmp_path, commits=4, per=5)
+    assert tx.tx_compact(spark, p, small_file_bytes=1 << 40) is not None
+    got = _drain(spark, tmp_path, p)
+    assert sorted(r[0] for r in got) == list(range(20))  # no doubling
+
+
+def test_restart_resumes_exactly_once(spark, tmp_path):
+    p = _stage(spark, tmp_path, commits=2, per=5)
+    first = _drain(spark, tmp_path, p, ck_name="ck_r")
+    assert len(first) == 10
+    # source advances; the SAME checkpoint delivers only the delta
+    tx.tx_append(
+        spark.createDataFrame([(100, 0, 1.0), (101, 1, 2.0)], _SCHEMA), p
+    )
+    second = _drain(spark, tmp_path, p, ck_name="ck_r")
+    assert sorted(r[0] for r in second) == [100, 101]
+    # and a third drain with nothing new delivers nothing
+    assert _drain(spark, tmp_path, p, ck_name="ck_r") == []
+
+
+def test_from_version_and_batch_cap(spark, tmp_path):
+    p = _stage(spark, tmp_path, commits=4, per=5)
+    got = _drain(
+        spark, tmp_path, p, fromVersion=2, maxVersionsPerBatch=1
+    )
+    assert sorted(r[0] for r in got) == list(range(10, 20))
+
+
+def test_schema_evolution_null_fills_old_commits(spark, tmp_path):
+    p = str(tmp_path / "t")
+    tx.tx_append(spark.createDataFrame([(1, 0, 1.0)], _SCHEMA), p)
+    tx.tx_append(
+        spark.createDataFrame(
+            [(2, 1, 2.0, "x")], "k int, grp int, amt double, note string"
+        ),
+        p,
+    )
+    got = _drain(spark, tmp_path, p)
+    assert sorted(got) == [(1, 0, 1.0, None), (2, 1, 2.0, "x")]
+
+
+def test_where_option_validation():
+    with pytest.raises(ValueError, match="cannot parse where clause"):
+        txsource._parse_where_option('[["k", "like", "x"]]')
+    assert txsource._parse_where_option(None) == []
+    assert txsource._parse_where_option('[["k", "in", [1, 2]]]') == [
+        ("k", "in", (1, 2))
+    ]
