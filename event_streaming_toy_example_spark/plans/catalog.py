@@ -309,13 +309,18 @@ FAMILY_REP: dict[str, str] = {
     # change feed (operators/matview.py) — delta-mode count/sum/avg
     # maintenance, O(changed rows) per refresh, exactly-once MERGE
     # apply; joins the IVM family whose rep pins the join-delta form
-    "tx_matview_incremental": "ivm_join_delta",
-    # round 10: JOIN matviews (VERDICT r9 item 2) — factorized
-    # two-sided IVM (operators/matview_join.py): grouped aggregates
-    # over an equi-join maintained from BOTH change feeds without
-    # re-reading either source (spy-asserted), one exactly-once MERGE
-    # under a packed (vA, vB) token; IVM family
-    "tx_matview_join": "ivm_join_delta",
+    "tx_matview_incremental": "tx_matview_join",
+    # round 10 rotation (the one this round): tx_matview_join takes
+    # the IVM family's PRIMARY slot — factorized two-sided IVM
+    # (operators/matview_join.py): grouped aggregates over an
+    # equi-join maintained from BOTH change feeds without re-reading
+    # either source (spy-asserted), applied exactly-once under a
+    # packed (vA, vB) token.  It SUBSUMES ivm_join_delta's ΔA/ΔB
+    # decomposition (the same four-term algebra, now against
+    # maintained state instead of a staged prior) and adds the
+    # multi-table exactly-once apply; ivm_join_delta (hash-passed
+    # rounds 4-9) moves here and keeps its local hash replay.
+    "ivm_join_delta": "tx_matview_join",
     # round 10: matview count(col) + KMV approximate COUNT DISTINCT
     # (VERDICT r9 item 5) — integer-exact sketch estimate hash-checked
     # against the DuckDB twin; append refresh merges sketches O(delta),
