@@ -48,8 +48,9 @@ in the sequence re-runs only the steps whose token has not landed,
 and the view merge always computes against the PRE-refresh state
 (its plan reads the state tables before they advance).
 
-Aggregates: ``count("*")`` / ``sum`` / ``avg`` over either side's
-columns (``("sum", "a.x")`` names the side).  ``min``/``max`` are NOT
+Aggregates: ``count("*")``, and ``count`` / ``sum`` / ``avg`` over
+either side's columns (``("sum", "a.x")`` names the side; a column
+count factors as cntnn·cnt, the same shape).  ``min``/``max`` are NOT
 maintainable through the factorization (a retracted extremum needs a
 group rescan) and are refused BY NAME at create — use the
 single-table matview's recompute mode over a staged join, or a plain
@@ -92,11 +93,7 @@ def _parse_aggs(aggs: dict) -> dict:
     (count('*') carries side None)."""
     out: dict = {}
     for name, (fn, ref) in aggs.items():
-        if fn == "count":
-            if ref != "*":
-                raise ValueError(
-                    f"matview_join: count supports only '*' (got {ref!r})"
-                )
+        if fn == "count" and ref == "*":
             out[name] = ("count", None, None)
             continue
         if fn in ("min", "max"):
@@ -106,7 +103,7 @@ def _parse_aggs(aggs: dict) -> dict:
                 "group rescan) — use the single-table matview's "
                 "recompute mode over a staged join"
             )
-        if fn not in ("sum", "avg"):
+        if fn not in ("sum", "avg", "count"):
             raise ValueError(
                 f"matview_join: unsupported aggregate {fn!r} for {name!r}"
             )
@@ -167,8 +164,8 @@ def _products(parsed: dict):
     ca, cb = _z("__cnt_a"), _z("__cnt_b")
     out = [(ca * cb).alias("__d_rows")]
     for name, (fn, side, col) in parsed.items():
-        if fn == "count":
-            continue
+        if side is None:
+            continue  # count(*): carried by __d_rows
         s = _z(f"__sum_{col}_{side}")
         n = _z(f"__cntnn_{col}_{side}")
         other = cb if side == "a" else ca
@@ -183,8 +180,8 @@ def _sum_deltas(df: DataFrame, ga, gb, parsed: dict) -> DataFrame:
         F.sum("__d_rows").cast("long").alias("__d_rows"),
         *[
             e
-            for name, (fn, _s, _c) in parsed.items()
-            if fn != "count"
+            for name, (_fn, s, _c) in parsed.items()
+            if s is not None
             for e in (
                 F.sum(f"__d_sum_{name}").alias(f"__d_sum_{name}"),
                 F.sum(f"__d_cnt_{name}").cast("long")
@@ -198,12 +195,14 @@ def _finalize(parsed: dict, rows_col, sum_of, cnt_of):
     """Exposed + internal view columns from (rows, per-agg sum/cnt)
     column expressions."""
     cols = []
-    for name, (fn, _side, _col) in parsed.items():
-        if fn == "count":
+    for name, (fn, side, _col) in parsed.items():
+        if side is None:  # count(*)
             cols.append(rows_col.cast("long").alias(name))
             continue
         s, c = sum_of(name), cnt_of(name).cast("long")
-        if fn == "sum":
+        if fn == "count":  # count(col): the non-null count itself
+            cols.append(c.alias(name))
+        elif fn == "sum":
             cols.append(F.when(c > 0, s).alias(name))
         else:  # avg
             cols.append(F.when(c > 0, s / c).alias(name))
@@ -401,12 +400,19 @@ def tx_refresh_matview_join(spark: SparkSession, dst: str) -> int | None:
             f"tx_refresh_matview_join: {dst} is not a join matview"
         )
     (pa, pb), (ca, cb) = matview_join_lag(dst)
-    if ca <= pa and cb <= pb:
-        return None
-    token = _pack(ca, cb)
     on = list(spec["on"])
     ga, gb = list(spec["group_by_a"]), list(spec["group_by_b"])
     parsed = _parse_aggs({k: tuple(v) for k, v in spec["aggs"].items()})
+    # REPAIR FIRST: a crash between a past refresh's view merge and its
+    # state merges leaves the states behind the view's watermark —
+    # catch each state up to the view floor from the change feeds
+    # (no-op in the normal case: their token already matches) BEFORE
+    # reading them, so this refresh's algebra starts from consistent
+    # state.
+    _advance_states(spark, spec, on, ga, gb, parsed, _pack(pa, pb))
+    if ca <= pa and cb <= pb:
+        return None
+    token = _pack(ca, cb)
     cols_a, cols_b = _side_cols(parsed, "a"), _side_cols(parsed, "b")
     sa_old = tx.read_table(spark, spec["state_a"])
     sb_old = tx.read_table(spark, spec["state_b"])
@@ -428,7 +434,7 @@ def tx_refresh_matview_join(spark: SparkSession, dst: str) -> int | None:
             when_not_matched_insert=True,
             stream_txn=(_APP, token),
         )
-        _advance_states(spark, spec, None, None, on, ga, gb, token)
+        _advance_states(spark, spec, on, ga, gb, parsed, token)
         return v
     terms = []
     if d_a is not None:
@@ -473,22 +479,44 @@ def tx_refresh_matview_join(spark: SparkSession, dst: str) -> int | None:
         when_not_matched_insert="NOT source.__dead",
         stream_txn=(_APP, token),
     )
-    _advance_states(spark, spec, d_a, d_b, on, ga, gb, token)
+    _advance_states(spark, spec, on, ga, gb, parsed, token)
     return v
 
 
-def _advance_states(spark, spec, d_a, d_b, on, ga, gb, token) -> None:
-    """Apply the side deltas to the state tables, each under the same
-    exactly-once token (an already-applied state merge raises the app
-    floor error, which here means 'done' — exactly what a
-    crash-replay of the sequence wants)."""
-    for path, delta, keys in (
-        (spec["state_a"], d_a, on + ga),
-        (spec["state_b"], d_b, on + gb),
+def _advance_states(spark, spec, on, ga, gb, parsed, token) -> None:
+    """Bring each state table up to ``token``'s version for its side,
+    deriving its delta from ITS OWN token floor (create-time states
+    carry none → the spec base), under the same exactly-once token.
+    Self-healing by construction: whatever prefix of a past refresh's
+    (view, state_a, state_b) merge sequence landed before a crash,
+    re-running this catches up exactly the missing pieces — a state
+    already at or past the token skips, and a state several refreshes
+    behind replays its whole missed window from the change feed (an
+    already-applied merge raises the app floor error, which here
+    means 'done')."""
+    ta, tb = _unpack(token)
+    for path, src, base, target, group, cols in (
+        (spec["state_a"], spec["src_a"], spec["base_a"], ta, ga,
+         _side_cols(parsed, "a")),
+        (spec["state_b"], spec["src_b"], spec["base_b"], tb, gb,
+         _side_cols(parsed, "b")),
     ):
+        floor = tx.last_committed_batch(path, _APP)
+        start = (
+            _unpack(floor)[0 if path == spec["state_a"] else 1]
+            if floor is not None
+            else base
+        )
+        if start >= target:
+            continue
+        keys = list(on) + list(group)
         state = tx.read_table(spark, path)
+        delta = _delta_state(
+            spark, _change_frames(src, start, target, keys + cols),
+            on, group, cols, state.schema,
+        )
         if delta is None:
-            src = state.limit(0).select(
+            src_df = state.limit(0).select(
                 "*", F.lit(False).alias("__dead")
             )
         else:
@@ -500,16 +528,16 @@ def _advance_states(spark, spec, d_a, d_b, on, ga, gb, token) -> None:
                 _tagged(cur, keys, "s"), keys, "left"
             )
             vals = [c for c in state.columns if c not in keys]
-            cols = list(keys)
+            out_cols = list(keys)
             for c in vals:
-                cols.append((_z(f"{c}_d") + _z(f"{c}_s")).alias(c))
-            cols.append(
+                out_cols.append((_z(f"{c}_d") + _z(f"{c}_s")).alias(c))
+            out_cols.append(
                 ((_z("__cnt_d") + _z("__cnt_s")) <= 0).alias("__dead")
             )
-            src = merged.select(*cols)
+            src_df = merged.select(*out_cols)
         try:
             tx.tx_merge(
-                spark, path, src,
+                spark, path, src_df,
                 on=keys,
                 when_matched_delete="source.__dead",
                 when_matched_update="all",

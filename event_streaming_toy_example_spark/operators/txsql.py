@@ -16,6 +16,10 @@ same operators, so a SQL-first user never touches the Python API:
 - ``CREATE TABLE t (cols) | AS SELECT ... [LOCATION '...']
   [TBLPROPERTIES (...)]`` → empty create / CTAS via
   :func:`txtable.tx_append`; the statement SELF-REGISTERS the name
+- ``CREATE TABLE t [LOCATION ...] [SHALLOW|DEEP] CLONE s
+  [VERSION|TIMESTAMP AS OF ...]`` → :func:`txtable.tx_clone`
+- ``RESTORE TABLE t TO VERSION|TIMESTAMP AS OF ...`` →
+  :func:`txtable.tx_restore`
 - ``ALTER TABLE t ADD COLUMN[S] ...``   → :func:`txtable.tx_add_column`
 - ``ALTER TABLE t RENAME COLUMN a TO b`` → :func:`txtable.tx_rename_column`
 - ``ALTER TABLE t DROP COLUMN a``        → :func:`txtable.tx_drop_column`
@@ -354,11 +358,14 @@ def tx_sql(spark: SparkSession, stmt: str):
         return _optimize(spark, s)
     if kw == "VACUUM":
         return _vacuum(spark, s)
+    if kw == "RESTORE":
+        return _restore(spark, s)
     raise ValueError(
         f"tx_sql: unsupported statement kind {kw!r} — supported: "
         "SELECT/WITH, DELETE FROM, UPDATE, INSERT INTO, MERGE INTO, "
-        "CREATE TABLE [AS SELECT], ALTER TABLE ADD/RENAME/DROP COLUMN, "
-        "DESCRIBE HISTORY, OPTIMIZE [ZORDER BY], VACUUM"
+        "CREATE TABLE [AS SELECT | CLONE src], ALTER TABLE "
+        "ADD/RENAME/DROP COLUMN, DESCRIBE HISTORY, OPTIMIZE [ZORDER "
+        "BY], VACUUM, RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF"
     )
 
 
@@ -458,6 +465,42 @@ def _create(spark: SparkSession, s: str) -> int:
     if not m:
         raise ValueError(f"tx_sql: cannot parse CREATE TABLE: {s!r}")
     name, rest = m.group("name"), m.group("rest").strip()
+    # CLONE form first: CREATE TABLE t [LOCATION '...'] [SHALLOW|DEEP]
+    # CLONE src [VERSION|TIMESTAMP AS OF lit]
+    mc = re.match(
+        r"^(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s+)?"
+        r"(?:(?P<depth>SHALLOW|DEEP)\s+)?CLONE\s+(?P<src>\w+)"
+        r"(?:\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(?P<val>'(?:[^']|'')*'|\d+(?:\.\d+)?))?\s*$",
+        rest, re.IGNORECASE | re.DOTALL,
+    )
+    if mc:
+        if m.group("ine"):
+            raise ValueError(
+                "tx_sql: IF NOT EXISTS is not supported with CLONE "
+                "(a clone creates a NEW table)"
+            )
+        src_path = _resolve(spark, mc.group("src"))
+        loc = mc.group("loc")
+        path = (
+            _loc_path(loc.replace("''", "'"))
+            if loc
+            else _default_location(spark, name)
+        )
+        version = None
+        if mc.group("kind"):
+            if mc.group("kind").upper() == "VERSION":
+                version = int(float(mc.group("val")))
+            else:
+                version = tx.version_as_of(
+                    src_path, _asof_ts(mc.group("val"))
+                )
+        v = tx.tx_clone(
+            spark, src_path, path, version=version,
+            shallow=(mc.group("depth") or "SHALLOW").upper() != "DEEP",
+        )
+        tx_register(spark, path, name)
+        return v
     # peel trailing/leading modifiers off the head; the AS SELECT body
     # (if any) is everything after a top-level AS
     i_as = _find_top(rest, "AS")
@@ -672,6 +715,29 @@ def _vacuum(spark: SparkSession, s: str) -> DataFrame:
     return spark.createDataFrame(
         [(p,) for p in deleted], "path string"
     )
+
+
+def _restore(spark: SparkSession, s: str) -> int:
+    """``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF
+    ts`` — Delta's statement, routed onto :func:`txtable.tx_restore`
+    (an O(metadata) rollback commit; history preserved)."""
+    m = re.match(
+        r"^RESTORE\s+TABLE\s+(?P<name>\w+)\s+TO\s+"
+        r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(?P<val>'(?:[^']|'')*'|\d+(?:\.\d+)?)\s*$",
+        s, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"tx_sql: cannot parse RESTORE: {s!r}")
+    name = m.group("name")
+    path = _resolve(spark, name)
+    if m.group("kind").upper() == "VERSION":
+        version = int(float(m.group("val")))
+    else:
+        version = tx.version_as_of(path, _asof_ts(m.group("val")))
+    v = tx.tx_restore(path, version)
+    _refresh(spark, name)
+    return v
 
 
 def _delete(spark: SparkSession, s: str) -> int:

@@ -181,19 +181,40 @@ def test_refresh_is_idempotent_and_exactly_once(spark, tmp_path):
 def test_crash_between_view_and_state_merges_replays_clean(spark, tmp_path):
     a, b, dst = _create(spark, tmp_path)
     tx.tx_append(spark.createDataFrame([(2, "p", 9.0)], _A), a)
-    # simulate a crash AFTER the view merge, BEFORE the state merges
-    with mock.patch.object(
-        mj, "_advance_states", side_effect=RuntimeError("crash")
-    ):
+    # simulate a crash AFTER the view merge, BEFORE the state merges:
+    # the refresh calls _advance_states twice (repair pass first, then
+    # the post-view-merge advancement) — let the repair through, crash
+    # the advancement
+    orig_adv = mj._advance_states
+    calls = {"n": 0}
+
+    def crashing(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("crash")
+        return orig_adv(*args, **kwargs)
+
+    with mock.patch.object(mj, "_advance_states", side_effect=crashing):
         with pytest.raises(RuntimeError):
             mj.tx_refresh_matview_join(spark, dst)
-    # replay: the view merge token has landed, the state merges run;
-    # a SECOND append then refreshes correctly off consistent state
-    assert mj.tx_refresh_matview_join(spark, dst) is None or True
-    tx.tx_append(spark.createDataFrame([(2, "p", 11.0)], _A), a)
-    mj.tx_refresh_matview_join(spark, dst)
+    # replay: the view token has landed, so the refresh is "current" —
+    # but the repair pass must still catch the STATES up, or the next
+    # B-side delta (term2 = SA_new ⋈ ΔSB) would multiply against a
+    # stale SA that is missing the crashed window's a-side row
+    assert mj.tx_refresh_matview_join(spark, dst) is None
+    new_b = [(2, "u", 50)]
+    tx.tx_append(spark.createDataFrame(new_b, _B), b)
+    _refresh_spied(spark, dst, [a, b])
     assert _got(spark, dst) == _expected(
-        spark, _ROWS_A + [(2, "p", 9.0), (2, "p", 11.0)], _ROWS_B
+        spark, _ROWS_A + [(2, "p", 9.0)], _ROWS_B + new_b
+    )
+    # and a later a-side delta still lands too
+    tx.tx_append(spark.createDataFrame([(2, "p", 11.0)], _A), a)
+    _refresh_spied(spark, dst, [a, b])
+    assert _got(spark, dst) == _expected(
+        spark,
+        _ROWS_A + [(2, "p", 9.0), (2, "p", 11.0)],
+        _ROWS_B + new_b,
     )
 
 
@@ -235,3 +256,39 @@ def test_version_pack_roundtrip_and_cap():
     assert mj._pack(4, 7) > mj._pack(4, 6) > mj._pack(3, 900000)
     with pytest.raises(ValueError, match="cap"):
         mj._pack(1 << 20, 1)
+
+
+def test_count_col_through_the_factorization(spark, tmp_path):
+    a, b = _mk(spark, tmp_path, _ROWS_A, _ROWS_B)
+    dst = str(tmp_path / "mvc")
+    mj.tx_create_matview_join(
+        spark, a, b, dst, on=["k"],
+        group_by_a=["ga"], group_by_b=["gb"],
+        aggs={
+            "n": ("count", "*"),
+            "n_x": ("count", "a.x"),
+            "n_y": ("count", "b.y"),
+        },
+    )
+
+    def check(a_rows, b_rows):
+        got = {
+            (r["ga"], r["gb"]): (r["n"], r["n_x"], r["n_y"])
+            for r in tx.read_table(spark, dst).collect()
+        }
+        want = {}
+        for (ka, g1, x) in a_rows:
+            for (kb, g2, y) in b_rows:
+                if ka is None or ka != kb:
+                    continue
+                t = want.setdefault((g1, g2), [0, 0, 0])
+                t[0] += 1
+                t[1] += x is not None
+                t[2] += y is not None
+        assert got == {k: tuple(v) for k, v in want.items()}
+
+    check(_ROWS_A, _ROWS_B)
+    new_a = [(1, "p", None), (2, "q", 4.0)]
+    tx.tx_append(spark.createDataFrame(new_a, _A), a)
+    _refresh_spied(spark, dst, [a, b])
+    check(_ROWS_A + new_a, _ROWS_B)

@@ -470,3 +470,45 @@ def test_registry_is_session_scoped(spark, tmp_path):
     assert _content(spark, p2) == []
     txsql.tx_sql(spark, "DELETE FROM t_scoped WHERE k = 0")
     assert len(_content(spark, p)) == 2
+
+
+def test_sql_clone_and_restore(spark, tmp_path):
+    p = _stage(spark, tmp_path, "t_cl", n=6)
+    loc = str(tmp_path / "cl")
+    v = txsql.tx_sql(
+        spark, f"CREATE TABLE t_cl2 LOCATION '{loc}' CLONE t_cl"
+    )
+    assert v == 1
+    # zero-copy + divergence: delete on the clone, source untouched
+    txsql.tx_sql(spark, "DELETE FROM t_cl2 WHERE k < 3")
+    assert spark.sql("SELECT count(*) n FROM t_cl2").first()["n"] == 3
+    assert len(_content(spark, p)) == 6
+    # RESTORE the clone back to its creation version
+    v2 = txsql.tx_sql(spark, "RESTORE TABLE t_cl2 TO VERSION AS OF 1")
+    assert v2 == 3
+    assert spark.sql("SELECT count(*) n FROM t_cl2").first()["n"] == 6
+
+
+def test_sql_clone_version_as_of(spark, tmp_path):
+    p = _stage(spark, tmp_path, "t_clv", n=4)
+    txsql.tx_sql(spark, "DELETE FROM t_clv WHERE k = 0")
+    loc = str(tmp_path / "clv")
+    txsql.tx_sql(
+        spark,
+        f"CREATE TABLE t_clv2 LOCATION '{loc}' CLONE t_clv VERSION AS OF 1",
+    )
+    assert spark.sql("SELECT count(*) n FROM t_clv2").first()["n"] == 4
+    del p
+
+
+def test_sql_deep_clone_copies_data(spark, tmp_path):
+    import os
+
+    _stage(spark, tmp_path, "t_cld", n=3)
+    loc = str(tmp_path / "cld")
+    txsql.tx_sql(
+        spark, f"CREATE TABLE t_cld2 LOCATION '{loc}' DEEP CLONE t_cld"
+    )
+    snap = tx.snapshot(loc)
+    assert all(not os.path.isabs(f) for f in snap.files)
+    assert spark.sql("SELECT count(*) n FROM t_cld2").first()["n"] == 3
