@@ -246,6 +246,17 @@ def tx_create_matview_join(
     if not va or not vb:
         raise ValueError("matview_join: both sources need commits")
     state_a, state_b = dst + "__ja", dst + "__jb"
+    # a crashed earlier create may have left partial STATE tables
+    # behind (the dst guard above proves the view itself never
+    # committed, so any state content is that crash's orphan) —
+    # re-appending onto it would double every summary row and corrupt
+    # the view silently; start the retry from scratch instead
+    import shutil
+
+    for st in (state_a, state_b):
+        if tx.table_version(st):
+            shutil.rmtree(st, ignore_errors=True)
+            tx.invalidate_fold_memo(st)
     a = tx.read_table(spark, src_a).where(_key_ok(on))
     b = tx.read_table(spark, src_b).where(_key_ok(on))
     for df, groups, side in ((a, group_by_a, "a"), (b, group_by_b, "b")):

@@ -395,30 +395,37 @@ def _rewrite_time_travel(spark: SparkSession, s: str) -> str:
     """Rewrite ``name [FOR] VERSION|TIMESTAMP AS OF lit`` references to
     session-registered tables into on-the-fly snapshot views
     (``<name>__asof_<version>`` — deterministic, so repeated statements
-    re-register the same view).  Quoted segments pass through verbatim;
-    unregistered names are left for Spark's parser to reject with its
-    own error."""
+    re-register the same view).  A reference must START outside any
+    quoted segment (a name inside a string literal is data), but its
+    VALUE may itself be a quoted literal — ``TIMESTAMP AS OF
+    '2026-01-01T00:00:00'`` rewrites (the round-10 review caught the
+    earlier segment-split approach making the quoted form
+    unreachable).  Unregistered names are left for Spark's parser to
+    reject with its own error."""
     names = _session_names(spark)
+    quoted = [(m.start(), m.end()) for m in _STR_SEG.finditer(s)]
 
-    def _sub(m: re.Match) -> str:
+    def _in_quotes(pos: int) -> bool:
+        return any(lo <= pos < hi for lo, hi in quoted)
+
+    out, last = [], 0
+    for m in _ASOF_RE.finditer(s):
+        if _in_quotes(m.start()):
+            continue
         name = m.group("name")
         path = names.get(name)
         if path is None:
-            return m.group(0)
+            continue
         if m.group("kind").upper() == "VERSION":
-            version = int(float(m.group("val")))
+            version = int(float(m.group("val").strip("'")))
         else:
             version = tx.version_as_of(path, _asof_ts(m.group("val")))
         view = f"{name}__asof_{version}"
         tx.tx_view(spark, path, view, version=version)
-        return view
-
-    out, last = [], 0
-    for seg in _STR_SEG.finditer(s):
-        out.append(_ASOF_RE.sub(_sub, s[last:seg.start()]))
-        out.append(seg.group(0))
-        last = seg.end()
-    out.append(_ASOF_RE.sub(_sub, s[last:]))
+        out.append(s[last:m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(s[last:])
     return "".join(out)
 
 
@@ -426,9 +433,10 @@ def _rewrite_time_travel(spark: SparkSession, s: str) -> str:
 
 
 def _loc_path(loc: str) -> str:
-    """Filesystem path from a LOCATION literal (scheme stripped, like
-    the engine's own URI normalization)."""
-    return re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", loc)
+    """Filesystem path from a LOCATION literal — the engine's one URI
+    normalization rule, so SQL LOCATION paths can never resolve
+    differently from the reader's own-prefix mapping."""
+    return tx.strip_scheme(loc)
 
 
 def _default_location(spark: SparkSession, name: str) -> str:
@@ -573,6 +581,12 @@ def _create(spark: SparkSession, s: str) -> int:
         df = spark.sql(_rewrite_time_travel(spark, body))
         if cols:
             given = [c.strip() for c in cols.split(",")]
+            bad = [c for c in given if not re.fullmatch(r"\w+", c)]
+            if bad:
+                raise ValueError(
+                    f"tx_sql: CTAS column list must be plain names "
+                    f"(got {bad}); types come from the SELECT"
+                )
             if len(given) != len(df.columns):
                 raise ValueError(
                     f"tx_sql: CTAS names {len(given)} columns for a "
@@ -615,11 +629,13 @@ def _alter(spark: SparkSession, s: str) -> int:
         from pyspark.sql.types import _parse_datatype_string
 
         st = _parse_datatype_string(body)
-        v = None
-        for f in st.fields:
-            v = tx.tx_add_column(path, f.name, f.dataType.simpleString())
-        if v is None:
+        if not st.fields:
             raise ValueError("tx_sql: ADD COLUMNS with an empty list")
+        # ONE atomic commit for the whole column list: a bad entry
+        # fails the statement before anything lands
+        v = tx.tx_add_columns(
+            path, {f.name: f.dataType.simpleString() for f in st.fields}
+        )
         _refresh(spark, name)
         return v
     mr = re.match(

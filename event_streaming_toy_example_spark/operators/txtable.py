@@ -1049,20 +1049,27 @@ def maybe_auto_maintain(spark: SparkSession, path: str) -> int | None:
     fires.  Returns the compaction's version, or None (no policy, not
     triggered, nothing worth packing, or lost the OCC race — all
     fine)."""
-    state = _fold_state(path)
+    v = table_version(path)
+    if v == 0:
+        return None
+    # ONE memoized fold serves both the policy lookup and the file
+    # list — and it is the fold the next reader at this version would
+    # perform anyway, so the hook adds no steady-state fold of its own
+    # (round-10 review finding)
+    state = _fold_state_memo(path, v)
     if state is None:
         return None
     policy = (state.properties or {}).get("__maintenance")
     if not policy:
         return None
-    snap = snapshot(path, state.version)
     count_cap = int(policy["small_file_count"])
-    if snap is None or len(snap.files) <= count_cap:
+    files = list(state.files)
+    if len(files) <= count_cap:
         return None  # free precondition: file count from metadata
     byte_cap = int(policy["small_file_bytes"])
     store = get_data_store(path)
     small = 0
-    for f in snap.files:
+    for f in files:
         try:
             if store.size(os.path.join(path, f)) < byte_cap:
                 small += 1
@@ -2333,6 +2340,13 @@ def upsert_prune_probe(
     )
 
 
+def strip_scheme(uri: str) -> str:
+    """The engine's ONE python-side URI normalization (the Column twin
+    lives in :func:`_read_files`): drop a leading ``scheme://`` down
+    to a single slash."""
+    return _re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", uri)
+
+
 def _probe_rel(path: str, uri: str) -> str:
     """Map a pruning probe's ``input_file_name`` URI into the
     snapshot's file-name space — the SAME rule :func:`_read_files`
@@ -2345,7 +2359,7 @@ def _probe_rel(path: str, uri: str) -> str:
     names not present in ``snap.files`` and the probe's subset
     assertion would fire (or, under ``python -O``, the writer would
     try to read a nonexistent relative path)."""
-    norm = _re.sub(r"^[a-zA-Z][\w+.-]*:/+", "/", uri)
+    norm = strip_scheme(uri)
     if norm.startswith(os.path.abspath(path) + "/"):
         return f"{_DATA_DIR}/{norm.rsplit(f'/{_DATA_DIR}/', 1)[-1]}"
     return norm
@@ -4145,44 +4159,63 @@ def tx_evolve_types(
     )
 
 
-def tx_add_column(path: str, name: str, dtype: str) -> int:
-    """ALTER TABLE ADD COLUMN — a METADATA-ONLY commit (no data file is
-    read or written): the new NULLABLE field joins the logical schema
-    with a fresh column-mapping id and a physical name guaranteed not
-    to collide with any live or RETIRED physical column (re-adding a
-    dropped name maps to fresh bytes, never resurrecting the dropped
-    data — same rule :func:`_union_schema` applies to evolving
-    appends).  Every existing file simply lacks the physical column
-    and the imposed-schema read null-fills it natively.  Concurrency:
+def tx_add_columns(path: str, columns: dict[str, str]) -> int:
+    """ALTER TABLE ADD COLUMNS — ONE metadata-only commit for every
+    new NULLABLE field (no data file is read or written; the
+    multi-column statement is atomic — a bad name fails the whole
+    batch before anything lands).  Each field gets a fresh
+    column-mapping id and a physical name guaranteed not to collide
+    with any live or RETIRED physical column (re-adding a dropped
+    name maps to fresh bytes, never resurrecting the dropped data —
+    same rule :func:`_union_schema` applies to evolving appends).
+    Every existing file simply lacks the physical columns and the
+    imposed-schema read null-fills them natively.  Concurrency:
     additive — commutes with appends exactly like an evolving append
     does (the commit loop unions schemas on a lost race)."""
-    from pyspark.sql.types import StructType, _parse_datatype_string
+    from pyspark.sql.types import (
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
 
+    if not columns:
+        raise ValueError("tx_add_columns: empty column list")
     state = _fold_state(path)
     if state is None:
-        raise ValueError(f"tx_add_column on a table with no commits: {path}")
+        raise ValueError(f"tx_add_columns on a table with no commits: {path}")
     st = StructType.fromJson(json.loads(state.schema))
-    if name in {f.name for f in st.fields}:
-        raise ValueError(f"tx_add_column: column '{name}' already exists")
-    dt = _parse_datatype_string(dtype)
+    existing = {f.name for f in st.fields}
     retired = state.properties.get("__retired_phys", ())
     used_phys = {_field_phys(f) for f in st.fields} | set(retired)
     next_id = _next_col_id(st.fields)
-    phys = name if name not in used_phys else f"c{next_id}_{name}"
-    from pyspark.sql.types import StructField
-
-    new_field = _with_field_cm(
-        StructField(name, dt, True), next_id, phys
-    )
+    new_fields = []
+    for name, dtype in columns.items():
+        if name in existing:
+            raise ValueError(
+                f"tx_add_columns: column '{name}' already exists"
+            )
+        dt = _parse_datatype_string(dtype)
+        phys = name if name not in used_phys else f"c{next_id}_{name}"
+        new_fields.append(
+            _with_field_cm(StructField(name, dt, True), next_id, phys)
+        )
+        existing.add(name)
+        used_phys.add(phys)
+        next_id += 1
     return commit(
         path,
         "append",  # additive: commutes with concurrent appends
         [],
         [],
-        StructType(list(st.fields) + [new_field]).json(),
+        StructType(list(st.fields) + new_fields).json(),
         state.version,
         conflict={"kind": "empty"},
     )
+
+
+def tx_add_column(path: str, name: str, dtype: str) -> int:
+    """Single-column form of :func:`tx_add_columns`."""
+    return tx_add_columns(path, {name: dtype})
 
 
 def tx_rename_column(path: str, old: str, new: str) -> int:

@@ -421,18 +421,25 @@ if DataSourceStreamReader is not None:
             c = tx._read_commit(self.path, version)
             if c.action == "compact":
                 return []  # content-invariant by contract
-            if c.remove:
+            # a commit CHANGES existing rows if it removed files OR
+            # attached deletion vectors (merge-on-read deletes/updates
+            # commit with remove=[] and dv set; a clone's first commit
+            # carries inherited DVs the same way) — both shapes an
+            # append stream cannot represent
+            if c.remove or c.dv:
                 if self.skip_change:
                     return []
                 if not self.ignore_changes:
                     raise ValueError(
                         f"txtable stream: commit {version} at "
                         f"{self.path} is a data CHANGE ({c.action}: "
-                        f"{len(c.remove)} file(s) removed); an append "
-                        "stream cannot represent it — pass "
+                        f"{len(c.remove)} file(s) removed, "
+                        f"{len(c.dv or {})} deletion vector(s)); an "
+                        "append stream cannot represent it — pass "
                         "skipChangeCommits=true to skip such commits, "
                         "or ignoreChanges=true to stream their added "
-                        "files (rewritten rows re-deliver)"
+                        "files (rewritten rows re-deliver; DV'd-out "
+                        "rows re-deliver undeleted)"
                     )
             if not self.clauses:
                 return list(c.add)

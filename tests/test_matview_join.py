@@ -292,3 +292,25 @@ def test_count_col_through_the_factorization(spark, tmp_path):
     tx.tx_append(spark.createDataFrame(new_a, _A), a)
     _refresh_spied(spark, dst, [a, b])
     check(_ROWS_A + new_a, _ROWS_B)
+
+
+def test_create_retry_after_crash_does_not_double_state(spark, tmp_path):
+    # round-10 review: a crashed create leaves partial state tables;
+    # the retry must start them from scratch, not append onto them
+    a, b = _mk(spark, tmp_path, _ROWS_A, _ROWS_B)
+    dst = str(tmp_path / "mv")
+    with mock.patch.object(
+        mj, "_sum_deltas", side_effect=RuntimeError("crash mid-create")
+    ):
+        with pytest.raises(RuntimeError):
+            mj.tx_create_matview_join(
+                spark, a, b, dst, on=["k"],
+                group_by_a=["ga"], group_by_b=["gb"], aggs=_AGGS,
+            )
+    # states exist from the crashed attempt; dst does not
+    assert tx.table_version(dst) == 0
+    mj.tx_create_matview_join(
+        spark, a, b, dst, on=["k"],
+        group_by_a=["ga"], group_by_b=["gb"], aggs=_AGGS,
+    )
+    assert _got(spark, dst) == _expected(spark, _ROWS_A, _ROWS_B)

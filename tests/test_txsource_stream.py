@@ -148,3 +148,28 @@ def test_where_option_validation():
     assert txsource._parse_where_option('[["k", "in", [1, 2]]]') == [
         ("k", "in", (1, 2))
     ]
+
+
+def test_mor_delete_is_a_change_commit_too(spark, tmp_path):
+    # round-10 review: a merge-on-read delete commits remove=[] with a
+    # deletion vector — the stream must treat it as a CHANGE, not an
+    # empty append (silently keeping deleted rows downstream)
+    p = _stage(spark, tmp_path, commits=2, per=5)
+    tx.tx_delete(spark, p, [("k", "=", 3)], merge_on_read=True)
+    with pytest.raises(Exception, match="deletion vector"):
+        _drain(spark, tmp_path, p, ck_name="ck_mor")
+    skipped = _drain(
+        spark, tmp_path, p, ck_name="ck_mor_skip", skipChangeCommits=True
+    )
+    assert sorted(r[0] for r in skipped) == list(range(10))
+
+
+def test_clone_create_with_inherited_dvs_is_a_change_commit(spark, tmp_path):
+    src = _stage(spark, tmp_path, commits=2, per=5)
+    tx.tx_delete(spark, src, [("k", "=", 2)], merge_on_read=True)
+    dst = str(tmp_path / "clone")
+    tx.tx_clone(spark, src, dst)
+    # the clone's creation commit carries translated DVs: streaming it
+    # as a plain append would resurrect the deleted row
+    with pytest.raises(Exception, match="deletion vector"):
+        _drain(spark, tmp_path, dst, ck_name="ck_cl")

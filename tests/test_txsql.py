@@ -341,7 +341,7 @@ def test_alter_table_add_rename_drop(spark, tmp_path):
     v = txsql.tx_sql(
         spark, "ALTER TABLE t_alter ADD COLUMNS (score DOUBLE, tag STRING)"
     )
-    assert v == 3  # two metadata-only commits
+    assert v == 2  # ONE atomic metadata-only commit for the whole list
     assert spark.sql(
         "SELECT count(*) n FROM t_alter WHERE score IS NULL"
     ).first()["n"] == 3
@@ -512,3 +512,48 @@ def test_sql_deep_clone_copies_data(spark, tmp_path):
     snap = tx.snapshot(loc)
     assert all(not os.path.isabs(f) for f in snap.files)
     assert spark.sql("SELECT count(*) n FROM t_cld2").first()["n"] == 3
+
+
+def test_quoted_timestamp_as_of_inline(spark, tmp_path):
+    # round-10 review: the quoted ISO form used to be unreachable (the
+    # rewrite excised quoted segments before matching)
+    import datetime
+    import time
+
+    p = _stage(spark, tmp_path, "t_qtt", n=4)
+    time.sleep(0.05)
+    cut = datetime.datetime.now().isoformat()
+    time.sleep(0.05)
+    txsql.tx_sql(spark, "DELETE FROM t_qtt WHERE k = 0")
+    df = txsql.tx_sql(
+        spark, f"SELECT count(*) AS n FROM t_qtt TIMESTAMP AS OF '{cut}'"
+    )
+    assert df.first()["n"] == 4
+    # but a table name INSIDE a string literal stays data
+    df2 = txsql.tx_sql(
+        spark, "SELECT 't_qtt VERSION AS OF 1' AS s FROM t_qtt LIMIT 1"
+    )
+    assert df2.first()["s"] == "t_qtt VERSION AS OF 1"
+    del p
+
+
+def test_add_columns_is_atomic(spark, tmp_path):
+    # one bad entry fails the whole statement BEFORE anything commits
+    p = _stage(spark, tmp_path, "t_atomic", n=2)
+    v_before = tx.table_version(p)
+    with pytest.raises(ValueError, match="already exists"):
+        txsql.tx_sql(
+            spark, "ALTER TABLE t_atomic ADD COLUMNS (fresh INT, k INT)"
+        )
+    assert tx.table_version(p) == v_before
+    assert "fresh" not in tx.read_table(spark, p).columns
+
+
+def test_ctas_column_list_must_be_plain_names(spark, tmp_path):
+    _stage(spark, tmp_path, "t_ctsrc", n=2)
+    loc = str(tmp_path / "bad")
+    with pytest.raises(ValueError, match="plain names"):
+        txsql.tx_sql(spark, f"""
+            CREATE TABLE t_bad (a INT, b STRING) LOCATION '{loc}'
+            AS SELECT k, status FROM t_ctsrc
+        """)
