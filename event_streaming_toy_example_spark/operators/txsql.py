@@ -23,9 +23,15 @@ same operators, so a SQL-first user never touches the Python API:
 - ``ALTER TABLE t ADD COLUMN[S] ...``   → :func:`txtable.tx_add_column`
 - ``ALTER TABLE t RENAME COLUMN a TO b`` → :func:`txtable.tx_rename_column`
 - ``ALTER TABLE t DROP COLUMN a``        → :func:`txtable.tx_drop_column`
+- ``INSERT OVERWRITE t [WHERE clauses] SELECT|VALUES ...`` →
+  :func:`txtable.tx_replace_where` (the atomic, idempotent region
+  replace; rich predicates refused by name)
 - ``DESCRIBE HISTORY t``                → :func:`txtable.history` as a DataFrame
+- ``DESCRIBE [TABLE] t`` / ``SHOW TABLES`` → log-resolved schema /
+  this session's registered tables (no scan)
 - ``OPTIMIZE t [ZORDER BY (a, b)]``     → :func:`txtable.tx_compact`
-- ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]`` → :func:`txtable.vacuum`
+- ``VACUUM t [RETAIN n VERSIONS] [RETAIN h HOURS] [DRY RUN]`` →
+  :func:`txtable.vacuum`
 
 Inline TIME TRAVEL (VERDICT r9 item 3): ``name [FOR] VERSION AS OF n``
 and ``name [FOR] TIMESTAMP AS OF ts`` are accepted anywhere a
@@ -360,6 +366,8 @@ def tx_sql(spark: SparkSession, stmt: str):
         return _vacuum(spark, s)
     if kw == "RESTORE":
         return _restore(spark, s)
+    if kw == "SHOW":
+        return _show(spark, s)
     raise ValueError(
         f"tx_sql: unsupported statement kind {kw!r} — supported: "
         "SELECT/WITH, DELETE FROM, UPDATE, INSERT INTO, MERGE INTO, "
@@ -663,17 +671,52 @@ _HISTORY_SCHEMA = (
 )
 
 
+def _show(spark: SparkSession, s: str) -> DataFrame:
+    """``SHOW TABLES`` — this session's registered transactional
+    tables, with their paths and current versions."""
+    if not re.match(r"^SHOW\s+TABLES\s*$", s, re.IGNORECASE):
+        raise ValueError(f"tx_sql: cannot parse SHOW (only SHOW TABLES): {s!r}")
+    rows = [
+        (name, path, tx.table_version(path))
+        for name, path in sorted(_session_names(spark).items())
+    ]
+    return spark.createDataFrame(
+        rows, "name string, path string, version long"
+    )
+
+
 def _describe(spark: SparkSession, s: str) -> DataFrame:
     m = re.match(
-        r"^DESC(?:RIBE)?\s+HISTORY\s+(\w+)\s*$", s, re.IGNORECASE
+        r"^DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<hist>HISTORY\s+)?(?P<name>\w+)\s*$",
+        s, re.IGNORECASE,
     )
     if not m:
         raise ValueError(
-            f"tx_sql: cannot parse DESCRIBE (only DESCRIBE HISTORY t): {s!r}"
+            f"tx_sql: cannot parse DESCRIBE (DESCRIBE [TABLE] t or "
+            f"DESCRIBE HISTORY t): {s!r}"
+        )
+    if not m.group("hist"):
+        # DESCRIBE [TABLE] t: the logged schema as (col_name, data_type,
+        # nullable) rows — resolved from the COMMIT LOG, not a scan
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        path = _resolve(spark, m.group("name"))
+        schema_json = tx._current_schema(path)
+        if schema_json is None:
+            raise ValueError(f"tx_sql: DESCRIBE on an empty table: {path}")
+        st = StructType.fromJson(_json.loads(schema_json))
+        return spark.createDataFrame(
+            [
+                (f.name, f.dataType.simpleString(), f.nullable)
+                for f in st.fields
+            ],
+            "col_name string, data_type string, nullable boolean",
         )
     import json as _json
 
-    path = _resolve(spark, m.group(1))
+    path = _resolve(spark, m.group("name"))
     rows = [
         tuple(
             _json.dumps(h["protocol"]) if k == "protocol" and h["protocol"]
@@ -789,7 +832,71 @@ def _update(spark: SparkSession, s: str) -> int:
     return v
 
 
+def _insert_overwrite(spark: SparkSession, s: str) -> int:
+    """``INSERT OVERWRITE t [WHERE <clauses>] SELECT ...`` — Spark's
+    statement routed onto :func:`txtable.tx_replace_where`: ONE atomic
+    commit removes every row satisfying the WHERE conjunction and adds
+    the SELECT's rows (the whole table when WHERE is omitted).  The
+    replaced region is the engine's clause-tuple form, so re-running
+    the same statement is idempotent — the replaceWhere contract; a
+    predicate richer than ``col op literal`` conjunctions is refused
+    BY NAME (a raw-predicate region cannot be validated for
+    containment)."""
+    m = re.match(
+        r"^INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s*"
+        r"(?:WHERE\s+(?P<where>.*?)\s+)?"
+        r"(?P<body>SELECT\s.*|VALUES\s.*|WITH\s.*)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"tx_sql: cannot parse INSERT OVERWRITE: {s!r}")
+    name, where, body = m.group(1), m.group("where"), m.group("body")
+    path = _resolve(spark, name)
+    clauses = None
+    if where is not None:
+        clauses = _compile_clauses(where)
+        if not clauses or not _clauses_typed_ok(clauses, path):
+            raise ValueError(
+                "tx_sql: INSERT OVERWRITE ... WHERE takes a "
+                "conjunction of col-op-literal clauses (the replaced "
+                f"region must be validatable); cannot use {where!r}"
+            )
+    if body.upper().startswith("VALUES"):
+        df = spark.sql("SELECT * FROM " + body)
+    else:
+        df = spark.sql(_rewrite_time_travel(spark, body))
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema_json = tx._current_schema(path)
+    if schema_json is None:
+        raise ValueError(
+            f"tx_sql: INSERT OVERWRITE into a table with no commits: {path}"
+        )
+    target = StructType.fromJson(_json.loads(schema_json))
+    names = [f.name for f in target.fields]
+    if len(df.columns) != len(names):
+        raise ValueError(
+            f"tx_sql: INSERT OVERWRITE provides {len(df.columns)} "
+            f"columns, the table has {len(names)}"
+        )
+    from pyspark.sql import functions as F
+
+    df = df.toDF(*names).select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+    )
+    v = tx.tx_replace_where(spark, path, df, where=clauses)
+    _refresh(spark, name)
+    return v
+
+
 def _insert(spark: SparkSession, s: str) -> int:
+    if re.match(r"^INSERT\s+OVERWRITE\b", s, re.IGNORECASE):
+        return _insert_overwrite(spark, s)
     m = re.match(
         r"^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?"
         r"(SELECT\s.*|VALUES\s.*|WITH\s.*|TABLE\s.*)$",

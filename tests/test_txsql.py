@@ -557,3 +557,60 @@ def test_ctas_column_list_must_be_plain_names(spark, tmp_path):
             CREATE TABLE t_bad (a INT, b STRING) LOCATION '{loc}'
             AS SELECT k, status FROM t_ctsrc
         """)
+
+
+def test_insert_overwrite_where_is_idempotent(spark, tmp_path):
+    p = _stage(spark, tmp_path, "t_ow", n=8)
+    stmt = """
+        INSERT OVERWRITE t_ow WHERE grp = 1
+        SELECT k + 1000, 1, 99.0, 'replaced' FROM t_ow WHERE grp = 1
+    """
+    txsql.tx_sql(spark, stmt)
+    got = _content(spark, p)
+    assert all(r[3] == "replaced" for r in got if r[1] == 1)
+    assert sum(1 for r in got if r[1] == 1) == 2
+    assert len(got) == 8
+    # same statement again: replaces the same region with the shifted
+    # keys of the REPLACED rows — row count stays put (idempotent unit)
+    n_before = len(got)
+    txsql.tx_sql(spark, """
+        INSERT OVERWRITE t_ow WHERE grp = 1
+        VALUES (5000, 1, 1.0, 'x'), (5001, 1, 2.0, 'x')
+    """)
+    got2 = _content(spark, p)
+    assert len(got2) == n_before
+    assert {r[0] for r in got2 if r[1] == 1} == {5000, 5001}
+
+
+def test_insert_overwrite_full_table(spark, tmp_path):
+    p = _stage(spark, tmp_path, "t_ow2", n=5)
+    txsql.tx_sql(
+        spark,
+        "INSERT OVERWRITE t_ow2 VALUES (1, 0, 1.0, 'only')",
+    )
+    assert _content(spark, p) == [(1, 0, 1.0, "only")]
+
+
+def test_insert_overwrite_rich_predicate_refused(spark, tmp_path):
+    _stage(spark, tmp_path, "t_ow3", n=4)
+    with pytest.raises(ValueError, match="validatable"):
+        txsql.tx_sql(spark, """
+            INSERT OVERWRITE t_ow3 WHERE k % 2 = 0
+            VALUES (2, 0, 1.0, 'x')
+        """)
+
+
+def test_show_tables_and_describe_table(spark, tmp_path):
+    p = _stage(spark, tmp_path, "t_meta", n=3)
+    shown = {
+        r["name"]: (r["path"], r["version"])
+        for r in txsql.tx_sql(spark, "SHOW TABLES").collect()
+    }
+    assert shown["t_meta"] == (p, 1)
+    desc = txsql.tx_sql(spark, "DESCRIBE TABLE t_meta").collect()
+    assert [(r["col_name"], r["data_type"]) for r in desc] == [
+        ("k", "int"), ("grp", "int"), ("amt", "double"),
+        ("status", "string"),
+    ]
+    # bare DESCRIBE t works too
+    assert len(txsql.tx_sql(spark, "DESCRIBE t_meta").collect()) == 4
