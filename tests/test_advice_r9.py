@@ -79,22 +79,26 @@ def test_fold_memo_is_true_lru_and_invalidate_hook_drops_path(
     p = str(tmp_path / "t")
     tx.tx_append(_df(spark, _rows(4)).coalesce(1), p)
     tx.tx_upsert(spark, p, _df(spark, [(0, 2, "x")]).coalesce(1), ["k"], ["ts"])
-    tx.commit_change_rows(p, 2, ["k"], ["v"])  # miss → insert
+    # round 10: every write's post-commit maintenance look also goes
+    # through the memo, so (p, 2) is present alongside the feed's
+    # prior-state fold (p, 1)
+    tx.commit_change_rows(p, 2, ["k"], ["v"])  # miss → insert at v1
     keys = list(tx._FOLD_MEMO)
-    assert len(keys) == 1 and keys[0][0] == p and keys[0][1] == 1
-    ident = keys[0][2]
+    assert (p, 1) in {(k[0], k[1]) for k in keys}
+    k1 = next(k for k in keys if k[0] == p and k[1] == 1)
+    ident = k1[2]
     assert isinstance(ident, str) and ident  # commit identity in key
-    # fill with another path's entry, then HIT p's entry: p must move
-    # behind q in the eviction order
+    # fill with another path's entries, then HIT p's v1 entry: it must
+    # move to the very back of the eviction order
     q = str(tmp_path / "u")
     tx.tx_append(_df(spark, _rows(2)).coalesce(1), q)
     tx.tx_upsert(spark, q, _df(spark, [(0, 2, "y")]).coalesce(1), ["k"], ["ts"])
     tx.commit_change_rows(q, 2, ["k"], ["v"])
-    tx.commit_change_rows(p, 2, ["k"], ["v"])  # hit
-    order = [k[0] for k in tx._FOLD_MEMO]
-    assert order == [q, p], "hit did not move to the back (not LRU)"
+    tx.commit_change_rows(p, 2, ["k"], ["v"])  # hit on (p, 1)
+    order = list(tx._FOLD_MEMO)
+    assert order[-1][:2] == (p, 1), "hit did not move to the back (not LRU)"
     tx.invalidate_fold_memo(p)
-    assert [k[0] for k in tx._FOLD_MEMO] == [q]
+    assert {k[0] for k in tx._FOLD_MEMO} == {q}
     tx.invalidate_fold_memo()
     assert not tx._FOLD_MEMO
 
