@@ -19,6 +19,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -813,6 +814,25 @@ def stage_dir_once(build_dir, key: str, sf_dir: str) -> str:
             # lost the publish race — the winner's content is identical
             shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+@contextmanager
+def private_warehouse(spark, path: str):
+    """Route CREATE TABLE's default location AND the persistent
+    warehouse catalog (``operators/warehouse.py``) into a private dir
+    for the duration.  Staged builds need this: two stagers racing
+    :func:`stage_dir_once` BOTH run the build, and without isolation
+    the second build's ``CREATE TABLE <fixed name>`` would collide
+    with the first's catalog entry in the shared warehouse."""
+    prev = spark.conf.get("spark_graft.warehouse.dir", None)
+    spark.conf.set("spark_graft.warehouse.dir", path)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark_graft.warehouse.dir")
+        else:
+            spark.conf.set("spark_graft.warehouse.dir", prev)
 
 
 def stage_once(build, key: str, sf_dir: str) -> str:

@@ -40,51 +40,64 @@ def _build_sql_ddl_table(spark: SparkSession, sf_dir: str) -> str:
     from event_streaming_toy_example_spark.operators import txsql
     from event_streaming_toy_example_spark.operators import txtable as tx
 
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        private_warehouse,
+    )
+
     def build(tmp: str) -> None:
         load_table(spark, sf_dir, "orders").createOrReplaceTempView(
             "ddl_orders_raw"
         )
         loc = _os.path.join(tmp, "t")
-        txsql.tx_sql(spark, f"""
-            CREATE TABLE sqlddl_orders LOCATION '{loc}'
-            TBLPROPERTIES ('owner' = 'ddl-suite')
-            AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
-               FROM ddl_orders_raw
-        """)
-        txsql.tx_sql(
-            spark, "ALTER TABLE sqlddl_orders ADD COLUMN priority_flag STRING"
-        )
-        txsql.tx_sql(
-            spark,
-            "INSERT INTO sqlddl_orders VALUES "
-            "(99999999, NULL, NULL, 'Z', 'new')",
-        )
-        txsql.tx_sql(
-            spark,
-            "UPDATE sqlddl_orders SET priority_flag = 'high' "
-            "WHERE o_totalprice > 200000",
-        )
-        txsql.tx_sql(
-            spark,
-            "ALTER TABLE sqlddl_orders RENAME COLUMN priority_flag TO prio",
-        )
-        txsql.tx_sql(spark, "ALTER TABLE sqlddl_orders DROP COLUMN o_custkey")
-        # content-invariant maintenance, still pure SQL
-        txsql.tx_sql(
-            spark, "OPTIMIZE sqlddl_orders ZORDER BY (o_orderkey, o_totalprice)"
-        )
-        hist = txsql.tx_sql(spark, "DESCRIBE HISTORY sqlddl_orders").collect()
-        assert [h["version"] for h in hist][-1] == 1
-        assert hist[-1]["action"] == "append"  # the CTAS create
-        dry = txsql.tx_sql(
-            spark, "VACUUM sqlddl_orders RETAIN 1 VERSIONS RETAIN 0 HOURS "
-            "DRY RUN"
-        ).collect()
-        assert dry, "the z-order rewrite left reclaimable originals"
-        assert all(
-            tx.get_data_store(loc).exists(_os.path.join(loc, r["path"]))
-            for r in dry
-        ), "DRY RUN must not delete"
+        with private_warehouse(spark, tmp):
+            txsql.tx_sql(spark, f"""
+                CREATE TABLE sqlddl_orders LOCATION '{loc}'
+                TBLPROPERTIES ('owner' = 'ddl-suite')
+                AS SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                   FROM ddl_orders_raw
+            """)
+            txsql.tx_sql(
+                spark,
+                "ALTER TABLE sqlddl_orders ADD COLUMN priority_flag STRING",
+            )
+            txsql.tx_sql(
+                spark,
+                "INSERT INTO sqlddl_orders VALUES "
+                "(99999999, NULL, NULL, 'Z', 'new')",
+            )
+            txsql.tx_sql(
+                spark,
+                "UPDATE sqlddl_orders SET priority_flag = 'high' "
+                "WHERE o_totalprice > 200000",
+            )
+            txsql.tx_sql(
+                spark,
+                "ALTER TABLE sqlddl_orders RENAME COLUMN priority_flag "
+                "TO prio",
+            )
+            txsql.tx_sql(
+                spark, "ALTER TABLE sqlddl_orders DROP COLUMN o_custkey"
+            )
+            # content-invariant maintenance, still pure SQL
+            txsql.tx_sql(
+                spark,
+                "OPTIMIZE sqlddl_orders ZORDER BY (o_orderkey, o_totalprice)",
+            )
+            hist = txsql.tx_sql(
+                spark, "DESCRIBE HISTORY sqlddl_orders"
+            ).collect()
+            assert [h["version"] for h in hist][-1] == 1
+            assert hist[-1]["action"] == "append"  # the CTAS create
+            dry = txsql.tx_sql(
+                spark,
+                "VACUUM sqlddl_orders RETAIN 1 VERSIONS RETAIN 0 HOURS "
+                "DRY RUN",
+            ).collect()
+            assert dry, "the z-order rewrite left reclaimable originals"
+            assert all(
+                tx.get_data_store(loc).exists(_os.path.join(loc, r["path"]))
+                for r in dry
+            ), "DRY RUN must not delete"
 
     return stage_dir_once(build, "txtable_sqlddl_v1", sf_dir)
 
@@ -125,24 +138,29 @@ def _build_sql_tt_table(spark: SparkSession, sf_dir: str) -> str:
 
     from event_streaming_toy_example_spark.operators import txsql
 
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        private_warehouse,
+    )
+
     def build(tmp: str) -> None:
         load_table(spark, sf_dir, "orders").createOrReplaceTempView(
             "tt_orders_raw"
         )
         loc = _os.path.join(tmp, "t")
-        txsql.tx_sql(spark, f"""
-            CREATE TABLE sqltt_orders LOCATION '{loc}'
-            AS SELECT o_orderkey, o_totalprice, o_orderstatus
-               FROM tt_orders_raw
-        """)
-        txsql.tx_sql(
-            spark,
-            "UPDATE sqltt_orders SET o_totalprice = o_totalprice + 1.5 "
-            "WHERE o_orderkey % 2 = 0",
-        )
-        txsql.tx_sql(
-            spark, "DELETE FROM sqltt_orders WHERE o_orderstatus = 'F'"
-        )
+        with private_warehouse(spark, tmp):
+            txsql.tx_sql(spark, f"""
+                CREATE TABLE sqltt_orders LOCATION '{loc}'
+                AS SELECT o_orderkey, o_totalprice, o_orderstatus
+                   FROM tt_orders_raw
+            """)
+            txsql.tx_sql(
+                spark,
+                "UPDATE sqltt_orders SET o_totalprice = o_totalprice + 1.5 "
+                "WHERE o_orderkey % 2 = 0",
+            )
+            txsql.tx_sql(
+                spark, "DELETE FROM sqltt_orders WHERE o_orderstatus = 'F'"
+            )
 
     return stage_dir_once(build, "txtable_sqltt_v1", sf_dir)
 

@@ -15,6 +15,14 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="tests", shuffle_partitions=8)
+    # per-run warehouse: the persistent table catalog
+    # (operators/warehouse.py) survives sessions BY DESIGN, so a
+    # durable location would leak CREATE TABLE names across pytest runs
+    import tempfile
+
+    s.conf.set(
+        "spark_graft.warehouse.dir", tempfile.mkdtemp(prefix="txwh_")
+    )
     yield s
 
 

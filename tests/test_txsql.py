@@ -163,8 +163,11 @@ def test_sql_select_reads_registered_view(spark, tmp_path):
 def test_sql_unknown_table_and_kind_raise(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown table"):
         txsql.tx_sql(spark, "DELETE FROM nope WHERE k = 1")
+    # DROP TABLE is a verb now (round 11); an unknown name still raises
+    with pytest.raises(ValueError, match="unknown table"):
+        txsql.tx_sql(spark, "DROP TABLE never_bound_name")
     with pytest.raises(ValueError, match="unsupported statement"):
-        txsql.tx_sql(spark, "DROP TABLE t")
+        txsql.tx_sql(spark, "GRANT ALL ON t TO alice")
 
 
 def test_sql_merge_on_must_be_key_equality(spark, tmp_path):
@@ -328,12 +331,10 @@ def test_create_table_default_location_is_warehouse(spark, tmp_path):
 
     name = f"t_wh_{uuid.uuid4().hex[:8]}"
     txsql.tx_sql(spark, f"CREATE TABLE {name} (k INT)")
-    wh = txsql._loc_path(spark.conf.get("spark.sql.warehouse.dir"))
-    path = os.path.join(wh, name)
+    path = os.path.join(txsql._warehouse_dir(spark), name)
     assert tx.table_version(path) == 1
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
+    txsql.tx_sql(spark, f"DROP TABLE {name} PURGE")
+    assert not os.path.exists(path)
 
 
 def test_alter_table_add_rename_drop(spark, tmp_path):
