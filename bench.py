@@ -229,6 +229,11 @@ HEADLINE = [
     "tx_matview_sketch",
     "tx_stream_source",
     "tx_auto_maintenance",
+    # round-11 additions: the persistent warehouse catalog, SQL
+    # constraints + generated columns, TRUNCATE + RESTORE
+    "tx_sql_catalog",
+    "tx_sql_constraints",
+    "tx_truncate_restore",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -278,6 +283,8 @@ PRESTAGE = [
     "tx_matview_sketch",
     "tx_stream_source",
     "tx_auto_maintenance",
+    "tx_sql_constraints",
+    "tx_truncate_restore",
 ]
 
 

@@ -182,6 +182,10 @@ from event_streaming_toy_example_spark.plans.queries_ext36 import (
     EXT36_ORACLES,
     EXT36_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext37 import (
+    EXT37_ORACLES,
+    EXT37_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -336,6 +340,18 @@ FAMILY_REP: dict[str, str] = {
     # declared small-file trigger fires exactly one sized compaction
     # under a follower-shaped merge workload; layout family
     "tx_auto_maintenance": "layout_compact_invariance",
+    # round 11: the PERSISTENT WAREHOUSE CATALOG entry (CREATE in one
+    # session, hash-checked SELECT from a FRESH session that never
+    # registers a name, DROP TABLE PURGE asserted — VERDICT r10 item 1)
+    # takes a PRIMARY slot; the MERGE family cedes its second slot —
+    # tx_merge_evolution (hash-passed r9-r10) folds into tx_merge_cdc,
+    # whose WHEN-matrix MERGE subsumes the apply semantics while the
+    # evolution variant stays locally value-replayed
+    "tx_merge_evolution": "tx_merge_cdc",
+    # the lifecycle/constraint twins ride the catalog rep: same
+    # SQL-router + warehouse machinery, each with its own local oracle
+    "tx_sql_constraints": "tx_sql_catalog",
+    "tx_truncate_restore": "tx_sql_catalog",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family
@@ -748,6 +764,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT34_QUERIES,
     **EXT35_QUERIES,
     **EXT36_QUERIES,
+    **EXT37_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -788,6 +805,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT34_ORACLES,
     **EXT35_ORACLES,
     **EXT36_ORACLES,
+    **EXT37_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {

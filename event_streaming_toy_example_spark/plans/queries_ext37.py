@@ -1,0 +1,244 @@
+"""Round-11 first wave: the PERSISTENT WAREHOUSE CATALOG and the
+table-lifecycle SQL verbs (VERDICT r10 items 1 and 4).
+
+- ``tx_sql_catalog`` — the done-criterion entry: a table CREATEd in
+  one session is queried from a FRESH session that never calls
+  ``tx_register`` (the name resolves lazily from the warehouse
+  catalog, ``operators/warehouse.py``), with DROP TABLE PURGE and
+  SHOW TABLES exercised along the way; hash-checked against DuckDB.
+- ``tx_sql_constraints`` — CHECK constraints + generated columns from
+  SQL text: ``ADD CONSTRAINT`` proves existing data satisfies, a bad
+  INSERT is rejected BY NAME, and the ``GENERATED ALWAYS AS`` column
+  (materialized by INSERT, enforced by its paired ``__gen_`` check)
+  hash-checks against DuckDB's computed twin.
+- ``tx_truncate_restore`` — TRUNCATE TABLE is one O(metadata)
+  remove-all commit (asserted: zero adds, action ``truncate``), and
+  RESTORE brings the full content back, hash-checked.
+
+The reference has no catalog, no constraints, and no truncate (432-line
+pipeline with hard-coded paths); the semantics follow public
+Hive-metastore / Delta Lake conventions.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from event_streaming_toy_example_spark.plans.queries_ext import (
+    private_warehouse,
+    stage_dir_once,
+)
+from event_streaming_toy_example_spark.schemas import load_table
+
+
+def _catalog_session(spark: SparkSession, wh: str) -> SparkSession:
+    """A NEW session (own temp views, own txsql session map) pointed at
+    ``wh`` — the cross-session actor of the catalog's contract."""
+    s = spark.newSession()
+    s.conf.set("spark_graft.warehouse.dir", wh)
+    return s
+
+
+# ------------------------------------------------ persistent catalog
+
+
+def q_tx_sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE in session 1, query from a FRESH session 2 with ZERO
+    registration calls — the persistent catalog resolves the name.
+    Also drives DROP TABLE PURGE (both planes gone) and SHOW TABLES
+    (only the surviving table listed).  Hermetic per call: the
+    warehouse is a fresh temp dir, so replays never collide."""
+    import tempfile
+
+    from event_streaming_toy_example_spark.operators import txsql
+
+    wh = tempfile.mkdtemp(prefix="txcat_wh_")
+    s1 = _catalog_session(spark, wh)
+    load_table(s1, sf_dir, "nation").createOrReplaceTempView(
+        "cat_nation_raw"
+    )
+    txsql.tx_sql(s1, """
+        CREATE TABLE cat_nations AS
+        SELECT n_nationkey, n_regionkey, n_name FROM cat_nation_raw
+    """)
+    txsql.tx_sql(s1, "CREATE TABLE cat_scratch (k INT)")
+    txsql.tx_sql(s1, "INSERT INTO cat_scratch VALUES (1)")
+    txsql.tx_sql(s1, "DROP TABLE cat_scratch PURGE")
+    assert not _os.path.exists(_os.path.join(wh, "cat_scratch"))
+    # the fresh session: catalog-only resolution, no tx_register
+    s2 = _catalog_session(spark, wh)
+    shown = {
+        r["name"]: r["persistent"]
+        for r in txsql.tx_sql(s2, "SHOW TABLES").collect()
+    }
+    assert shown == {"cat_nations": True}, shown
+    return txsql.tx_sql(s2, """
+        SELECT n_regionkey,
+               COUNT(*) AS n_nations,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+               MIN(n_name) AS first_name
+        FROM cat_nations
+        GROUP BY n_regionkey
+    """)
+
+
+SQL_TX_SQL_CATALOG = """
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+# ------------------------------------- constraints + generated columns
+
+
+def _build_constrained_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: a table with a GENERATED column and a
+    CHECK constraint, driven entirely through SQL text, with the
+    rejection paths asserted."""
+    from event_streaming_toy_example_spark.operators import txsql
+
+    def build(tmp: str) -> None:
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "con_orders_raw"
+        )
+        with private_warehouse(spark, tmp):
+            txsql.tx_sql(spark, """
+                CREATE TABLE con_orders (
+                  o_orderkey BIGINT,
+                  o_totalprice DOUBLE,
+                  price_band INT GENERATED ALWAYS AS
+                    (CAST(FLOOR(o_totalprice / 100000) AS INT)))
+            """)
+            # omitted generated column MATERIALIZES on INSERT
+            txsql.tx_sql(spark, """
+                INSERT INTO con_orders (o_orderkey, o_totalprice)
+                SELECT o_orderkey, o_totalprice FROM con_orders_raw
+            """)
+            txsql.tx_sql(spark, """
+                ALTER TABLE con_orders
+                ADD CONSTRAINT price_pos CHECK (o_totalprice > 0)
+            """)
+            # a bad INSERT is rejected BY CONSTRAINT NAME...
+            try:
+                txsql.tx_sql(
+                    spark,
+                    "INSERT INTO con_orders (o_orderkey, o_totalprice) "
+                    "VALUES (0, -1.0)",
+                )
+                raise AssertionError("price_pos must reject the bad row")
+            except ValueError as e:
+                assert "price_pos" in str(e)
+            # ...and so is a generated-column value that disagrees
+            try:
+                txsql.tx_sql(
+                    spark, "INSERT INTO con_orders VALUES (0, 50000.0, 7)"
+                )
+                raise AssertionError("__gen_price_band must reject")
+            except ValueError as e:
+                assert "__gen_price_band" in str(e)
+
+    return stage_dir_once(build, "txtable_constraints_v1", sf_dir)
+
+
+def q_tx_sql_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated column read back and aggregated — every value was
+    materialized by the engine (never provided), so the oracle's
+    computed twin pins the GENERATED semantics."""
+    from event_streaming_toy_example_spark.operators import txsql
+
+    base = _build_constrained_table(spark, sf_dir)
+    txsql.tx_register(
+        spark, _os.path.join(base, "con_orders"), "con_orders"
+    )
+    return txsql.tx_sql(spark, """
+        SELECT price_band,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM con_orders
+        GROUP BY price_band
+    """)
+
+
+SQL_TX_SQL_CONSTRAINTS = """
+SELECT CAST(FLOOR(o_totalprice / 100000) AS INT) AS price_band,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY price_band
+"""
+
+
+# -------------------------------------------------- truncate + restore
+
+
+def _build_truncated_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: CTAS → TRUNCATE (asserted O(metadata):
+    zero adds, every live file removed, count 0) → RESTORE to the
+    pre-truncate snapshot."""
+    from event_streaming_toy_example_spark.operators import txsql
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "trunc_orders_raw"
+        )
+        with private_warehouse(spark, tmp):
+            txsql.tx_sql(spark, """
+                CREATE TABLE trunc_orders AS
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM trunc_orders_raw
+            """)
+            v = txsql.tx_sql(spark, "TRUNCATE TABLE trunc_orders")
+            assert v == 2
+            loc = _os.path.join(tmp, "trunc_orders")
+            h = tx.history(loc)[0]  # newest first
+            assert h["action"] == "truncate"
+            assert h["n_added"] == 0 and h["n_removed"] >= 1
+            n = txsql.tx_sql(
+                spark, "SELECT COUNT(*) AS n FROM trunc_orders"
+            ).first()["n"]
+            assert n == 0, n
+            # restore brings the whole content back, O(metadata) again
+            txsql.tx_sql(
+                spark, "RESTORE TABLE trunc_orders TO VERSION AS OF 1"
+            )
+
+    return stage_dir_once(build, "txtable_truncate_v1", sf_dir)
+
+
+def q_tx_truncate_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post restore, the table content is EXACTLY the pre-truncate
+    snapshot — hash-checked against the plain source projection."""
+    from event_streaming_toy_example_spark.operators import txsql
+
+    base = _build_truncated_table(spark, sf_dir)
+    txsql.tx_register(
+        spark, _os.path.join(base, "trunc_orders"), "trunc_orders"
+    )
+    return txsql.tx_sql(spark, """
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM trunc_orders
+    """)
+
+
+SQL_TX_TRUNCATE_RESTORE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
+EXT37_QUERIES = {
+    "tx_sql_catalog": q_tx_sql_catalog,
+    "tx_sql_constraints": q_tx_sql_constraints,
+    "tx_truncate_restore": q_tx_truncate_restore,
+}
+
+EXT37_ORACLES = {
+    "tx_sql_catalog": SQL_TX_SQL_CATALOG,
+    "tx_sql_constraints": SQL_TX_SQL_CONSTRAINTS,
+    "tx_truncate_restore": SQL_TX_TRUNCATE_RESTORE,
+}
