@@ -234,6 +234,7 @@ HEADLINE = [
     "tx_sql_catalog",
     "tx_sql_constraints",
     "tx_truncate_restore",
+    "tx_zorder_string_pruning",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -285,6 +286,7 @@ PRESTAGE = [
     "tx_auto_maintenance",
     "tx_sql_constraints",
     "tx_truncate_restore",
+    "tx_zorder_string_pruning",
 ]
 
 

@@ -352,6 +352,9 @@ FAMILY_REP: dict[str, str] = {
     # SQL-router + warehouse machinery, each with its own local oracle
     "tx_sql_constraints": "tx_sql_catalog",
     "tx_truncate_restore": "tx_sql_catalog",
+    # string-key Z-order (round 11 lifts the NUMERIC gate) joins the
+    # layout family; its staged build asserts both axes prune
+    "tx_zorder_string_pruning": "layout_compact_invariance",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

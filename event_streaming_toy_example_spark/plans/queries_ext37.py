@@ -231,14 +231,100 @@ SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 """
 
 
+# ------------------------------------------------ string-key Z-order
+
+
+def _build_string_zorder_table(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: part rows written ROW-MAJOR (shuffled on
+    p_partkey so p_name predicates prune nothing), then OPTIMIZE
+    ZORDER BY on the (string, numeric) pair — round 11's lifted gate
+    (``tx_compact``: strings rescale via their first 6 UTF-8 bytes,
+    monotone).  The build asserts BOTH axes became prunable; p_name is
+    the TPC-H string column with varied prefixes (a shared-prefix key
+    like ``Customer#...`` would collapse the 6-byte map — documented
+    limit, the same one stats prefix truncation has)."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        part = load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_type", "p_retailprice"
+        )
+        tx.tx_append(part.repartition(8), tmp)
+        n0 = len(tx.snapshot(tmp).files)
+        scan0, _ = tx.prune_files(tmp, [("p_name", "<", "d")])
+        assert len(scan0) == n0, "precondition: p_name unprunable"
+        total = sum(
+            tx.get_data_store(tmp).size(_os.path.join(tmp, f))
+            for f in tx.snapshot(tmp).files
+        )
+        v = tx.tx_compact(
+            spark, tmp, target_bytes=max(1, total // 16),
+            zorder_by=("p_name", "p_retailprice"),
+        )
+        assert v is not None
+        n = len(tx.snapshot(tmp).files)
+        # LOW cuts (~1/8 of each axis): a Morton file pins each
+        # dimension to a quarter-range at this file count, so a slice
+        # near the edge leaves most files provably disjoint — the same
+        # cut geometry the numeric zorder entry asserts
+        _, skip_name = tx.prune_files(tmp, [("p_name", "<", "d")])
+        hi_p = part.agg(F.max("p_retailprice")).collect()[0][0]
+        lo_p = part.agg(F.min("p_retailprice")).collect()[0][0]
+        cut_p = lo_p + (hi_p - lo_p) / 8
+        _, skip_price = tx.prune_files(
+            tmp, [("p_retailprice", "<", cut_p)]
+        )
+        assert len(skip_name) >= n // 3, (len(skip_name), n)
+        assert len(skip_price) >= n // 3, (len(skip_price), n)
+
+    return stage_dir_once(build, "txtable_zorder_string_v1", sf_dir)
+
+
+def q_tx_zorder_string_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A string-range read over the string+numeric Z-ordered table —
+    the pruned scan plus the row filter must equal the plain-filter
+    oracle exactly (pruning is an optimization, never a filter)."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    path = _build_string_zorder_table(spark, sf_dir)
+    out = tx.read_table(spark, path, where=[("p_name", "<", "m")])
+    return out.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+        F.min("p_name").alias("first_name"),
+        F.max("p_name").alias("last_name"),
+    )
+
+
+SQL_TX_ZORDER_STRING = """
+SELECT p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       MIN(p_name) AS first_name,
+       MAX(p_name) AS last_name
+FROM part
+WHERE p_name < 'm'
+GROUP BY p_type
+"""
+
+
 EXT37_QUERIES = {
     "tx_sql_catalog": q_tx_sql_catalog,
     "tx_sql_constraints": q_tx_sql_constraints,
     "tx_truncate_restore": q_tx_truncate_restore,
+    "tx_zorder_string_pruning": q_tx_zorder_string_pruning,
 }
 
 EXT37_ORACLES = {
     "tx_sql_catalog": SQL_TX_SQL_CATALOG,
     "tx_sql_constraints": SQL_TX_SQL_CONSTRAINTS,
     "tx_truncate_restore": SQL_TX_TRUNCATE_RESTORE,
+    "tx_zorder_string_pruning": SQL_TX_ZORDER_STRING,
 }

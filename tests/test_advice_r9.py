@@ -165,13 +165,77 @@ def test_feed_still_rejects_a_never_existed_column(spark, tmp_path):
 # ------------------------------------------------------------------ 4
 
 
-def test_zorder_on_non_numeric_column_raises_typed_error(
+def test_zorder_on_unsupported_column_raises_typed_error(
     spark, tmp_path
 ):
+    """Round 11 lifted the NUMERIC-only gate (string/date/timestamp
+    keys now rescale monotonically), so the typed rejection moves to
+    the genuinely unorderable-by-rescale types — a boolean key still
+    refuses BY NAME before any arithmetic."""
     p = str(tmp_path / "t")
-    tx.tx_append(_df(spark, _rows(8)).repartition(4), p)
-    with pytest.raises(ValueError, match="non-numeric type 'string'"):
-        tx.tx_compact(spark, p, zorder_by=("k", "v"))
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(8)], "k long, flag boolean"
+    )
+    tx.tx_append(df.repartition(4), p)
+    with pytest.raises(ValueError, match="'flag' has type 'boolean'"):
+        tx.tx_compact(spark, p, zorder_by=("k", "flag"))
+
+
+def test_zorder_on_string_column_clusters_and_prunes(spark, tmp_path):
+    """The round-11 string key: first-6-byte big-endian rescale —
+    after OPTIMIZE ZORDER BY (name, k), range predicates on BOTH the
+    string and the numeric axis prune files."""
+    import os
+    import random
+
+    p = str(tmp_path / "t")
+    rnd = random.Random(7)
+    names = [f"{c}{i:03d}" for c in "abcdefgh" for i in range(200)]
+    rnd.shuffle(names)
+    df = spark.createDataFrame(
+        [(n, i) for i, n in enumerate(names)], "name string, k long"
+    )
+    tx.tx_append(df.repartition(8), p)
+    scan0, _ = tx.prune_files(p, [("name", "<", "b")])
+    assert len(scan0) == len(tx.snapshot(p).files)
+    total = sum(
+        tx.get_data_store(p).size(os.path.join(p, f))
+        for f in tx.snapshot(p).files
+    )
+    assert tx.tx_compact(
+        spark, p, target_bytes=max(1, total // 16),
+        zorder_by=("name", "k"),
+    ) is not None
+    n = len(tx.snapshot(p).files)
+    _, skip_s = tx.prune_files(p, [("name", "<", "b")])
+    _, skip_k = tx.prune_files(p, [("k", "<", len(names) // 8)])
+    assert len(skip_s) >= n // 2, (len(skip_s), n)
+    assert len(skip_k) >= n // 2, (len(skip_k), n)
+    assert tx.read_table(spark, p).count() == len(names)
+
+
+def test_zorder_on_date_column_clusters_and_prunes(spark, tmp_path):
+    import datetime
+    import os
+
+    p = str(tmp_path / "t")
+    d0 = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(d0 + datetime.timedelta(days=i % 365), i) for i in range(2000)],
+        "d date, k long",
+    )
+    tx.tx_append(df.repartition(6), p)
+    total = sum(
+        tx.get_data_store(p).size(os.path.join(p, f))
+        for f in tx.snapshot(p).files
+    )
+    assert tx.tx_compact(
+        spark, p, target_bytes=max(1, total // 16), zorder_by=("d", "k")
+    ) is not None
+    n = len(tx.snapshot(p).files)
+    _, skip_d = tx.prune_files(p, [("d", "<", "2024-02-01")])
+    assert len(skip_d) >= n // 2, (len(skip_d), n)
+    assert tx.read_table(spark, p).count() == 2000
 
 
 def test_zorder_on_missing_column_still_raises_by_name(spark, tmp_path):
