@@ -235,6 +235,7 @@ HEADLINE = [
     "tx_sql_constraints",
     "tx_truncate_restore",
     "tx_zorder_string_pruning",
+    "tx_matview_join3",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -287,6 +288,7 @@ PRESTAGE = [
     "tx_sql_constraints",
     "tx_truncate_restore",
     "tx_zorder_string_pruning",
+    "tx_matview_join3",
 ]
 
 

@@ -355,6 +355,10 @@ FAMILY_REP: dict[str, str] = {
     # string-key Z-order (round 11 lifts the NUMERIC gate) joins the
     # layout family; its staged build asserts both axes prune
     "tx_zorder_string_pruning": "layout_compact_invariance",
+    # the N-way star matview generalizes the two-sided factorization
+    # the PRIMARY join-matview entry pins; it stays locally
+    # value-replayed with its own full-recompute oracle
+    "tx_matview_join3": "tx_matview_join",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

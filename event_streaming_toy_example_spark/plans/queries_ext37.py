@@ -315,11 +315,154 @@ GROUP BY p_type
 """
 
 
+# ------------------------------------------------ N-way star matview
+
+
+def _build_matview_star(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: a THREE-table star view (lineitem fact ⋈
+    orders dim ⋈ part dim, fact pre-filtered in the view spec),
+    maintained through a delta on EVERY side in ONE refresh —
+    fact delete, orders-dim update, part-dim group-migrating update —
+    spy-asserted to never re-read any source (the factorized-state
+    contract), exactly-once under the packed three-version token
+    (VERDICT r10 item 2)."""
+    import unittest.mock as _m
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.operators import (
+        matview_star as ms,
+    )
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    def build(tmp: str) -> None:
+        fact = _os.path.join(tmp, "fact")
+        d_ord = _os.path.join(tmp, "ord")
+        d_part = _os.path.join(tmp, "part")
+        dst = _os.path.join(tmp, "mv")
+        tx.tx_append(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey", "l_returnflag", "l_quantity"
+            ).repartitionByRange(4, "l_orderkey"),
+            fact,
+        )
+        tx.tx_append(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ).repartitionByRange(4, "o_orderkey"),
+            d_ord,
+        )
+        tx.tx_append(
+            load_table(spark, sf_dir, "part").select(
+                "p_partkey", "p_type"
+            ).repartitionByRange(4, "p_partkey"),
+            d_part,
+        )
+        ms.tx_create_matview_star(
+            spark, dst, fact,
+            dims=[
+                {"name": "ord", "src": d_ord,
+                 "on": [("l_orderkey", "o_orderkey")],
+                 "group_by": ["o_orderstatus"]},
+                {"name": "prt", "src": d_part,
+                 "on": [("l_partkey", "p_partkey")],
+                 "group_by": ["p_type"]},
+            ],
+            aggs={
+                "n": ("count", "*"),
+                "qty": ("sum", "fact.l_quantity"),
+                "avg_price": ("avg", "ord.o_totalprice"),
+            },
+            group_by_fact=["l_returnflag"],
+            filters={"fact": "l_quantity > 5"},
+        )
+        # one delta on EACH side, applied in ONE refresh
+        tx.tx_delete(spark, fact, [("l_returnflag", "=", "R")])
+        tx.tx_update(
+            spark, d_ord,
+            set={"o_totalprice": "o_totalprice + 1.0"},
+            where="o_orderkey % 10 = 0",
+        )
+        tx.tx_update(
+            spark, d_part,
+            set={"p_type": "'migrated'"},
+            where="p_partkey % 7 = 0",
+        )
+        calls = []
+        orig = tx.read_table
+
+        def spy(sp, path, *args, **kwargs):
+            calls.append(_os.path.abspath(path))
+            return orig(sp, path, *args, **kwargs)
+
+        with _m.patch.object(ms.tx, "read_table", side_effect=spy):
+            ms.tx_refresh_matview_star(spark, dst)
+        bad = set(calls) & {
+            _os.path.abspath(fact),
+            _os.path.abspath(d_ord),
+            _os.path.abspath(d_part),
+        }
+        assert not bad, f"star refresh re-read source table(s): {bad}"
+        applied, current = ms.matview_star_lag(dst)
+        assert applied == current
+        assert applied == {"fact": 2, "ord": 2, "prt": 2}
+
+    return stage_dir_once(build, "txtable_matview_star_v1", sf_dir)
+
+
+def q_tx_matview_join3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained three-table star view's public columns; double
+    aggregates rounded (2dp) because incremental addition order
+    legitimately differs from a one-pass recompute."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    base = _build_matview_star(spark, sf_dir)
+    out = tx.read_table(spark, _os.path.join(base, "mv"))
+    return out.select(
+        "l_returnflag",
+        "o_orderstatus",
+        "p_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("qty"), 2).alias("qty"),
+        F.round(F.col("avg_price"), 2).alias("avg_price"),
+    )
+
+
+SQL_TX_MATVIEW_JOIN3 = """
+WITH f AS (
+  SELECT l_orderkey, l_partkey, l_returnflag, l_quantity
+  FROM lineitem
+  WHERE l_quantity > 5 AND l_returnflag <> 'R'
+), o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), p AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 7 = 0 THEN 'migrated' ELSE p_type END
+           AS p_type
+  FROM part
+)
+SELECT f.l_returnflag, o.o_orderstatus, p.p_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(f.l_quantity), 2) AS qty,
+       ROUND(AVG(o.o_totalprice), 2) AS avg_price
+FROM f
+JOIN o ON f.l_orderkey = o.o_orderkey
+JOIN p ON f.l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
+"""
+
+
 EXT37_QUERIES = {
     "tx_sql_catalog": q_tx_sql_catalog,
     "tx_sql_constraints": q_tx_sql_constraints,
     "tx_truncate_restore": q_tx_truncate_restore,
     "tx_zorder_string_pruning": q_tx_zorder_string_pruning,
+    "tx_matview_join3": q_tx_matview_join3,
 }
 
 EXT37_ORACLES = {
@@ -327,4 +470,5 @@ EXT37_ORACLES = {
     "tx_sql_constraints": SQL_TX_SQL_CONSTRAINTS,
     "tx_truncate_restore": SQL_TX_TRUNCATE_RESTORE,
     "tx_zorder_string_pruning": SQL_TX_ZORDER_STRING,
+    "tx_matview_join3": SQL_TX_MATVIEW_JOIN3,
 }
