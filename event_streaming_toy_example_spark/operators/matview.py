@@ -277,8 +277,6 @@ def tx_refresh_matview(spark: SparkSession, dst: str) -> int | None:
     re-run and crash-replay: the MERGE carries the ``("matview",
     source_version)`` token, so an already-applied refresh is a
     no-op."""
-    import pandas as pd
-
     spec = (tx.table_properties(dst) or {}).get("__matview")
     if not spec:
         raise ValueError(
@@ -292,17 +290,15 @@ def tx_refresh_matview(spark: SparkSession, dst: str) -> int | None:
     if cur <= applied:
         return None
     cols = group_by + _input_cols(aggs)
-    olds, news = [], []
-    for v in range(applied + 1, cur + 1):
-        o, n = tx.commit_change_rows(src, v, [], cols, frames=True)
-        if not o.empty:
-            olds.append(o)
-        if not n.empty:
-            news.append(n)
-    empty = pd.DataFrame(columns=cols)
-    old = pd.concat(olds, ignore_index=True) if olds else empty
-    new = pd.concat(news, ignore_index=True) if news else empty
-    if old.empty and new.empty:
+    # ONE weighted change frame (removed −1 / added +1) — driver-side
+    # pandas for steady micro-batch deltas, EXECUTOR-PARALLEL past the
+    # DIST_DELTA_ROWS estimate so a backfill-scale commit never
+    # materializes on the driver (VERDICT r10 item 3; shared with the
+    # join matviews)
+    from .matview_join import _weighted_delta_rows
+
+    wdf = _weighted_delta_rows(spark, src, applied, cur, cols)
+    if wdf is None:
         # metadata-only commits: just advance the watermark
         return tx.tx_merge(
             spark, dst,
@@ -313,19 +309,23 @@ def tx_refresh_matview(spark: SparkSession, dst: str) -> int | None:
             stream_txn=(_APP, cur),
         )
     delta = spec.get("mode", "delta") == "delta"
-    if delta and _kmv_outs(aggs) and not old.empty:
+    if delta and _kmv_outs(aggs) and _window_has_removals(
+        src, applied, cur
+    ):
         # a KMV set cannot retract a removed hash (another live row
         # may still carry the key): a delta that deletes rows falls
         # back to recomputing the affected groups from source —
         # O(affected groups), the same path min/max always takes.
         # Append-only refreshes (the common sketch workload) stay
-        # O(delta).
+        # O(delta).  The removal check is commit METADATA (remove
+        # lists / DV entries), never a row scan.
         delta = False
+    keys = _affected_keys_df(spark, group_by, wdf)
     if delta:
-        source = _delta_source(spark, dst, group_by, aggs, old, new)
+        source = _delta_source(spark, dst, group_by, aggs, wdf, keys)
     else:
         source = _recompute_source(
-            spark, src, dst, group_by, aggs, old, new,
+            spark, src, dst, group_by, aggs, keys,
             internals=spec.get("mode", "delta") == "delta",
         )
     return tx.tx_merge(
@@ -338,73 +338,69 @@ def tx_refresh_matview(spark: SparkSession, dst: str) -> int | None:
     )
 
 
-def _affected_keys_df(spark, group_by, old, new):
-    import pandas as pd
+def _window_has_removals(src: str, lo: int, hi: int) -> bool:
+    """Did any commit in ``(lo, hi]`` remove or deletion-vector a
+    file?  Commit-metadata only.  Conservative for compactions (they
+    remove files but change no rows): the cost is a recompute
+    fallback, never a wrong answer."""
+    for v in range(lo + 1, hi + 1):
+        c = tx._read_commit(src, v)
+        if c.remove or c.dv:
+            return True
+    return False
 
-    keys = pd.concat(
-        [old[group_by], new[group_by]], ignore_index=True
-    ).drop_duplicates()
-    bad = keys.isna().any(axis=1)
-    if bad.any():
+
+def _affected_keys_df(spark, group_by, wdf: DataFrame) -> DataFrame:
+    keys = wdf.select(*group_by).distinct()
+    null_pred = None
+    for g in group_by:
+        p = F.col(g).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if keys.where(null_pred).limit(1).count():
         raise ValueError(
             "matview refresh: NULL group-by key in the change delta — "
             "the merge key-equality contract cannot address a NULL "
             "group; filter nulls upstream or group on a coalesced key"
         )
-    return spark.createDataFrame(keys)
+    return keys
 
 
-def _delta_source(spark, dst, group_by, aggs, old, new) -> DataFrame:
+def _delta_source(spark, dst, group_by, aggs, wdf, keys) -> DataFrame:
     """Per-group adjusted values: current view row (if any) plus the
-    (new − old) deltas, entirely from the change frames — O(delta)."""
-    def side(df, tag):
-        if df.empty:
-            return None
-        sdf = spark.createDataFrame(df)
-        exprs = [F.count(F.lit(1)).cast("long").alias(f"__d_rows_{tag}")]
-        for out, (fn, col) in aggs.items():
-            if fn == "count":
-                if col != "*":
-                    # count(col): a sum-of-non-null-indicator delta
-                    exprs.append(
-                        F.count(col).cast("long")
-                        .alias(f"__d_cnt_{out}_{tag}")
-                    )
-                continue
-            if fn == "approx_distinct":
-                continue  # sketch deltas come from the hash frame
-            exprs.append(F.sum(col).alias(f"__d_sum_{out}_{tag}"))
-            if fn == "avg":
+    SIGNED deltas aggregated straight off the weighted change frame —
+    O(delta), one pass, no per-side split."""
+    w = F.col("__w")
+    exprs = [F.sum(w).cast("long").alias("__d_rows")]
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            if col != "*":
                 exprs.append(
-                    F.count(col).cast("long").alias(f"__d_cnt_{out}_{tag}")
+                    F.sum(
+                        F.when(F.col(col).isNotNull(), w).otherwise(0)
+                    ).cast("long").alias(f"__d_cnt_{out}")
                 )
-        return sdf.groupBy(*group_by).agg(*exprs)
-
-    keys = _affected_keys_df(spark, group_by, old, new)
-    o, n = side(old, "o"), side(new, "n")
-    d = keys
-    for s in (o, n):
-        if s is not None:
-            d = d.join(s, group_by, "left")
+            continue
+        if fn == "approx_distinct":
+            continue  # sketch deltas come from the hash frame
+        exprs.append(F.sum(w * F.col(col)).alias(f"__d_sum_{out}"))
+        if fn == "avg":
+            exprs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), w).otherwise(0)
+                ).cast("long").alias(f"__d_cnt_{out}")
+            )
+    d = wdf.groupBy(*group_by).agg(*exprs)
     z = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
 
     def dcol(base):
-        names = [
-            nm for nm in (f"{base}_n", f"{base}_o") if nm in d.columns
-        ]
-        if not names:
-            return F.lit(0)
-        pos = z(names[0]) if names[0].endswith("_n") else -z(names[0])
-        if len(names) == 1:
-            return pos
-        return z(f"{base}_n") - z(f"{base}_o")
+        return z(base)
 
     # sketch deltas: per-group KMV of the NEW rows only (the caller
     # routes any refresh with removed rows to _recompute_source when
-    # sketches are present, so old is empty here)
+    # sketches are present, so the +1 rows ARE the whole window here)
     sketch_outs = _kmv_outs(aggs)
-    if sketch_outs and not new.empty:
-        new_sdf = spark.createDataFrame(new)
+    if sketch_outs:
+        new_sdf = wdf.where(w == 1)
         for out, col in sketch_outs:
             dk = _kmv_agg_df(new_sdf, group_by, col, out)
             d = d.join(
@@ -470,7 +466,7 @@ def _delta_source(spark, dst, group_by, aggs, old, new) -> DataFrame:
     return source
 
 
-def _recompute_source(spark, src, dst, group_by, aggs, old, new,
+def _recompute_source(spark, src, dst, group_by, aggs, keys,
                       internals: bool = False) -> DataFrame:
     """Recompute the affected groups from the CURRENT source snapshot
     (min/max are not retractable; neither is a KMV hash); groups with
@@ -478,7 +474,6 @@ def _recompute_source(spark, src, dst, group_by, aggs, old, new,
     delta-mode ``__sum_/__cnt_`` columns in the output when the view's
     schema carries them (a sketch-delete fallback inside delta
     mode)."""
-    keys = _affected_keys_df(spark, group_by, old, new)
     base = tx.read_table(spark, src).join(
         F.broadcast(keys), group_by, "left_semi"
     )

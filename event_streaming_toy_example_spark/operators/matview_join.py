@@ -335,21 +335,63 @@ def _change_frames(src: str, lo: int, hi: int, cols: Sequence[str]):
     return olds, news
 
 
-def _delta_state(
-    spark: SparkSession,
-    frames: tuple,
-    on: Sequence[str],
-    group: Sequence[str],
-    cols: Sequence[str],
-    state_schema,
+#: changed-row estimate above which a refresh builds its delta from
+#: the EXECUTOR-PARALLEL feed reader instead of driver pandas (VERDICT
+#: r10 item 3).  The driver path is right for steady micro-batch
+#: deltas (it skips a Spark job per side); a backfill-scale commit
+#: would pressure the driver with O(changed rows) pandas, so past this
+#: bound the rows flow executor-side (``txfeed.tx_change_rows_dist``)
+#: and the driver holds only commit metadata.  Tests monkeypatch it.
+DIST_DELTA_ROWS = 200_000
+
+
+def _estimated_change_rows(src: str, lo: int, hi: int) -> int:
+    """Metadata-only upper-bound estimate of the change window's row
+    volume: added rows from each commit's own file stats, removed rows
+    from the pre-commit snapshot's stats (DV deltas ride the same
+    commits and are strictly smaller).  O(commits) log reads, no data
+    touched."""
+    def _file_rows(fstats: dict | None) -> int:
+        # "rows" lives inside each column's stat record
+        if not fstats:
+            return 0
+        return max(
+            (int(cs.get("rows", 0) or 0) for cs in fstats.values()),
+            default=0,
+        )
+
+    total = 0
+    for v in range(lo + 1, hi + 1):
+        c = tx._read_commit(src, v)
+        st = c.stats or {}
+        for f in c.add:
+            total += _file_rows(st.get(f))
+        if c.remove:
+            prev = tx.snapshot(src, v - 1)
+            pst = (prev.stats or {}) if prev is not None else {}
+            for f in c.remove:
+                total += _file_rows(pst.get(f))
+    return total
+
+
+def _weighted_delta_rows(
+    spark: SparkSession, src: str, lo: int, hi: int, cols: Sequence[str]
 ) -> DataFrame | None:
-    """Signed per-(key, group) summary from the change frames.  None
-    when the side saw no row changes.  Output columns are cast to the
-    state table's types so delta arithmetic can never drift the
-    schema (pandas upcasts nullable ints to float)."""
+    """The change window's row multisets as ONE weighted frame
+    (removed −1 / added +1), or None when nothing changed.  Small
+    windows concatenate driver-side pandas (no job); windows past
+    :data:`DIST_DELTA_ROWS` build executor-parallel."""
     import pandas as pd
 
-    olds, news = frames
+    if hi <= lo:
+        return None
+    if _estimated_change_rows(src, lo, hi) > DIST_DELTA_ROWS:
+        from event_streaming_toy_example_spark.sources.txfeed import (
+            tx_change_rows_dist,
+        )
+
+        return tx_change_rows_dist(spark, src, lo, hi, cols)
+    olds, news = _change_frames(src, lo, hi, cols)
     if not olds and not news:
         return None
     pieces = []
@@ -358,8 +400,24 @@ def _delta_state(
             f = f.copy()
             f["__w"] = w
             pieces.append(f)
-    pdf = pd.concat(pieces, ignore_index=True)
-    sdf = spark.createDataFrame(pdf).where(_key_ok(on))
+    return spark.createDataFrame(pd.concat(pieces, ignore_index=True))
+
+
+def _delta_state(
+    spark: SparkSession,
+    wdf: DataFrame | None,
+    on: Sequence[str],
+    group: Sequence[str],
+    cols: Sequence[str],
+    state_schema,
+) -> DataFrame | None:
+    """Signed per-(key, group) summary from the weighted change rows.
+    None when the side saw no row changes.  Output columns are cast to
+    the state table's types so delta arithmetic can never drift the
+    schema (pandas upcasts nullable ints to float)."""
+    if wdf is None:
+        return None
+    sdf = wdf.where(_key_ok(on))
     for g in group:
         if sdf.where(F.col(g).isNull()).limit(1).count():
             raise ValueError(
@@ -428,11 +486,13 @@ def tx_refresh_matview_join(spark: SparkSession, dst: str) -> int | None:
     sa_old = tx.read_table(spark, spec["state_a"])
     sb_old = tx.read_table(spark, spec["state_b"])
     d_a = _delta_state(
-        spark, _change_frames(spec["src_a"], pa, ca, on + ga + cols_a),
+        spark,
+        _weighted_delta_rows(spark, spec["src_a"], pa, ca, on + ga + cols_a),
         on, ga, cols_a, sa_old.schema,
     )
     d_b = _delta_state(
-        spark, _change_frames(spec["src_b"], pb, cb, on + gb + cols_b),
+        spark,
+        _weighted_delta_rows(spark, spec["src_b"], pb, cb, on + gb + cols_b),
         on, gb, cols_b, sb_old.schema,
     )
     if d_a is None and d_b is None:
@@ -523,7 +583,8 @@ def _advance_states(spark, spec, on, ga, gb, parsed, token) -> None:
         keys = list(on) + list(group)
         state = tx.read_table(spark, path)
         delta = _delta_state(
-            spark, _change_frames(src, start, target, keys + cols),
+            spark,
+            _weighted_delta_rows(spark, src, start, target, keys + cols),
             on, group, cols, state.schema,
         )
         if delta is None:

@@ -68,11 +68,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import txtable as tx
 from .matview_join import (
-    _change_frames,
     _key_ok,
     _merge_states,
     _state_aggs,
     _tagged,
+    _weighted_delta_rows,
     _z,
 )
 
@@ -494,26 +494,18 @@ def _delta_state_star(
     the star twin of matview_join's _delta_state, adding the dim
     column RENAME (feed columns carry source names) and the side's
     pre-join filter (applied to old and new rows alike; a per-row
-    filter commutes with the multiset delta)."""
-    import pandas as pd
-
+    filter commutes with the multiset delta).  The weighted rows come
+    from the shared two-path builder: driver pandas for steady
+    deltas, executor-parallel past DIST_DELTA_ROWS."""
     src_cols = list(
         dict.fromkeys(
             side["colmap"].get(c, c)
             for c in side["keys"] + side["group"] + list(cols_agg)
         )
     )
-    olds, news = _change_frames(side["src"], lo, hi, src_cols)
-    if not olds and not news:
+    sdf = _weighted_delta_rows(spark, side["src"], lo, hi, src_cols)
+    if sdf is None:
         return None
-    pieces = []
-    for dfs, w in ((olds, -1), (news, 1)):
-        for f in dfs:
-            f = f.copy()
-            f["__w"] = w
-            pieces.append(f)
-    pdf = pd.concat(pieces, ignore_index=True)
-    sdf = spark.createDataFrame(pdf)
     # canonicalize dim key names, then filter and key-null-drop
     for fc, dc in side["colmap"].items():
         if fc != dc:

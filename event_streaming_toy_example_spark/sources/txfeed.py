@@ -94,6 +94,76 @@ def _feed_schema(table_path: str, keys: Sequence[str], content: Sequence[str]):
     return StructType(fields)
 
 
+def tx_change_rows_dist(
+    spark: SparkSession,
+    path: str,
+    lo: int,
+    hi: int,
+    cols: Sequence[str],
+) -> DataFrame:
+    """BATCH distributed change rows for versions ``(lo, hi]`` as ONE
+    weighted DataFrame: the removed-live multiset carries ``__w = -1``,
+    the added-live multiset ``__w = +1`` (a rewritten-but-unchanged
+    row cancels) — exactly the ``commit_change_rows(frames=True)``
+    shape, computed EXECUTOR-SIDE one task per commit so a
+    backfill-scale commit's delta bytes never pass through the driver
+    (VERDICT r10 item 3: the matview refresh's big-delta path).
+
+    The per-commit work is the same O(commit delta) reader the
+    streaming partitions run; driver planning is O(commits).  A single
+    giant commit is one task — bounded by an executor's memory, the
+    partition-level bound every distributed scan lives with."""
+    import json as _json
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema_json = tx._current_schema(path)
+    if schema_json is None:
+        raise ValueError(
+            f"tx_change_rows_dist on a table with no commits: {path}"
+        )
+    logged = StructType.fromJson(_json.loads(schema_json))
+    by_name = {f.name: f for f in logged.fields}
+    fields = []
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(
+                f"column '{c}' not in the table schema at {path}"
+            )
+        fields.append(StructField(c, by_name[c].dataType, True))
+    fields.append(StructField("__w", IntegerType(), False))
+    out_schema = StructType(fields)
+    versions = list(range(lo + 1, hi + 1))
+    if not versions:
+        return spark.createDataFrame([], out_schema)
+    want = list(cols)
+
+    def gen(batches):
+        import pandas as pd  # noqa: F401
+
+        from event_streaming_toy_example_spark.operators import (
+            txtable as _tx,
+        )
+
+        for pdf in batches:
+            for v in pdf["v"]:
+                o, n = _tx.commit_change_rows(
+                    path, int(v), [], want, frames=True
+                )
+                for frame, w in ((o, -1), (n, 1)):
+                    if frame.empty:
+                        continue
+                    frame = frame[want].copy()
+                    frame["__w"] = w
+                    yield frame
+
+    return (
+        spark.createDataFrame([(v,) for v in versions], "v long")
+        .repartition(len(versions))
+        .mapInPandas(gen, out_schema)
+    )
+
+
 if SimpleDataSourceStreamReader is not None:
 
     class TxFeedStreamReader(SimpleDataSourceStreamReader):
