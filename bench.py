@@ -236,6 +236,7 @@ HEADLINE = [
     "tx_truncate_restore",
     "tx_zorder_string_pruning",
     "tx_matview_join3",
+    "tx_auto_vacuum",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -289,6 +290,7 @@ PRESTAGE = [
     "tx_truncate_restore",
     "tx_zorder_string_pruning",
     "tx_matview_join3",
+    "tx_auto_vacuum",
 ]
 
 

@@ -1005,6 +1005,9 @@ def tx_set_maintenance(
     path: str,
     small_file_bytes: int = 32 * 1024 * 1024,
     small_file_count: int = 16,
+    vacuum_retain_versions: int | None = None,
+    vacuum_min_age_seconds: float = 3600.0,
+    mode: str = "sync",
 ) -> int:
     """Declare an AUTO-MAINTENANCE policy (property commit, VERDICT r9
     item 4): after every data commit through the write operators, if
@@ -1021,11 +1024,34 @@ def tx_set_maintenance(
     COUNT exceeds the policy count (a snapshot metadata read); only
     then does it HEAD file sizes to confirm.  Two writers racing the
     same trigger are OCC-safe — compaction validates its victims, the
-    loser aborts quietly, exactly one rewrite lands."""
+    loser aborts quietly, exactly one rewrite lands.
+
+    Round-11 extensions (VERDICT r10 item 5):
+
+    - ``vacuum_retain_versions`` — when set, a retention-windowed
+      :func:`vacuum` runs after each auto-compaction LANDS (the
+      rewrite is exactly what creates unreferenced files, so the walk
+      never runs without fresh garbage to collect), bounded by
+      ``vacuum_min_age_seconds``'s in-flight-writer guard.
+    - ``mode="async"`` — the post-commit hook hands the whole
+      maintenance cycle to a single background worker instead of
+      running it inside the committing writer's latency path: the
+      commit returns immediately, OCC keeps racing writers safe, and
+      :func:`drain_maintenance` awaits (and re-raises from) queued
+      work for tests and orderly shutdown."""
     if small_file_bytes <= 0 or small_file_count <= 0:
         raise ValueError(
             "tx_set_maintenance: small_file_bytes and small_file_count "
             "must be positive"
+        )
+    if mode not in ("sync", "async"):
+        raise ValueError(
+            f"tx_set_maintenance: mode must be 'sync' or 'async', "
+            f"got {mode!r}"
+        )
+    if vacuum_retain_versions is not None and vacuum_retain_versions < 1:
+        raise ValueError(
+            "tx_set_maintenance: vacuum_retain_versions must be >= 1"
         )
     state = _fold_state(path)
     if state is None:
@@ -1034,13 +1060,111 @@ def tx_set_maintenance(
         )
 
     def _set(props: dict) -> dict:
-        props["__maintenance"] = {
+        policy = {
             "small_file_bytes": int(small_file_bytes),
             "small_file_count": int(small_file_count),
+            "mode": mode,
         }
+        if vacuum_retain_versions is not None:
+            policy["vacuum_retain_versions"] = int(vacuum_retain_versions)
+            policy["vacuum_min_age_seconds"] = float(
+                vacuum_min_age_seconds
+            )
+        props["__maintenance"] = policy
         return props
 
     return _tx_update_properties(path, "tx_set_maintenance", _set)
+
+
+_MAINT_POOL = None
+_MAINT_FUTURES: list = []
+_MAINT_POOL_LOCK = _threading.Lock()
+
+
+def _maint_submit(fn, *args) -> None:
+    """Queue one maintenance cycle on the shared single-thread worker
+    (serialized: concurrent cycles on one table would just OCC-abort
+    each other)."""
+    global _MAINT_POOL
+    from concurrent.futures import ThreadPoolExecutor
+
+    with _MAINT_POOL_LOCK:
+        if _MAINT_POOL is None:
+            _MAINT_POOL = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="tx-maintenance"
+            )
+        _MAINT_FUTURES.append(_MAINT_POOL.submit(fn, *args))
+
+
+def drain_maintenance(timeout: float = 120.0) -> int:
+    """Block until every queued async maintenance cycle finishes,
+    re-raising the first failure; returns how many cycles were
+    awaited.  Deterministic hook for tests and orderly shutdown —
+    production writers never call it (that is the point of async)."""
+    with _MAINT_POOL_LOCK:
+        futures, _MAINT_FUTURES[:] = list(_MAINT_FUTURES), []
+    for f in futures:
+        f.result(timeout)
+    return len(futures)
+
+
+def _maintenance_due(path: str, policy: dict,
+                     state: "_State | None" = None) -> int | None:
+    """The policy's small-file trigger: the byte cap when MORE than
+    ``small_file_count`` live files are smaller than it, else None.
+    Free until the file COUNT crosses the policy (snapshot metadata);
+    only then HEADs sizes to confirm."""
+    if state is None:
+        v = table_version(path)
+        if v == 0:
+            return None
+        state = _fold_state_memo(path, v)
+        if state is None:
+            return None
+    count_cap = int(policy["small_file_count"])
+    files = list(state.files)
+    if len(files) <= count_cap:
+        return None  # free precondition: file count from metadata
+    byte_cap = int(policy["small_file_bytes"])
+    store = get_data_store(path)
+    small = 0
+    for f in files:
+        try:
+            if store.size(os.path.join(path, f)) < byte_cap:
+                small += 1
+        except OSError:
+            return None  # racing vacuum/writer: skip this cycle
+        if small > count_cap:
+            return byte_cap
+    return None
+
+
+def _run_maintenance(spark: SparkSession, path: str, byte_cap: int,
+                     policy: dict) -> int | None:
+    """One maintenance cycle: the sized compaction, then (policy
+    permitting) the retention-windowed vacuum over the garbage the
+    rewrite just created.  OCC losses exit quietly.  The small-file
+    trigger is RE-CHECKED here — under async mode every triggering
+    commit queues a cycle, and all but the first land AFTER the first
+    cycle's rewrite already bounded the file count; without the
+    re-check each stale cycle would re-compact an already-compacted
+    table."""
+    if _maintenance_due(path, policy) is None:
+        return None
+    try:
+        v = tx_compact(spark, path, small_file_bytes=byte_cap)
+    except ConcurrentWriteError:
+        return None  # another writer's auto-compaction won the race
+    if v is not None and policy.get("vacuum_retain_versions"):
+        vacuum(
+            path,
+            retain_versions=int(policy["vacuum_retain_versions"]),
+            min_age_seconds=float(
+                policy.get("vacuum_min_age_seconds", 3600.0)
+            ),
+            spark=spark,
+        )
+    return v
 
 
 def maybe_auto_maintain(spark: SparkSession, path: str) -> int | None:
@@ -1062,27 +1186,15 @@ def maybe_auto_maintain(spark: SparkSession, path: str) -> int | None:
     policy = (state.properties or {}).get("__maintenance")
     if not policy:
         return None
-    count_cap = int(policy["small_file_count"])
-    files = list(state.files)
-    if len(files) <= count_cap:
-        return None  # free precondition: file count from metadata
-    byte_cap = int(policy["small_file_bytes"])
-    store = get_data_store(path)
-    small = 0
-    for f in files:
-        try:
-            if store.size(os.path.join(path, f)) < byte_cap:
-                small += 1
-        except OSError:
-            return None  # racing vacuum/writer: skip this cycle
-        if small > count_cap:
-            break
-    if small <= count_cap:
+    byte_cap = _maintenance_due(path, policy, state)
+    if byte_cap is None:
         return None
-    try:
-        return tx_compact(spark, path, small_file_bytes=byte_cap)
-    except ConcurrentWriteError:
-        return None  # another writer's auto-compaction won the race
+    if policy.get("mode") == "async":
+        # the committing writer never pays the rewrite: the cycle runs
+        # on the background worker, OCC-safe against every other writer
+        _maint_submit(_run_maintenance, spark, path, byte_cap, policy)
+        return None
+    return _run_maintenance(spark, path, byte_cap, policy)
 
 
 def _commit_and_maintain(spark: SparkSession | None, path: str,

@@ -359,6 +359,9 @@ FAMILY_REP: dict[str, str] = {
     # the PRIMARY join-matview entry pins; it stays locally
     # value-replayed with its own full-recompute oracle
     "tx_matview_join3": "tx_matview_join",
+    # async auto-maintenance + retention-windowed auto-vacuum extends
+    # the layout family's policy surface (rep pins compact invariance)
+    "tx_auto_vacuum": "layout_compact_invariance",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family
