@@ -237,6 +237,7 @@ HEADLINE = [
     "tx_zorder_string_pruning",
     "tx_matview_join3",
     "tx_auto_vacuum",
+    "tx_stream_sql",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -291,6 +292,7 @@ PRESTAGE = [
     "tx_zorder_string_pruning",
     "tx_matview_join3",
     "tx_auto_vacuum",
+    "tx_stream_sql",
 ]
 
 

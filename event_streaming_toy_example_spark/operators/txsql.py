@@ -214,6 +214,63 @@ def _spark_sql(spark: SparkSession, stmt: str) -> DataFrame:
             tried.add(name)
 
 
+def tx_stream_view(
+    spark: SparkSession,
+    name: str,
+    view: str | None = None,
+    where: str | None = None,
+    **options,
+):
+    """Register the table's STREAMING source under a temp view so the
+    rest of the query is pure SQL text — the streaming twin of
+    :func:`txtable.tx_view` (VERDICT r10 item 7):
+
+        tx_stream_view(spark, "events", where="k >= 10")
+        q = spark.sql("SELECT k, count(*) n FROM events_stream "
+                      "GROUP BY k").writeStream...
+
+    ``name`` resolves through the session map / warehouse catalog like
+    every other statement.  ``where`` is REAL SQL text compiled by the
+    same clause compiler the DML router uses (``_compile_clauses`` +
+    the stats-type guard) onto the streaming source's clause-JSON
+    option — so pushdown reaches the per-commit stats/bloom pruning
+    without anyone hand-writing JSON.  A predicate richer than a
+    conjunction of ``col op literal`` / ``col IN (...)`` is refused BY
+    NAME: the streaming DataSource API has no planner hook, so an
+    un-pushable residue would otherwise be dropped silently — put rich
+    predicates in the SQL OVER the view instead (they run row-exact on
+    the stream).  Extra ``options`` pass through to the source
+    (``skipChangeCommits``, ``startingVersion``, ...).  Returns the
+    streaming DataFrame (also reachable as the temp view)."""
+    import json as _json
+
+    from event_streaming_toy_example_spark.sources import txsource
+
+    path = _resolve(spark, name)
+    txsource.register(spark)
+    reader = spark.readStream.format("txtable").option("path", path)
+    if where is not None:
+        clauses = _compile_clauses(where)
+        if not clauses or not _clauses_typed_ok(clauses, path):
+            raise ValueError(
+                "tx_stream_view: the where option takes a conjunction "
+                "of col-op-literal clauses (the streaming source prunes "
+                f"through stats, never filters residue); cannot push "
+                f"{where!r} — apply rich predicates in SQL over the "
+                "view instead"
+            )
+        reader = reader.option(
+            "where",
+            _json.dumps([[c, o, list(v) if isinstance(v, tuple) else v]
+                         for c, o, v in clauses]),
+        )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    df = reader.load()
+    df.createOrReplaceTempView(view or f"{name}_stream")
+    return df
+
+
 # ------------------------------------------------------------- lexing
 
 

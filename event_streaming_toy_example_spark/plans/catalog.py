@@ -362,6 +362,9 @@ FAMILY_REP: dict[str, str] = {
     # async auto-maintenance + retention-windowed auto-vacuum extends
     # the layout family's policy surface (rep pins compact invariance)
     "tx_auto_vacuum": "layout_compact_invariance",
+    # the pure-SQL streaming-view twin of the option-JSON streaming
+    # source entry (the change-feed follower rep carries the family)
+    "tx_stream_sql": "tx_feed_follower",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

@@ -517,6 +517,63 @@ SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 """
 
 
+# ------------------------------------ streaming source from SQL text
+
+
+def q_tx_stream_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming txtable source reached ENTIRELY from SQL text
+    (VERDICT r10 item 7): ``tx_stream_view`` registers the stream
+    under a temp view with the WHERE string compiled by the DML
+    router's clause compiler onto the source's pushdown option, and
+    the query over it is plain SQL — same rows as the option-JSON
+    twin (``tx_stream_source``), same checkpoint-restart contract
+    (pinned in tests/test_txsource_stream.py)."""
+    import uuid as _uuid
+
+    from event_streaming_toy_example_spark.operators import txsql
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        await_or_raise,
+    )
+    from event_streaming_toy_example_spark.plans.queries_ext36 import (
+        _build_stream_src,
+    )
+
+    path = _build_stream_src(spark, sf_dir)
+    txsql.tx_register(spark, path, "txsql_stream_events")
+    view = f"txsql_stream_{_uuid.uuid4().hex[:8]}"
+    txsql.tx_stream_view(
+        spark, "txsql_stream_events", view=view, where="value >= 50.0"
+    )
+    agg = txsql.tx_sql(spark, f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cc
+        FROM {view}
+        GROUP BY event_type
+    """)
+    name = f"txsqlstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, "tx_stream_sql")
+    return spark.table(name)
+
+
+SQL_TX_STREAM_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cc
+FROM events
+WHERE value >= 50.0
+GROUP BY event_type
+"""
+
+
 EXT37_QUERIES = {
     "tx_sql_catalog": q_tx_sql_catalog,
     "tx_sql_constraints": q_tx_sql_constraints,
@@ -524,6 +581,7 @@ EXT37_QUERIES = {
     "tx_zorder_string_pruning": q_tx_zorder_string_pruning,
     "tx_matview_join3": q_tx_matview_join3,
     "tx_auto_vacuum": q_tx_auto_vacuum,
+    "tx_stream_sql": q_tx_stream_sql,
 }
 
 EXT37_ORACLES = {
@@ -533,4 +591,5 @@ EXT37_ORACLES = {
     "tx_zorder_string_pruning": SQL_TX_ZORDER_STRING,
     "tx_matview_join3": SQL_TX_MATVIEW_JOIN3,
     "tx_auto_vacuum": SQL_TX_AUTO_VACUUM,
+    "tx_stream_sql": SQL_TX_STREAM_SQL,
 }

@@ -173,3 +173,88 @@ def test_clone_create_with_inherited_dvs_is_a_change_commit(spark, tmp_path):
     # as a plain append would resurrect the deleted row
     with pytest.raises(Exception, match="deletion vector"):
         _drain(spark, tmp_path, dst, ck_name="ck_cl")
+
+
+# --------------------- round 11: SQL surface over the streaming source
+
+
+def _drain_view(spark, tmp_path, view_sql, ck_name="ckv"):
+    seen: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        seen.extend(tuple(row) for row in batch_df.collect())
+
+    q = (
+        spark.sql(view_sql)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / ck_name))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    return seen
+
+
+def test_stream_view_sql_text_with_where_pushdown(spark, tmp_path):
+    """tx_stream_view: the streaming source reached from SQL text — a
+    REAL WHERE string compiled by the DML router's clause compiler
+    onto the source's clause option; the SQL over the view sees
+    exactly the predicate's rows."""
+    from event_streaming_toy_example_spark.operators import txsql
+
+    p = _stage(spark, tmp_path)
+    txsql.tx_register(spark, p, "tsv_events")
+    txsql.tx_stream_view(
+        spark, "tsv_events", view="tsv_stream", where="amt >= 15.0"
+    )
+    seen = _drain_view(
+        spark, tmp_path, "SELECT k, grp, amt FROM tsv_stream"
+    )
+    want = [
+        (i, i % 3, float(i)) for i in range(30) if float(i) >= 15.0
+    ]
+    assert sorted(seen) == sorted(want)
+
+
+def test_stream_view_rich_predicate_refused_by_name(spark, tmp_path):
+    from event_streaming_toy_example_spark.operators import txsql
+
+    p = _stage(spark, tmp_path)
+    txsql.tx_register(spark, p, "tsv_rich")
+    with pytest.raises(ValueError, match="cannot push"):
+        txsql.tx_stream_view(
+            spark, "tsv_rich", where="amt >= 15.0 OR grp = 1"
+        )
+    # a typed-mismatch literal (string vs double column) also refuses:
+    # a silently mis-typed pushdown could prune live rows
+    with pytest.raises(ValueError, match="cannot push"):
+        txsql.tx_stream_view(spark, "tsv_rich", where="amt >= 'x'")
+
+
+def test_stream_view_restart_resumes_exactly_once(spark, tmp_path):
+    """The checkpoint-restart contract holds through the SQL view:
+    rows committed between runs arrive exactly once."""
+    from event_streaming_toy_example_spark.operators import txsql
+
+    p = _stage(spark, tmp_path, commits=2)
+    txsql.tx_register(spark, p, "tsv_rst")
+    txsql.tx_stream_view(spark, "tsv_rst", view="tsv_rst_stream")
+    first = _drain_view(
+        spark, tmp_path, "SELECT k FROM tsv_rst_stream", ck_name="ck_r"
+    )
+    assert sorted(r[0] for r in first) == list(range(20))
+    tx.tx_append(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(20, 30)], _SCHEMA
+        ).coalesce(1),
+        p,
+    )
+    # re-register the view (fresh plan) against the SAME checkpoint
+    txsql.tx_stream_view(spark, "tsv_rst", view="tsv_rst_stream")
+    second = _drain_view(
+        spark, tmp_path, "SELECT k FROM tsv_rst_stream", ck_name="ck_r"
+    )
+    assert sorted(r[0] for r in second) == list(range(20, 30))
