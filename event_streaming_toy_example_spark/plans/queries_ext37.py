@@ -1,23 +1,39 @@
-"""Round-11 first wave: the PERSISTENT WAREHOUSE CATALOG and the
-table-lifecycle SQL verbs (VERDICT r10 items 1 and 4).
+"""Round-11 wave: every VERDICT r10 action item as a catalog entry.
 
-- ``tx_sql_catalog`` — the done-criterion entry: a table CREATEd in
-  one session is queried from a FRESH session that never calls
-  ``tx_register`` (the name resolves lazily from the warehouse
+- ``tx_sql_catalog`` (PRIMARY) — the item-1 done-criterion: a table
+  CREATEd in one session is queried from a FRESH session that never
+  calls ``tx_register`` (the name resolves lazily from the warehouse
   catalog, ``operators/warehouse.py``), with DROP TABLE PURGE and
   SHOW TABLES exercised along the way; hash-checked against DuckDB.
-- ``tx_sql_constraints`` — CHECK constraints + generated columns from
-  SQL text: ``ADD CONSTRAINT`` proves existing data satisfies, a bad
-  INSERT is rejected BY NAME, and the ``GENERATED ALWAYS AS`` column
-  (materialized by INSERT, enforced by its paired ``__gen_`` check)
-  hash-checks against DuckDB's computed twin.
-- ``tx_truncate_restore`` — TRUNCATE TABLE is one O(metadata)
-  remove-all commit (asserted: zero adds, action ``truncate``), and
-  RESTORE brings the full content back, hash-checked.
+- ``tx_sql_constraints`` (item 4) — CHECK constraints + generated
+  columns from SQL text: ``ADD CONSTRAINT`` proves existing data
+  satisfies, a bad INSERT is rejected BY NAME, and the ``GENERATED
+  ALWAYS AS`` column (materialized by INSERT, enforced by its paired
+  ``__gen_`` check) hash-checks against DuckDB's computed twin.
+- ``tx_truncate_restore`` (item 1's lifecycle tail) — TRUNCATE TABLE
+  is one O(metadata) remove-all commit (asserted: zero adds, action
+  ``truncate``); RESTORE brings the full content back, hash-checked.
+- ``tx_zorder_string_pruning`` (item 6) — OPTIMIZE ZORDER BY over a
+  (string, numeric) pair after the lifted NUMERIC gate; the staged
+  build asserts BOTH axes prune, the read hash-checks a plain-filter
+  oracle.
+- ``tx_matview_join3`` (item 2) — the three-table STAR matview
+  (``operators/matview_star.py``): a delta on EVERY side applied in
+  one refresh, spy-asserted source-free, fact pre-filtered in the
+  view spec, hash-checked vs a full DuckDB recompute.
+- ``tx_auto_vacuum`` (item 5) — async auto-maintenance +
+  retention-windowed auto-vacuum: exactly one background compaction,
+  garbage physically reclaimed, content-invariant read.
+- ``tx_stream_sql`` (item 7) — the streaming txtable source reached
+  from pure SQL text (``tx_stream_view`` + the clause compiler's
+  WHERE pushdown), same oracle as the option-JSON twin.
 
-The reference has no catalog, no constraints, and no truncate (432-line
-pipeline with hard-coded paths); the semantics follow public
-Hive-metastore / Delta Lake conventions.
+The reference has none of these (432-line pipeline with hard-coded
+paths); semantics follow public Hive-metastore / Delta Lake / SQL
+conventions.  Item 3 (the executor-parallel backfill delta path) has
+no entry of its own — it is a cost-path inside every matview refresh,
+pinned by tests/test_matview_dist_delta.py and measured by
+tools/matview_dist_probe.py (docs/MATVIEW_DIST_PROBE_r11.json).
 """
 
 from __future__ import annotations
