@@ -691,7 +691,7 @@ def _bind_created(spark: SparkSession, name: str, path: str,
         whcat.catalog_bind(_warehouse_dir(spark), name, path)
     except TableExistsError:
         if fresh:
-            tx.tx_drop_table(path)
+            _purge_table(path)
         raise
     tx_register(spark, path, name)
 
@@ -1052,6 +1052,18 @@ def _show_create(spark: SparkSession, name: str) -> DataFrame:
     return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
 
+def _purge_table(path: str) -> None:
+    """Delete every table object through its stores
+    (:func:`txtable.tx_drop_table`), then sweep the empty POSIX
+    directory skeleton — txtable itself never touches the filesystem
+    directly (the store-boundary guard in tests/test_logstore.py),
+    so the posix-only cleanup lives here."""
+    import shutil
+
+    tx.tx_drop_table(path)
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def _drop(spark: SparkSession, s: str) -> None:
     """``DROP TABLE [IF EXISTS] t [PURGE]`` — unbind from the
     warehouse catalog and the session (name resolution AND the temp
@@ -1082,7 +1094,7 @@ def _drop(spark: SparkSession, s: str) -> None:
     session.pop(name, None)
     spark.catalog.dropTempView(name)
     if m.group("purge"):
-        tx.tx_drop_table(path)
+        _purge_table(path)
     return None
 
 

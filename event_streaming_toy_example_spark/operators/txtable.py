@@ -4233,11 +4233,14 @@ def tx_truncate(path: str) -> int:
 
 def tx_drop_table(path: str) -> int:
     """Physically delete a table — its commit log (checkpoints
-    included) and every data object — through the table's OWN stores,
-    so a mounted object store sees only its interface (DROP TABLE
-    PURGE's destructive step; the catalog unbind is the caller's).
-    Returns the number of objects deleted.  Idempotent: dropping a
-    path with nothing at it returns 0."""
+    included) and every data object — STRICTLY through the table's
+    stores, so a mounted object store sees only its interface (DROP
+    TABLE PURGE's destructive step; the catalog unbind — and, on
+    POSIX, removing the now-empty directory skeleton — is the
+    caller's, e.g. ``txsql._drop``: object stores have no directories,
+    and this module never touches the filesystem directly).  Returns
+    the number of objects deleted.  Idempotent: dropping a path with
+    nothing at it returns 0."""
     log_store = get_log_store(path)
     data_store = get_data_store(path)
     n = 0
@@ -4247,11 +4250,6 @@ def tx_drop_table(path: str) -> int:
     for rel in data_store.list_files(_data_dir(path)):
         data_store.delete(os.path.join(_data_dir(path), rel))
         n += 1
-    # POSIX leftovers (now-empty directory skeleton) — best-effort;
-    # object stores have no directories to remove
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
     invalidate_fold_memo(path)
     return n
 
