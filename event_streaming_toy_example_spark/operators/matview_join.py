@@ -350,11 +350,14 @@ def _estimated_change_rows(src: str, lo: int, hi: int) -> int:
     volume: added rows from each commit's own file stats, removed rows
     from the pre-commit snapshot's stats (DV deltas ride the same
     commits and are strictly smaller).  O(commits) log reads, no data
-    touched."""
-    def _file_rows(fstats: dict | None) -> int:
+    touched.  A file with missing/empty stats has UNKNOWN size — it
+    counts as over-threshold (``DIST_DELTA_ROWS + 1``) rather than 0,
+    so an unknown-size backfill takes the executor-parallel path
+    instead of silently landing in driver pandas (ADVICE r11)."""
+    def _file_rows(fstats: dict | None) -> int | None:
         # "rows" lives inside each column's stat record
         if not fstats:
-            return 0
+            return None  # unknown: stats absent for this file
         return max(
             (int(cs.get("rows", 0) or 0) for cs in fstats.values()),
             default=0,
@@ -365,12 +368,18 @@ def _estimated_change_rows(src: str, lo: int, hi: int) -> int:
         c = tx._read_commit(src, v)
         st = c.stats or {}
         for f in c.add:
-            total += _file_rows(st.get(f))
+            n = _file_rows(st.get(f))
+            if n is None:
+                return DIST_DELTA_ROWS + 1
+            total += n
         if c.remove:
             prev = tx.snapshot(src, v - 1)
             pst = (prev.stats or {}) if prev is not None else {}
             for f in c.remove:
-                total += _file_rows(pst.get(f))
+                n = _file_rows(pst.get(f))
+                if n is None:
+                    return DIST_DELTA_ROWS + 1
+                total += n
     return total
 
 

@@ -1039,12 +1039,19 @@ def _show_create(spark: SparkSession, name: str) -> DataFrame:
         k: v for k, v in sorted(props.items()) if not k.startswith("__")
     }
     if shown:
+        # string values (and JSON renderings) may embed single quotes;
+        # escape them the way the parser expects ('' — _literal /
+        # _tblproperties undo it) so SHOW CREATE TABLE output always
+        # re-parses (ADVICE r11)
+        def _q(v: str) -> str:
+            return v.replace("'", "''")
+
         entries = ",\n".join(
-            f"  '{k}' = "
+            f"  '{_q(k)}' = "
             + (
-                f"'{_json.dumps(v)}'"
+                f"'{_q(_json.dumps(v))}'"
                 if isinstance(v, (dict, list))
-                else (f"'{v}'" if isinstance(v, str) else str(v))
+                else (f"'{_q(v)}'" if isinstance(v, str) else str(v))
             )
             for k, v in shown.items()
         )
@@ -1084,13 +1091,21 @@ def _drop(spark: SparkSession, s: str) -> None:
     name = m.group("name")
     session = _session_names(spark)
     path = session.get(name)
+    cat_path = whcat.catalog_tables(_warehouse_dir(spark)).get(name)
     if path is None:
-        path = whcat.catalog_tables(_warehouse_dir(spark)).get(name)
+        path = cat_path
     if path is None:
         if m.group("ife"):
             return None
         raise ValueError(f"tx_sql: DROP TABLE: unknown table {name!r}")
-    whcat.catalog_unbind(_warehouse_dir(spark), name, if_exists=True)
+    # unbind the catalog only when its entry points at the SAME table
+    # being dropped — a session-only bind shadowing the name at a
+    # different path must not orphan the catalog's (untouched) table
+    # for every other session (ADVICE r11)
+    if cat_path is not None and os.path.abspath(cat_path) == os.path.abspath(
+        path
+    ):
+        whcat.catalog_unbind(_warehouse_dir(spark), name, if_exists=True)
     session.pop(name, None)
     spark.catalog.dropTempView(name)
     if m.group("purge"):

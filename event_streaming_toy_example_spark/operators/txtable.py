@@ -1078,13 +1078,35 @@ def tx_set_maintenance(
 
 _MAINT_POOL = None
 _MAINT_FUTURES: list = []
+_MAINT_FAILURES: list = []  # swept cycle exceptions, bounded
+_MAINT_FAILURES_CAP = 16
 _MAINT_POOL_LOCK = _threading.Lock()
+
+
+def _maint_sweep_locked() -> None:
+    """Drop completed futures from the queue (caller holds the lock).
+    A long-running async writer submits one cycle per triggering
+    commit and never calls :func:`drain_maintenance`, so without this
+    sweep the list grows without bound.  Exceptions from swept cycles
+    are kept (bounded) and re-raised by the next
+    :func:`drain_maintenance` — never by the committing writer, whose
+    latency the async mode exists to protect."""
+    live = []
+    for f in _MAINT_FUTURES:
+        if f.done():
+            exc = f.exception()
+            if exc is not None and len(_MAINT_FAILURES) < _MAINT_FAILURES_CAP:
+                _MAINT_FAILURES.append(exc)
+        else:
+            live.append(f)
+    _MAINT_FUTURES[:] = live
 
 
 def _maint_submit(fn, *args) -> None:
     """Queue one maintenance cycle on the shared single-thread worker
     (serialized: concurrent cycles on one table would just OCC-abort
-    each other)."""
+    each other).  Completed cycles are swept here so the queue stays
+    O(in-flight), not O(commits)."""
     global _MAINT_POOL
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1093,18 +1115,29 @@ def _maint_submit(fn, *args) -> None:
             _MAINT_POOL = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="tx-maintenance"
             )
+        _maint_sweep_locked()
         _MAINT_FUTURES.append(_MAINT_POOL.submit(fn, *args))
 
 
 def drain_maintenance(timeout: float = 120.0) -> int:
     """Block until every queued async maintenance cycle finishes,
-    re-raising the first failure; returns how many cycles were
-    awaited.  Deterministic hook for tests and orderly shutdown —
-    production writers never call it (that is the point of async)."""
+    re-raising the first failure — including failures from cycles
+    that already completed and were swept off the queue by a later
+    submit; returns how many cycles were awaited.  Deterministic hook
+    for tests and orderly shutdown — production writers never call it
+    (that is the point of async)."""
     with _MAINT_POOL_LOCK:
         futures, _MAINT_FUTURES[:] = list(_MAINT_FUTURES), []
+        swept, _MAINT_FAILURES[:] = list(_MAINT_FAILURES), []
+    first_exc = swept[0] if swept else None
     for f in futures:
-        f.result(timeout)
+        try:
+            f.result(timeout)
+        except Exception as exc:  # noqa: BLE001 — surface after awaiting all
+            if first_exc is None:
+                first_exc = exc
+    if first_exc is not None:
+        raise first_exc
     return len(futures)
 
 
@@ -3226,10 +3259,16 @@ def tx_compact(
             if t in ("timestamp", "timestamp_ntz"):
                 import datetime as _dt
 
-                # stats are naive-UTC ISO strings (_norm_stat); the
-                # session timezone is UTC, so a plain double cast is
-                # epoch seconds on both timestamp flavors
-                return F.col(col).cast("double"), lambda v: (
+                # stats are naive-UTC ISO strings (_norm_stat).  TZ
+                # timestamps cast straight to DOUBLE (epoch seconds);
+                # TIMESTAMP_NTZ has no direct DOUBLE cast in Spark, so
+                # route through TIMESTAMP first — the session timezone
+                # is UTC, so the naive value is reinterpreted as UTC,
+                # matching the naive-UTC stats.
+                expr = F.col(col)
+                if t == "timestamp_ntz":
+                    expr = expr.cast("timestamp")
+                return expr.cast("double"), lambda v: (
                     _dt.datetime.fromisoformat(str(v))
                     .replace(tzinfo=_dt.timezone.utc)
                     .timestamp()
