@@ -537,6 +537,16 @@ class TxTableDataSource(DataSource):
             )
         return TxTableStreamReader(dict(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        """``df.writeStream.format("txtable")`` — exactly-once
+        micro-batch commits through the table log; see
+        :mod:`~event_streaming_toy_example_spark.sources.txsink`."""
+        from event_streaming_toy_example_spark.sources.txsink import (
+            stream_writer,
+        )
+
+        return stream_writer(dict(self.options), schema, overwrite)
+
 
 def register(spark) -> None:
     """Idempotently register the source with a session."""
