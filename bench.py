@@ -238,6 +238,8 @@ HEADLINE = [
     "tx_matview_join3",
     "tx_auto_vacuum",
     "tx_stream_sql",
+    # round-12 additions
+    "tx_stream_sink",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -293,6 +295,8 @@ PRESTAGE = [
     "tx_matview_join3",
     "tx_auto_vacuum",
     "tx_stream_sql",
+    # round-12 additions
+    "tx_stream_sink",
 ]
 
 

@@ -186,6 +186,10 @@ from event_streaming_toy_example_spark.plans.queries_ext37 import (
     EXT37_ORACLES,
     EXT37_QUERIES,
 )
+from event_streaming_toy_example_spark.plans.queries_ext38 import (
+    EXT38_ORACLES,
+    EXT38_QUERIES,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -365,6 +369,9 @@ FAMILY_REP: dict[str, str] = {
     # the pure-SQL streaming-view twin of the option-JSON streaming
     # source entry (the change-feed follower rep carries the family)
     "tx_stream_sql": "tx_feed_follower",
+    # round 12: the native streaming SINK (writeStream.format) joins
+    # the same streaming-txtable family
+    "tx_stream_sink": "tx_feed_follower",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family
@@ -778,6 +785,7 @@ _ALL_QUERIES: dict[str, QueryFn] = {
     **EXT35_QUERIES,
     **EXT36_QUERIES,
     **EXT37_QUERIES,
+    **EXT38_QUERIES,
 }
 
 _ALL_ORACLES: dict[str, str] = {
@@ -819,6 +827,7 @@ _ALL_ORACLES: dict[str, str] = {
     **EXT35_ORACLES,
     **EXT36_ORACLES,
     **EXT37_ORACLES,
+    **EXT38_ORACLES,
 }
 
 PRIMARY_QUERIES: dict[str, QueryFn] = {
