@@ -240,6 +240,7 @@ HEADLINE = [
     "tx_stream_sql",
     # round-12 additions
     "tx_stream_sink",
+    "tx_matview_minmax",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -297,6 +298,7 @@ PRESTAGE = [
     "tx_stream_sql",
     # round-12 additions
     "tx_stream_sink",
+    "tx_matview_minmax",
 ]
 
 

@@ -48,14 +48,19 @@ in the sequence re-runs only the steps whose token has not landed,
 and the view merge always computes against the PRE-refresh state
 (its plan reads the state tables before they advance).
 
-Aggregates: ``count("*")``, and ``count`` / ``sum`` / ``avg`` over
-either side's columns (``("sum", "a.x")`` names the side; a column
-count factors as cntnn·cnt, the same shape).  ``min``/``max`` are NOT
-maintainable through the factorization (a retracted extremum needs a
-group rescan) and are refused BY NAME at create — use the
-single-table matview's recompute mode over a staged join, or a plain
-query.  NULL join keys never join and are excluded from the state;
-NULL group keys are refused like the single-table matview.
+Aggregates: ``count("*")``, and ``count`` / ``sum`` / ``avg`` /
+``min`` / ``max`` over either side's columns (``("sum", "a.x")``
+names the side; a column count factors as cntnn·cnt, the same shape).
+``min``/``max`` (round 12) switch the refresh to RECOMPUTE-AFFECTED-
+GROUPS mode: the side states carry per-cell extrema that merge
+monotonically for append-only windows (still O(delta), still
+source-free), a removal-touched cell pays a bounded per-cell source
+rescan (a retracted extremum cannot be repaired from a (min, max)
+pair — the same recompute rule the single-table matview and the KMV
+sketch follow), and the touched view groups are recomputed from the
+post-delta states join with the SAME expression create used.  NULL
+join keys never join and are excluded from the state; NULL group keys
+are refused like the single-table matview.
 
 The reference has nothing comparable (432-line pipeline, one counter
 metric); the algorithm is the standard factorized-IVM / DBToaster
@@ -88,22 +93,24 @@ def _unpack(token: int) -> tuple[int, int]:
     return token // _PACK, token % _PACK
 
 
-def _parse_aggs(aggs: dict) -> dict:
-    """{out: (fn, side, col)} with fn in count/sum/avg, side in a/b
-    (count('*') carries side None)."""
+def _parse_aggs(aggs: dict, minmax_ok: bool = True) -> dict:
+    """{out: (fn, side, col)} with fn in count/sum/avg/min/max, side
+    in a/b (count('*') carries side None).  ``minmax_ok=False`` keeps
+    the pre-round-12 refusal for callers that have no recompute path
+    (the star module)."""
     out: dict = {}
     for name, (fn, ref) in aggs.items():
         if fn == "count" and ref == "*":
             out[name] = ("count", None, None)
             continue
-        if fn in ("min", "max"):
+        if fn in ("min", "max") and not minmax_ok:
             raise ValueError(
                 f"matview_join: {fn} is not maintainable through the "
                 "factorized join state (a retracted extremum needs a "
                 "group rescan) — use the single-table matview's "
                 "recompute mode over a staged join"
             )
-        if fn not in ("sum", "avg", "count"):
+        if fn not in ("sum", "avg", "count", "min", "max"):
             raise ValueError(
                 f"matview_join: unsupported aggregate {fn!r} for {name!r}"
             )
@@ -118,15 +125,34 @@ def _parse_aggs(aggs: dict) -> dict:
 
 
 def _side_cols(parsed: dict, side: str) -> list[str]:
-    return sorted({c for _fn, s, c in parsed.values() if s == side})
+    return sorted({
+        c for fn, s, c in parsed.values()
+        if s == side and fn in ("count", "sum", "avg")
+    })
 
 
-def _state_aggs(cols: Sequence[str]):
-    """The per-(key, group) summary a side's state carries."""
+def _mm_cols(parsed: dict, side: str) -> list[str]:
+    """Columns of ``side`` needing per-cell extrema in the state."""
+    return sorted({
+        c for fn, s, c in parsed.values()
+        if s == side and fn in ("min", "max")
+    })
+
+
+def _has_minmax(parsed: dict) -> bool:
+    return any(fn in ("min", "max") for fn, _s, _c in parsed.values())
+
+
+def _state_aggs(cols: Sequence[str], mm_cols: Sequence[str] = ()):
+    """The per-(key, group) summary a side's state carries.
+    ``mm_cols`` adds per-cell extrema for min/max view aggregates."""
     exprs = [F.count(F.lit(1)).cast("long").alias("__cnt")]
     for c in cols:
         exprs.append(F.sum(c).alias(f"__sum_{c}"))
         exprs.append(F.count(c).cast("long").alias(f"__cntnn_{c}"))
+    for c in mm_cols:
+        exprs.append(F.min(c).alias(f"__min_{c}"))
+        exprs.append(F.max(c).alias(f"__max_{c}"))
     return exprs
 
 
@@ -166,6 +192,8 @@ def _products(parsed: dict):
     for name, (fn, side, col) in parsed.items():
         if side is None:
             continue  # count(*): carried by __d_rows
+        if fn in ("min", "max"):
+            continue  # extrema travel via _mm_products, not products
         s = _z(f"__sum_{col}_{side}")
         n = _z(f"__cntnn_{col}_{side}")
         other = cb if side == "a" else ca
@@ -174,30 +202,56 @@ def _products(parsed: dict):
     return out
 
 
+def _mm_products(parsed: dict):
+    """Per-joined-(key, groups) extremum contributions: a min/max over
+    the view group is insensitive to the OTHER side's multiplicity, so
+    each joined key pair contributes its own side's cell extremum
+    verbatim (the inner join already guarantees the other side has at
+    least one row)."""
+    return [
+        F.col(f"__{fn}_{col}_{side}").alias(f"__d_{fn}_{name}")
+        for name, (fn, side, col) in parsed.items()
+        if fn in ("min", "max")
+    ]
+
+
 def _sum_deltas(df: DataFrame, ga, gb, parsed: dict) -> DataFrame:
-    """Σ over join keys per view group."""
+    """Σ over join keys per view group (min/max aggregates, when
+    present, roll up as the extremum over the contributing cells —
+    used only by the full-group recompute paths, never by the signed
+    delta algebra)."""
     return df.groupBy(*ga, *gb).agg(
         F.sum("__d_rows").cast("long").alias("__d_rows"),
         *[
             e
-            for name, (_fn, s, _c) in parsed.items()
-            if s is not None
+            for name, (fn, s, _c) in parsed.items()
+            if s is not None and fn in ("count", "sum", "avg")
             for e in (
                 F.sum(f"__d_sum_{name}").alias(f"__d_sum_{name}"),
                 F.sum(f"__d_cnt_{name}").cast("long")
                 .alias(f"__d_cnt_{name}"),
             )
         ],
+        *[
+            (F.min if fn == "min" else F.max)(f"__d_{fn}_{name}")
+            .alias(name)
+            for name, (fn, _s, _c) in parsed.items()
+            if fn in ("min", "max")
+        ],
     )
 
 
 def _finalize(parsed: dict, rows_col, sum_of, cnt_of):
     """Exposed + internal view columns from (rows, per-agg sum/cnt)
-    column expressions."""
+    column expressions.  min/max outputs are NOT produced here — they
+    carry no internal sum/cnt pair (the recompute paths emit them
+    directly from the state extrema)."""
     cols = []
     for name, (fn, side, _col) in parsed.items():
         if side is None:  # count(*)
             cols.append(rows_col.cast("long").alias(name))
+            continue
+        if fn in ("min", "max"):
             continue
         s, c = sum_of(name), cnt_of(name).cast("long")
         if fn == "count":  # count(col): the non-null count itself
@@ -209,6 +263,35 @@ def _finalize(parsed: dict, rows_col, sum_of, cnt_of):
         cols.append(s.alias(f"__sum_{name}"))
         cols.append(c.alias(f"__cnt_{name}"))
     return cols
+
+
+def _group_rollup(joined: DataFrame, ga, gb, parsed: dict) -> DataFrame:
+    """FULL per-group view rows from a join of the two side states —
+    the create-time compute and the minmax-mode refresh recompute are
+    this same expression, so the two can never drift.  Emits the
+    exposed aggregate columns, the ``__sum_``/``__cnt_`` internals the
+    delta algebra maintains, and ``__rows``."""
+    per_group = _sum_deltas(
+        joined.select(
+            *ga, *gb, *_products(parsed), *_mm_products(parsed)
+        ),
+        ga, gb, parsed,
+    )
+    return per_group.select(
+        *ga, *gb,
+        *_finalize(
+            parsed,
+            F.col("__d_rows"),
+            lambda n: _z(f"__d_sum_{n}"),
+            lambda n: _z(f"__d_cnt_{n}"),
+        ),
+        *[
+            F.col(name)
+            for name, (fn, _s, _c) in parsed.items()
+            if fn in ("min", "max")
+        ],
+        F.col("__d_rows").cast("long").alias("__rows"),
+    )
 
 
 def tx_create_matview_join(
@@ -268,11 +351,14 @@ def tx_create_matview_join(
                     "group"
                 )
     cols_a, cols_b = _side_cols(parsed, "a"), _side_cols(parsed, "b")
+    mm_a, mm_b = _mm_cols(parsed, "a"), _mm_cols(parsed, "b")
     tx.tx_append(
-        a.groupBy(*on, *group_by_a).agg(*_state_aggs(cols_a)), state_a
+        a.groupBy(*on, *group_by_a).agg(*_state_aggs(cols_a, mm_a)),
+        state_a,
     )
     tx.tx_append(
-        b.groupBy(*on, *group_by_b).agg(*_state_aggs(cols_b)), state_b
+        b.groupBy(*on, *group_by_b).agg(*_state_aggs(cols_b, mm_b)),
+        state_b,
     )
     joined = _tagged(
         tx.read_table(spark, state_a), list(on) + group_by_a, "a"
@@ -280,20 +366,7 @@ def tx_create_matview_join(
         _tagged(tx.read_table(spark, state_b), list(on) + group_by_b, "b"),
         list(on),
     )
-    per_group = _sum_deltas(
-        joined.select(*group_by_a, *group_by_b, *_products(parsed)),
-        group_by_a, group_by_b, parsed,
-    )
-    view = per_group.select(
-        *group_by_a, *group_by_b,
-        *_finalize(
-            parsed,
-            F.col("__d_rows"),
-            lambda n: _z(f"__d_sum_{n}"),
-            lambda n: _z(f"__d_cnt_{n}"),
-        ),
-        F.col("__d_rows").cast("long").alias("__rows"),
-    )
+    view = _group_rollup(joined, group_by_a, group_by_b, parsed)
     spec = {
         "src_a": os.path.abspath(src_a),
         "src_b": os.path.abspath(src_b),
@@ -450,6 +523,81 @@ def _delta_state(
     )
 
 
+def _new_state_mm(
+    spark: SparkSession,
+    old: DataFrame,
+    wdf: DataFrame | None,
+    on: Sequence[str],
+    group: Sequence[str],
+    sum_cols: Sequence[str],
+    mm_cols: Sequence[str],
+    src: str,
+    at_version: int,
+) -> DataFrame:
+    """Post-window side state WITH per-cell extrema, as an expression
+    over the stored state (no table write).  Sums/counts merge
+    algebraically from the signed delta; extrema merge MONOTONICALLY
+    from the window's added rows (a new cell min is the least of old
+    and delta — O(delta), no source read); cells touched by ANY
+    removal are recomputed from the source at the window's end
+    version, because a retracted extremum cannot be repaired from a
+    (min, max) pair — this is the bounded rescan min/max inherently
+    costs, and it is per-CELL (key + group), never per-table.
+    Returns ``old`` unchanged when the window had no row changes."""
+    if wdf is None:
+        return old
+    keys = list(on) + list(group)
+    d = _delta_state(spark, wdf, on, group, sum_cols, old.schema)
+    pieces = [old, d]
+    if mm_cols:
+        d_mm = (
+            wdf.where(F.col("__w") > 0)
+            .groupBy(*keys)
+            .agg(
+                *[F.min(c).alias(f"__min_{c}") for c in mm_cols],
+                *[F.max(c).alias(f"__max_{c}") for c in mm_cols],
+            )
+        )
+        pieces.append(d_mm)
+    u = pieces[0]
+    for pc in pieces[1:]:
+        u = u.unionByName(pc, allowMissingColumns=True)
+    plain = [
+        c for c in old.columns
+        if c not in keys
+        and not c.startswith("__min_")
+        and not c.startswith("__max_")
+    ]
+    merged = (
+        u.groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in plain],
+            *[F.min(f"__min_{c}").alias(f"__min_{c}") for c in mm_cols],
+            *[F.max(f"__max_{c}").alias(f"__max_{c}") for c in mm_cols],
+        )
+        .where(F.col("__cnt") > 0)
+        .select(*old.columns)
+    )
+    rem_cells = wdf.where(F.col("__w") < 0).select(*keys).distinct()
+    if rem_cells.limit(1).count():
+        recomputed = (
+            tx.read_table(spark, src, version=at_version)
+            .where(_key_ok(on))
+            .join(rem_cells, keys, "left_semi")
+            .groupBy(*keys)
+            .agg(*_state_aggs(sum_cols, mm_cols))
+        )
+        types = {f.name: f.dataType for f in old.schema.fields}
+        recomputed = recomputed.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in old.columns]
+        )
+        merged = (
+            merged.join(rem_cells, keys, "left_anti")
+            .unionByName(recomputed)
+        )
+    return merged
+
+
 def _merge_states(old: DataFrame, delta: DataFrame | None,
                   keys: Sequence[str]) -> DataFrame:
     """SA_old ⊎ ΔSA (per key+group sums) — an EXPRESSION over the
@@ -490,6 +638,10 @@ def tx_refresh_matview_join(spark: SparkSession, dst: str) -> int | None:
     _advance_states(spark, spec, on, ga, gb, parsed, _pack(pa, pb))
     if ca <= pa and cb <= pb:
         return None
+    if _has_minmax(parsed):
+        return _refresh_minmax(
+            spark, dst, spec, parsed, on, ga, gb, pa, pb, ca, cb
+        )
     token = _pack(ca, cb)
     cols_a, cols_b = _side_cols(parsed, "a"), _side_cols(parsed, "b")
     sa_old = tx.read_table(spark, spec["state_a"])
@@ -563,6 +715,96 @@ def tx_refresh_matview_join(spark: SparkSession, dst: str) -> int | None:
     return v
 
 
+def _refresh_minmax(
+    spark, dst, spec, parsed, on, ga, gb, pa, pb, ca, cb
+) -> int:
+    """Refresh path for views with min/max aggregates: advance both
+    side states as EXPRESSIONS (:func:`_new_state_mm` — O(delta)
+    monotone extrema merges for append-only windows, per-cell source
+    rescans only where a removal touched a cell), collect the view
+    groups those deltas can reach, and RECOMPUTE exactly those groups
+    from the post-delta states join (:func:`_group_rollup` — the same
+    expression create used, so values can never drift).  Groups whose
+    support vanished are deleted.  Exactly-once under the same packed
+    token and merge order as the algebraic path."""
+    token = _pack(ca, cb)
+    sum_a, sum_b = _side_cols(parsed, "a"), _side_cols(parsed, "b")
+    mm_a, mm_b = _mm_cols(parsed, "a"), _mm_cols(parsed, "b")
+    on = list(on)
+    sa_old = tx.read_table(spark, spec["state_a"])
+    sb_old = tx.read_table(spark, spec["state_b"])
+    wa = _weighted_delta_rows(
+        spark, spec["src_a"], pa, ca,
+        on + ga + sorted(set(sum_a) | set(mm_a)),
+    )
+    wb = _weighted_delta_rows(
+        spark, spec["src_b"], pb, cb,
+        on + gb + sorted(set(sum_b) | set(mm_b)),
+    )
+    if wa is None and wb is None:
+        view_schema = tx.read_table(spark, dst).schema
+        v = tx.tx_merge(
+            spark, dst, spark.createDataFrame([], view_schema),
+            on=ga + gb,
+            when_matched_update="all",
+            when_not_matched_insert=True,
+            stream_txn=(_APP, token),
+        )
+        _advance_states(spark, spec, on, ga, gb, parsed, token)
+        return v
+    sa_new = _new_state_mm(
+        spark, sa_old, wa, on, ga, sum_a, mm_a, spec["src_a"], ca
+    )
+    sb_new = _new_state_mm(
+        spark, sb_old, wb, on, gb, sum_b, mm_b, spec["src_b"], cb
+    )
+    # every view group a changed cell can touch, through BOTH the pre-
+    # and post-delta other side (pre catches pairs whose support
+    # vanished, post catches brand-new pairs)
+    pairs = []
+    if wa is not None:
+        cells_a = wa.select(*on, *ga).distinct()
+        for sb in (sb_old, sb_new):
+            pairs.append(
+                cells_a.join(sb.select(*on, *gb), on).select(*ga, *gb)
+            )
+    if wb is not None:
+        cells_b = wb.select(*on, *gb).distinct()
+        for sa in (sa_old, sa_new):
+            pairs.append(
+                cells_b.join(sa.select(*on, *ga), on).select(*ga, *gb)
+            )
+    affected = pairs[0]
+    for p in pairs[1:]:
+        affected = affected.unionByName(p)
+    affected = affected.distinct()
+    joined = (
+        _tagged(sa_new, on + ga, "a")
+        .join(_tagged(sb_new, on + gb, "b"), on)
+        .join(affected, ga + gb, "left_semi")
+    )
+    recomputed = _group_rollup(joined, ga, gb, parsed)
+    val_cols = [c for c in recomputed.columns if c not in ga + gb]
+    src_df = (
+        affected.join(recomputed, ga + gb, "left")
+        .select(
+            *ga, *gb,
+            *[F.col(c) for c in val_cols],
+            F.col("__rows").isNull().alias("__dead"),
+        )
+    )
+    v = tx.tx_merge(
+        spark, dst, src_df,
+        on=ga + gb,
+        when_matched_delete="source.__dead",
+        when_matched_update="all",
+        when_not_matched_insert="NOT source.__dead",
+        stream_txn=(_APP, token),
+    )
+    _advance_states(spark, spec, on, ga, gb, parsed, token)
+    return v
+
+
 def _advance_states(spark, spec, on, ga, gb, parsed, token) -> None:
     """Bring each state table up to ``token``'s version for its side,
     deriving its delta from ITS OWN token floor (create-time states
@@ -575,11 +817,11 @@ def _advance_states(spark, spec, on, ga, gb, parsed, token) -> None:
     already-applied merge raises the app floor error, which here
     means 'done')."""
     ta, tb = _unpack(token)
-    for path, src, base, target, group, cols in (
+    for path, src, base, target, group, cols, mm in (
         (spec["state_a"], spec["src_a"], spec["base_a"], ta, ga,
-         _side_cols(parsed, "a")),
+         _side_cols(parsed, "a"), _mm_cols(parsed, "a")),
         (spec["state_b"], spec["src_b"], spec["base_b"], tb, gb,
-         _side_cols(parsed, "b")),
+         _side_cols(parsed, "b"), _mm_cols(parsed, "b")),
     ):
         floor = tx.last_committed_batch(path, _APP)
         start = (
@@ -591,6 +833,45 @@ def _advance_states(spark, spec, on, ga, gb, parsed, token) -> None:
             continue
         keys = list(on) + list(group)
         state = tx.read_table(spark, path)
+        if mm:
+            # extrema cannot advance algebraically: derive the merge
+            # source from the post-window state expression (monotone
+            # merges + per-cell rescans, _new_state_mm)
+            wdf = _weighted_delta_rows(
+                spark, src, start, target,
+                keys + sorted(set(cols) | set(mm)),
+            )
+            if wdf is None:
+                src_df = state.limit(0).select(
+                    "*", F.lit(False).alias("__dead")
+                )
+            else:
+                new_state = _new_state_mm(
+                    spark, state, wdf, on, group, cols, mm, src, target
+                )
+                vals = [c for c in state.columns if c not in keys]
+                src_df = (
+                    wdf.select(*keys).distinct()
+                    .join(new_state, keys, "left")
+                    .select(
+                        *keys,
+                        *[F.col(c) for c in vals],
+                        F.col("__cnt").isNull().alias("__dead"),
+                    )
+                )
+            try:
+                tx.tx_merge(
+                    spark, path, src_df,
+                    on=keys,
+                    when_matched_delete="source.__dead",
+                    when_matched_update="all",
+                    when_not_matched_insert="NOT source.__dead",
+                    stream_txn=(_APP, token),
+                )
+            except tx.ConcurrentWriteError as e:
+                if "already committed" not in str(e):
+                    raise
+            continue
         delta = _delta_state(
             spark,
             _weighted_delta_rows(spark, src, start, target, keys + cols),

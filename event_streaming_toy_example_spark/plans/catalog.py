@@ -372,6 +372,9 @@ FAMILY_REP: dict[str, str] = {
     # round 12: the native streaming SINK (writeStream.format) joins
     # the same streaming-txtable family
     "tx_stream_sink": "tx_feed_follower",
+    # round 12: min/max join matviews (recompute-affected-groups mode)
+    # extend the factorized-IVM family the PRIMARY join entry pins
+    "tx_matview_minmax": "tx_matview_join",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

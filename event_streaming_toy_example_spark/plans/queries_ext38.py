@@ -93,10 +93,143 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------- join matview with min/max
+
+
+def _build_matview_minmax(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: a join matview carrying min/max (round
+    12 lifts the refusal — recompute-affected-groups mode).  The
+    APPEND refresh is spy-asserted SOURCE-FREE (extrema merge
+    monotonically from the delta); the DELETE refresh removes the
+    global top-price rows — retracting the max in many groups — and
+    repairs them through the bounded per-cell rescan."""
+    import unittest.mock as _m
+
+    from event_streaming_toy_example_spark.operators import (
+        matview_join as mj,
+    )
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_dir_once,
+    )
+
+    def build(tmp: str) -> None:
+        a = _os.path.join(tmp, "a")
+        b = _os.path.join(tmp, "b")
+        dst = _os.path.join(tmp, "mv")
+        orders = load_table(spark, sf_dir, "orders")
+        tx.tx_append(
+            orders.select(
+                F.col("o_custkey").alias("custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            ).repartitionByRange(4, "custkey"),
+            a,
+        )
+        tx.tx_append(
+            load_table(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("custkey"),
+                "c_mktsegment",
+                "c_acctbal",
+            ).repartitionByRange(4, "custkey"),
+            b,
+        )
+        mj.tx_create_matview_join(
+            spark, a, b, dst, on=["custkey"],
+            group_by_a=["o_orderstatus"], group_by_b=["c_mktsegment"],
+            aggs={
+                "n": ("count", "*"),
+                "min_price": ("min", "a.o_totalprice"),
+                "max_price": ("max", "a.o_totalprice"),
+                "max_bal": ("max", "b.c_acctbal"),
+                "revenue": ("sum", "a.o_totalprice"),
+            },
+        )
+        # APPEND refresh: new global maxima, merged monotonically —
+        # neither source may be re-read
+        tx.tx_append(
+            orders.where(F.col("o_orderkey") % 997 == 0).select(
+                F.col("o_custkey").alias("custkey"),
+                "o_orderstatus",
+                (F.col("o_totalprice") + 100000.0).alias("o_totalprice"),
+            ),
+            a,
+        )
+        calls = []
+        orig = tx.read_table
+
+        def spy(sp, path, *args, **kwargs):
+            calls.append(_os.path.abspath(path))
+            return orig(sp, path, *args, **kwargs)
+
+        with _m.patch.object(mj.tx, "read_table", side_effect=spy):
+            mj.tx_refresh_matview_join(spark, dst)
+        bad = set(calls) & {_os.path.abspath(a), _os.path.abspath(b)}
+        assert not bad, (
+            f"append-only minmax refresh re-read source table(s): {bad}"
+        )
+        # DELETE refresh: retract the top-price rows (the max of many
+        # groups) — the bounded per-cell rescan repairs the extrema
+        tx.tx_delete(spark, a, [("o_totalprice", ">", 400000.0)])
+        mj.tx_refresh_matview_join(spark, dst)
+        (pa, pb), (ca, cb) = mj.matview_join_lag(dst)
+        assert (pa, pb) == (ca, cb) == (3, 1)
+
+    return stage_dir_once(build, "txtable_matview_minmax_v1", sf_dir)
+
+
+def q_tx_matview_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained min/max join view's public columns, hash-checked
+    against a full DuckDB recompute of the same add/delete history.
+    min/max are exact value picks (no rounding needed); the sum is
+    rounded (2dp) because incremental addition order legitimately
+    differs from a single-pass recompute."""
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    base = _build_matview_minmax(spark, sf_dir)
+    out = tx.read_table(spark, _os.path.join(base, "mv"))
+    return out.select(
+        "o_orderstatus",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        "min_price",
+        "max_price",
+        "max_bal",
+        F.round(F.col("revenue"), 2).alias("revenue"),
+    )
+
+
+SQL_TX_MATVIEW_MINMAX = """
+WITH a0 AS (
+  SELECT o_custkey AS custkey, o_orderstatus, o_totalprice FROM orders
+), added AS (
+  SELECT o_custkey AS custkey, o_orderstatus,
+         o_totalprice + 100000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 997 = 0
+), a AS (
+  SELECT * FROM (
+    SELECT * FROM a0 UNION ALL SELECT * FROM added
+  ) WHERE o_totalprice <= 400000.0
+), b AS (
+  SELECT c_custkey AS custkey, c_mktsegment, c_acctbal FROM customer
+)
+SELECT a.o_orderstatus, b.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(a.o_totalprice) AS min_price,
+       MAX(a.o_totalprice) AS max_price,
+       MAX(b.c_acctbal) AS max_bal,
+       ROUND(SUM(a.o_totalprice), 2) AS revenue
+FROM a JOIN b ON a.custkey = b.custkey
+GROUP BY 1, 2
+"""
+
+
 EXT38_QUERIES = {
     "tx_stream_sink": q_tx_stream_sink,
+    "tx_matview_minmax": q_tx_matview_minmax,
 }
 
 EXT38_ORACLES = {
     "tx_stream_sink": SQL_TX_STREAM_SINK,
+    "tx_matview_minmax": SQL_TX_MATVIEW_MINMAX,
 }

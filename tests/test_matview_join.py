@@ -218,14 +218,20 @@ def test_crash_between_view_and_state_merges_replays_clean(spark, tmp_path):
     )
 
 
-def test_min_max_refused_by_name(spark, tmp_path):
-    a, b = _mk(spark, tmp_path, _ROWS_A, _ROWS_B)
+def test_min_max_still_refused_where_unsupported(spark, tmp_path):
+    """Round 12 lifted the two-sided refusal (recompute-affected-
+    groups mode, tests/test_matview_minmax.py); the STAR module and
+    the explicit ``minmax_ok=False`` parse keep the typed refusal."""
     with pytest.raises(ValueError, match="min is not maintainable"):
-        mj.tx_create_matview_join(
-            spark, a, b, str(tmp_path / "mv"), on=["k"],
-            group_by_a=["ga"], group_by_b=["gb"],
-            aggs={"m": ("min", "a.x")},
-        )
+        mj._parse_aggs({"m": ("min", "a.x")}, minmax_ok=False)
+    # and the two-sided create now ACCEPTS it
+    a, b = _mk(spark, tmp_path, _ROWS_A, _ROWS_B)
+    v = mj.tx_create_matview_join(
+        spark, a, b, str(tmp_path / "mv"), on=["k"],
+        group_by_a=["ga"], group_by_b=["gb"],
+        aggs={"m": ("min", "a.x")},
+    )
+    assert v == 1
 
 
 def test_null_group_key_refused(spark, tmp_path):
