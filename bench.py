@@ -241,6 +241,7 @@ HEADLINE = [
     # round-12 additions
     "tx_stream_sink",
     "tx_matview_minmax",
+    "tx_sql_views",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -299,6 +300,7 @@ PRESTAGE = [
     # round-12 additions
     "tx_stream_sink",
     "tx_matview_minmax",
+    "tx_sql_views",
 ]
 
 

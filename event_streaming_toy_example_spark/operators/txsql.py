@@ -117,6 +117,66 @@ def _session_names(spark: SparkSession) -> dict[str, str]:
     return names
 
 
+#: Per-session {view name: stored SQL} of catalog views this session
+#: has materialized, plus an in-progress set for cycle detection.
+_VIEW_REGISTRY: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_views(spark: SparkSession) -> dict[str, str]:
+    views = _VIEW_REGISTRY.get(spark)
+    if views is None:
+        views = {}
+        _VIEW_REGISTRY[spark] = views
+    return views
+
+
+def _materialize_view(spark: SparkSession, name: str, sql: str) -> None:
+    """(Re)run a stored view definition and register the result as a
+    session temp view.  Runs at DDL time, on first lazy resolution,
+    and BEFORE every SELECT that mentions the name — a temp view's
+    plan freezes the base snapshot it was analyzed against, so
+    re-materializing per query is what keeps a SQL view CURRENT over
+    its base tables (plan construction only; nothing executes until
+    the query does).  Mutually recursive definitions are refused BY
+    NAME via an in-progress marker."""
+    views = _session_views(spark)
+    marker = f"__materializing_{name}"
+    if views.get(marker):
+        raise ValueError(
+            f"tx_sql: view {name!r} is defined (transitively) in terms "
+            "of itself — break the cycle"
+        )
+    views[marker] = True
+    try:
+        df = tx_sql(spark, sql)
+        if not isinstance(df, DataFrame):
+            raise ValueError(
+                f"tx_sql: view {name!r} body must be a SELECT/WITH "
+                f"statement, got {sql.split(None, 1)[0]!r}"
+            )
+        df.createOrReplaceTempView(name)
+        views[name] = sql
+    finally:
+        views.pop(marker, None)
+
+
+def _refresh_referenced_views(spark: SparkSession, stmt: str) -> None:
+    """Re-materialize every KNOWN view whose name appears in the
+    statement (word match over the session's view map — names are
+    ``\\w+``), so a SELECT sees its base tables' current snapshots.
+    First-time names resolve through the lazy analysis-retry path."""
+    views = _session_views(spark)
+    names = [n for n in views if not n.startswith("__materializing_")]
+    if not names:
+        return
+    words = set(re.findall(r"\w+", stmt))
+    for n in names:
+        if n in words:
+            _materialize_view(spark, n, views[n])
+
+
 def _warehouse_dir(spark: SparkSession) -> str:
     """The warehouse root: ``spark_graft.warehouse.dir`` when set (a
     RUNTIME conf, so tests and embedded runs can isolate a warehouse
@@ -204,13 +264,19 @@ def _spark_sql(spark: SparkSession, stmt: str) -> DataFrame:
             name = (e.getMessageParameters() or {}).get(
                 "relationName", ""
             ).strip("`")
-            if (
-                not re.fullmatch(r"\w+", name)
-                or name in tried
-                or _try_resolve(spark, name) is None
-                or name not in _session_names(spark)
-            ):
+            if not re.fullmatch(r"\w+", name) or name in tried:
                 raise
+            if (
+                _try_resolve(spark, name) is not None
+                and name in _session_names(spark)
+            ):
+                tried.add(name)
+                continue
+            # not a table anywhere: a cataloged SQL VIEW?
+            vsql = whcat.catalog_views(_warehouse_dir(spark)).get(name)
+            if vsql is None:
+                raise
+            _materialize_view(spark, name, vsql)
             tried.add(name)
 
 
@@ -522,6 +588,7 @@ def tx_sql(spark: SparkSession, stmt: str):
     s = stmt.strip().rstrip(";").strip()
     kw = s.split(None, 1)[0].upper() if s else ""
     if kw in ("SELECT", "WITH"):
+        _refresh_referenced_views(spark, s)
         return _spark_sql(spark, _rewrite_time_travel(spark, s))
     if kw == "DELETE":
         return _delete(spark, s)
@@ -546,6 +613,9 @@ def tx_sql(spark: SparkSession, stmt: str):
     if kw == "SHOW":
         return _show(spark, s)
     if kw == "DROP":
+        second = (s.split(None, 2)[1] if len(s.split()) > 1 else "").upper()
+        if second == "VIEW":
+            return _drop_view(spark, s)
         return _drop(spark, s)
     if kw == "TRUNCATE":
         return _truncate(spark, s)
@@ -704,14 +774,82 @@ def _adopt(spark: SparkSession, name: str, cataloged: str) -> int:
     return tx.table_version(cataloged)
 
 
+def _create_view(
+    spark: SparkSession, name: str, body: str, replace: bool
+) -> int:
+    """``CREATE [OR REPLACE] VIEW name AS SELECT ...`` — the SELECT
+    text persists in the warehouse catalog (every session resolves the
+    name; the definition re-runs per query so the view is always
+    CURRENT over its base tables).  The body is validated NOW by
+    building its plan — a typo'd view fails its CREATE, not its first
+    reader."""
+    kw = body.split(None, 1)[0].upper() if body else ""
+    if kw not in ("SELECT", "WITH"):
+        raise ValueError(
+            f"tx_sql: CREATE VIEW {name}: body must be a SELECT/WITH "
+            f"statement, got {kw!r}"
+        )
+    if name in _session_names(spark):
+        raise TableExistsError(
+            f"tx_sql: CREATE VIEW {name}: the name is bound to a table "
+            "in this session — a view cannot shadow it"
+        )
+    df = tx_sql(spark, body)  # analysis errors surface here
+    v = whcat.catalog_bind_view(
+        _warehouse_dir(spark), name, body, replace=replace
+    )
+    df.createOrReplaceTempView(name)
+    _session_views(spark)[name] = body
+    return v
+
+
+def _drop_view(spark: SparkSession, s: str) -> None:
+    m = re.match(
+        r"^DROP\s+VIEW\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
+        s, re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"tx_sql: cannot parse DROP VIEW (DROP VIEW [IF EXISTS] "
+            f"v): {s!r}"
+        )
+    name = m.group("name")
+    wh = _warehouse_dir(spark)
+    known = name in whcat.catalog_views(wh) or name in _session_views(
+        spark
+    )
+    if not known:
+        if m.group("ife"):
+            return None
+        raise ValueError(f"tx_sql: DROP VIEW: unknown view {name!r}")
+    if name in whcat.catalog_views(wh):
+        whcat.catalog_unbind(wh, name, if_exists=True)
+    _session_views(spark).pop(name, None)
+    spark.catalog.dropTempView(name)
+    return None
+
+
 def _create(spark: SparkSession, s: str) -> int:
+    mv = re.match(
+        r"^CREATE\s+(?P<orr>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s+AS\s+"
+        r"(?P<body>.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if mv:
+        return _create_view(
+            spark, mv.group("name"), mv.group("body").strip(),
+            bool(mv.group("orr")),
+        )
     m = re.match(
         r"^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)"
         r"\s*(?P<rest>.*)$",
         s, re.IGNORECASE | re.DOTALL,
     )
     if not m:
-        raise ValueError(f"tx_sql: cannot parse CREATE TABLE: {s!r}")
+        raise ValueError(
+            f"tx_sql: cannot parse CREATE (CREATE TABLE ... or CREATE "
+            f"[OR REPLACE] VIEW v AS SELECT ...): {s!r}"
+        )
     name, rest = m.group("name"), m.group("rest").strip()
     # name-level existence first (the catalog is the source of truth
     # across sessions; path-level checks below still catch unregistered
@@ -981,10 +1119,17 @@ def _show(spark: SparkSession, s: str) -> DataFrame:
                   s, re.IGNORECASE)
     if mc:
         return _show_create(spark, mc.group("name"))
+    if re.match(r"^SHOW\s+VIEWS\s*$", s, re.IGNORECASE):
+        rows = sorted(
+            whcat.catalog_views(_warehouse_dir(spark)).items()
+        )
+        return spark.createDataFrame(
+            rows or [], "name string, definition string"
+        )
     if not re.match(r"^SHOW\s+TABLES\s*$", s, re.IGNORECASE):
         raise ValueError(
-            f"tx_sql: cannot parse SHOW (SHOW TABLES or SHOW CREATE "
-            f"TABLE t): {s!r}"
+            f"tx_sql: cannot parse SHOW (SHOW TABLES, SHOW VIEWS, or "
+            f"SHOW CREATE TABLE t): {s!r}"
         )
     session = _session_names(spark)
     cataloged = whcat.catalog_tables(_warehouse_dir(spark))
@@ -1012,6 +1157,12 @@ def _show_create(spark: SparkSession, name: str) -> DataFrame:
 
     from pyspark.sql.types import StructType
 
+    vsql = whcat.catalog_views(_warehouse_dir(spark)).get(name)
+    if vsql is not None:
+        return spark.createDataFrame(
+            [(f"CREATE VIEW {name} AS\n{vsql}",)],
+            "createtab_stmt string",
+        )
     path = _resolve(spark, name)
     schema_json = tx._current_schema(path)
     if schema_json is None:
@@ -1095,6 +1246,11 @@ def _drop(spark: SparkSession, s: str) -> None:
     if path is None:
         path = cat_path
     if path is None:
+        if name in whcat.catalog_views(_warehouse_dir(spark)):
+            raise ValueError(
+                f"tx_sql: DROP TABLE: {name!r} is a VIEW — use DROP "
+                "VIEW"
+            )
         if m.group("ife"):
             return None
         raise ValueError(f"tx_sql: DROP TABLE: unknown table {name!r}")

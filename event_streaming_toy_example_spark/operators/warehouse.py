@@ -77,10 +77,26 @@ def catalog_state(warehouse: str) -> tuple[int, dict[str, dict]]:
 
 
 def catalog_tables(warehouse: str) -> dict[str, str]:
-    """{name: table path} of every registered table."""
+    """{name: table path} of every registered table (VIEW entries —
+    which carry SQL text instead of a path — are not tables and are
+    excluded; see :func:`catalog_views`)."""
     return {
         name: entry["path"]
         for name, entry in catalog_state(warehouse)[1].items()
+        if "path" in entry
+    }
+
+
+def catalog_views(warehouse: str) -> dict[str, str]:
+    """{name: stored SQL text} of every registered SQL view.  Views
+    live in the SAME name space as tables (one catalog entry family,
+    standard SQL semantics: a name is a table or a view, never both),
+    distinguished by carrying ``view`` (the SELECT text) instead of
+    ``path``."""
+    return {
+        name: entry["view"]
+        for name, entry in catalog_state(warehouse)[1].items()
+        if "view" in entry
     }
 
 
@@ -107,6 +123,11 @@ def catalog_bind(
     while True:
         v, entries = catalog_state(warehouse)
         existing = entries.get(name)
+        if existing is not None and "path" not in existing:
+            raise TableExistsError(
+                f"catalog: {name!r} is registered as a VIEW "
+                f"(warehouse {warehouse}) — DROP VIEW it first"
+            )
         if existing is not None and not replace:
             if os.path.abspath(existing["path"]) == path:
                 return v  # idempotent: crash-retry of our own bind
@@ -116,6 +137,36 @@ def catalog_bind(
             )
         entries = dict(entries)
         entries[name] = {"path": path, "ts": time.time()}
+        if _commit(warehouse, v, entries):
+            return v + 1
+
+
+def catalog_bind_view(
+    warehouse: str, name: str, sql: str, *, replace: bool = False
+) -> int:
+    """Register ``name`` as a SQL VIEW whose definition is ``sql``.
+    Same conditional-PUT protocol as :func:`catalog_bind`; a name
+    already taken by a TABLE refuses (standard SQL: CREATE OR REPLACE
+    VIEW cannot shadow a table), an existing view refuses unless
+    ``replace``."""
+    while True:
+        v, entries = catalog_state(warehouse)
+        existing = entries.get(name)
+        if existing is not None and "path" in existing:
+            raise TableExistsError(
+                f"catalog: {name!r} is registered as a TABLE at "
+                f"{existing['path']} (warehouse {warehouse}) — a view "
+                "cannot shadow it"
+            )
+        if existing is not None and not replace:
+            if existing.get("view") == sql:
+                return v  # idempotent re-bind of the same definition
+            raise TableExistsError(
+                f"catalog: view {name!r} already exists (warehouse "
+                f"{warehouse}); use CREATE OR REPLACE VIEW"
+            )
+        entries = dict(entries)
+        entries[name] = {"view": sql, "ts": time.time()}
         if _commit(warehouse, v, entries):
             return v + 1
 

@@ -375,6 +375,9 @@ FAMILY_REP: dict[str, str] = {
     # round 12: min/max join matviews (recompute-affected-groups mode)
     # extend the factorized-IVM family the PRIMARY join entry pins
     "tx_matview_minmax": "tx_matview_join",
+    # round 12: persistent SQL views extend the warehouse-catalog
+    # family the PRIMARY catalog entry pins
+    "tx_sql_views": "tx_sql_catalog",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

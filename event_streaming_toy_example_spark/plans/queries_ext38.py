@@ -224,12 +224,83 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------- SQL views
+
+
+def q_tx_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW in session 1, query a NESTED view from a FRESH
+    session 2 with zero registration calls (the warehouse catalog
+    stores the SELECT text; resolution is lazy and recursive), with a
+    base-table INSERT between create and read proving the view is
+    re-materialized per query — a stale frozen plan would miss the
+    inserted row.  SHOW VIEWS and the DROP VIEW refusal of DROP TABLE
+    are driven along the way.  Hermetic per call: fresh temp
+    warehouse."""
+    import tempfile
+
+    from event_streaming_toy_example_spark.operators import txsql
+
+    def _sess(wh):
+        s = spark.newSession()
+        s.conf.set("spark_graft.warehouse.dir", wh)
+        return s
+
+    wh = tempfile.mkdtemp(prefix="txviews_wh_")
+    s1 = _sess(wh)
+    load_table(s1, sf_dir, "nation").createOrReplaceTempView(
+        "views_nation_raw"
+    )
+    txsql.tx_sql(s1, """
+        CREATE TABLE vn AS
+        SELECT n_nationkey, n_regionkey, n_name FROM views_nation_raw
+    """)
+    txsql.tx_sql(s1, """
+        CREATE VIEW region_counts AS
+        SELECT n_regionkey,
+               COUNT(*) AS n,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        FROM vn GROUP BY n_regionkey
+    """)
+    # freshness probe: the write happens AFTER the view exists
+    txsql.tx_sql(s1, "INSERT INTO vn VALUES (999, 0, 'zzz')")
+    txsql.tx_sql(s1, """
+        CREATE VIEW region_top AS
+        SELECT n_regionkey, n, key_sum FROM region_counts WHERE n >= 2
+    """)
+    assert {
+        r["name"] for r in txsql.tx_sql(s1, "SHOW VIEWS").collect()
+    } == {"region_counts", "region_top"}
+    try:
+        txsql.tx_sql(s1, "DROP TABLE region_top")
+        raise AssertionError("DROP TABLE accepted a view")
+    except ValueError:
+        pass
+    s2 = _sess(wh)  # fresh: catalog-only, recursive resolution
+    return txsql.tx_sql(s2, "SELECT * FROM region_top")
+
+
+SQL_TX_SQL_VIEWS = """
+SELECT n_regionkey, n, key_sum FROM (
+  SELECT n_regionkey,
+         COUNT(*) AS n,
+         CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+  FROM (
+    SELECT n_nationkey, n_regionkey FROM nation
+    UNION ALL SELECT 999, 0
+  )
+  GROUP BY n_regionkey
+) WHERE n >= 2
+"""
+
+
 EXT38_QUERIES = {
     "tx_stream_sink": q_tx_stream_sink,
     "tx_matview_minmax": q_tx_matview_minmax,
+    "tx_sql_views": q_tx_sql_views,
 }
 
 EXT38_ORACLES = {
     "tx_stream_sink": SQL_TX_STREAM_SINK,
     "tx_matview_minmax": SQL_TX_MATVIEW_MINMAX,
+    "tx_sql_views": SQL_TX_SQL_VIEWS,
 }

@@ -549,5 +549,18 @@ class TxTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the source with a session."""
+    """Idempotently register the source with a session — and make
+    that session the JVM's ACTIVE one.  Python data-source LOOKUP
+    resolves through the active session's DataSourceManager, not the
+    session the reader/writer was built on (verified on Spark 4.1: a
+    sibling ``newSession`` left active makes ``format("txtable")``
+    raise DATA_SOURCE_NOT_FOUND even though ``register`` ran on the
+    correct session), so the register-then-build flow every caller
+    uses must pin activeness here."""
     spark.dataSource.register(TxTableDataSource)
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # pragma: no cover - connect-mode / future API
+        pass

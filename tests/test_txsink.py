@@ -274,6 +274,27 @@ def test_empty_append_batch_publishes_nothing(spark, tmp_path):
     assert tx.table_version(p) == 1
 
 
+def test_register_pins_jvm_active_session(spark, tmp_path):
+    """Python data-source LOOKUP resolves through the JVM's ACTIVE
+    session: with a sibling newSession left active, format("txtable")
+    raised DATA_SOURCE_NOT_FOUND even though register() ran on the
+    right session.  register() now pins activeness, so the
+    register-then-build flow survives any session interleaving."""
+    s2 = spark.newSession()
+    spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+        s2._jsparkSession
+    )
+    try:
+        p = str(tmp_path / "t")
+        _feed(spark, tmp_path, 0, 10)
+        _run_stream(spark, tmp_path, p)  # register() runs inside
+        assert tx.read_table(spark, p).count() == 10
+    finally:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+
+
 def test_sink_creates_table_on_first_batch(spark, tmp_path):
     p = str(tmp_path / "t")
     _feed(spark, tmp_path, 0, 10)
