@@ -242,6 +242,7 @@ HEADLINE = [
     "tx_stream_sink",
     "tx_matview_minmax",
     "tx_sql_views",
+    "tx_token_pruning",
 ]
 
 #: Headline entries whose FIRST run at a given sf_dir builds a
@@ -301,6 +302,7 @@ PRESTAGE = [
     "tx_stream_sink",
     "tx_matview_minmax",
     "tx_sql_views",
+    "tx_token_pruning",
 ]
 
 

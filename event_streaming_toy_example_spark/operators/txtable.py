@@ -1706,7 +1706,9 @@ def _footer_stats(path: str, names: Sequence[str]) -> dict:
         for c in per_col.values():
             c["rows"] = md.num_rows
         out[name] = per_col
-    return _attach_blooms(path, out)
+    from .tokenindex import attach_token_blooms
+
+    return attach_token_blooms(path, _attach_blooms(path, out))
 
 
 # ----------------------------------------- partition-column transforms
@@ -1785,6 +1787,17 @@ def _clause_may_match(fstats: dict | None, col: str, op: str, val) -> bool:
         return s["nulls"] > 0
     if op == "notnull":
         return s["rows"] > s["nulls"]
+    if op == "has_token":
+        # token-set membership (operators/tokenindex.py): min/max are
+        # meaningless, only the token Bloom can prove absence
+        if s["rows"] == s["nulls"]:
+            return False
+        bl = s.get("tbloom")
+        if bl:
+            from .bloom import bloom_may_contain
+
+            return bloom_may_contain(bl, val)
+        return True
     lo, hi = s["min"], s["max"]
     if s["rows"] == s["nulls"]:
         return False  # all-NULL column: no comparison can hold
@@ -1835,6 +1848,8 @@ def _clause_all_match(fstats: dict | None, col: str, op: str, val) -> bool:
     s = _resolve_clause_stats(fstats, col)
     if s is None:
         return False
+    if op == "has_token":
+        return False  # a Bloom can never prove EVERY row matches
     if op == "isnull":
         return s["nulls"] == s["rows"]
     if op == "notnull":
@@ -1913,6 +1928,12 @@ def _where_expr(where: Sequence[tuple]):
         # address the rows every comparison op skips by definition
         "isnull": lambda c, v: c.isNull(),
         "notnull": lambda c, v: c.isNotNull(),
+        # token-set membership: the EXACT predicate whose tokenizer
+        # the build job shares (operators/tokenindex.py)
+        "has_token": lambda c, v: __import__(
+            "event_streaming_toy_example_spark.operators.tokenindex",
+            fromlist=["token_filter_expr"],
+        ).token_filter_expr(c, v),
     }
     expr = F.lit(True)
     for col, op, val in where:

@@ -378,6 +378,9 @@ FAMILY_REP: dict[str, str] = {
     # round 12: persistent SQL views extend the warehouse-catalog
     # family the PRIMARY catalog entry pins
     "tx_sql_views": "tx_sql_catalog",
+    # round 12: token Bloom pruning extends the data-skipping family
+    # (same PRIMARY rep as the value-bloom entry)
+    "tx_token_pruning": "tx_delete_dv",
     # round 9: the txtable Python DataSource with Spark 4.1 filter
     # PUSHDOWN (sources/txsource.py) — SQL WHERE clauses reach the
     # commit log's stats/bloom pruning; Python-DataSource family

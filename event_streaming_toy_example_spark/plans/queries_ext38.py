@@ -293,14 +293,105 @@ SELECT n_regionkey, n, key_sum FROM (
 """
 
 
+# ----------------------------------------------- token bloom pruning
+
+
+def _build_token_index(spark: SparkSession, sf_dir: str) -> str:
+    """Stage once per corpus: documents as a txtable with a TOKEN
+    Bloom index on ``text``, each language's docs tagged with a
+    synthetic rare token (``marker_<lang>``) and appended as its own
+    file — so a ``has_token`` probe for one language's marker can
+    prove every other language's file skippable.  The build asserts
+    the pruning actually happens."""
+    from event_streaming_toy_example_spark.operators import (
+        tokenindex as ti,
+    )
+    from event_streaming_toy_example_spark.operators import txtable as tx
+    from event_streaming_toy_example_spark.plans.queries_ext import (
+        stage_dir_once,
+    )
+
+    def build(tmp: str) -> None:
+        t = _os.path.join(tmp, "t")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        tagged = docs.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat(F.lit("marker_"), F.col("lang")),
+            ),
+        )
+        langs = sorted(
+            r["lang"] for r in docs.select("lang").distinct().collect()
+        )
+        # first language creates the table; the index property lands
+        # right after, so that one file scans (conservative) while
+        # every later language's file carries a token filter
+        tx.tx_append(
+            tagged.where(F.col("lang") == langs[0]).coalesce(1), t
+        )
+        ti.tx_set_token_index(t, ["text"])
+        for lang in langs[1:]:
+            tx.tx_append(
+                tagged.where(F.col("lang") == lang).coalesce(1), t
+            )
+        probe = f"marker_{langs[-1]}"
+        _scan, skip = tx.prune_files(t, [("text", "has_token", probe)])
+        assert len(skip) >= len(langs) - 2, (
+            f"token filters pruned only {len(skip)} files"
+        )
+
+    return stage_dir_once(build, "txtable_tokenindex_v1", sf_dir)
+
+
+def q_tx_token_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level text search through the token Bloom index: the
+    ``has_token`` probe opens only files that might hold the token
+    (asserted), and the surviving rows re-filter with the same
+    tokenizer expression — so the aggregate hash-checks against
+    DuckDB filtering on the language the marker token encodes."""
+    from event_streaming_toy_example_spark.operators import (
+        tokenindex as ti,
+    )
+    from event_streaming_toy_example_spark.operators import txtable as tx
+
+    base = _build_token_index(spark, sf_dir)
+    t = _os.path.join(base, "t")
+    _scan, skip = tx.prune_files(t, [("text", "has_token", "marker_es")])
+    assert skip, "token filters must prune clustered files"
+    return (
+        ti.tx_text_search(spark, t, "text", "marker_es")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+
+
+SQL_TX_TOKEN_PRUNING = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE lang = 'es'
+GROUP BY source
+"""
+
+
 EXT38_QUERIES = {
     "tx_stream_sink": q_tx_stream_sink,
     "tx_matview_minmax": q_tx_matview_minmax,
     "tx_sql_views": q_tx_sql_views,
+    "tx_token_pruning": q_tx_token_pruning,
 }
 
 EXT38_ORACLES = {
     "tx_stream_sink": SQL_TX_STREAM_SINK,
     "tx_matview_minmax": SQL_TX_MATVIEW_MINMAX,
     "tx_sql_views": SQL_TX_SQL_VIEWS,
+    "tx_token_pruning": SQL_TX_TOKEN_PRUNING,
 }
