@@ -53,8 +53,12 @@ riding the engine's integer stream-transaction floors).  The view
 MERGE lands first, then each state, all under the same token; the
 repair pass re-runs exactly the missing suffix after a crash.
 
-``min``/``max`` are not maintainable through the factorization and
-are refused by name, like the two-sided module.  The reference has
+``min``/``max`` (round 12, like the two-sided module) switch the
+refresh to RECOMPUTE-AFFECTED-GROUPS mode: per-cell extrema in the
+side states merge monotonically for append-only windows (O(delta),
+source-free), removal-touched cells pay a bounded per-cell source
+rescan, and the reachable view groups recompute from the post-delta
+states with the create-time expression.  The reference has
 nothing comparable; the algorithm is the standard higher-order
 DBToaster delta re-expressed on this engine's commit log.
 """
@@ -68,8 +72,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import txtable as tx
 from .matview_join import (
+    _has_minmax,
     _key_ok,
     _merge_states,
+    _mm_cols,
+    _mm_products,
     _state_aggs,
     _tagged,
     _weighted_delta_rows,
@@ -105,20 +112,16 @@ def _unpack(token: int, n: int, bits: int) -> list[int]:
 
 
 def _parse_star_aggs(aggs: dict, sides: Sequence[str]) -> dict:
-    """{out: (fn, side, col)} with fn in count/sum/avg; count('*')
-    carries side None; side must be a declared side name."""
+    """{out: (fn, side, col)} with fn in count/sum/avg/min/max;
+    count('*') carries side None; side must be a declared side name.
+    min/max (round 12) switch the refresh to the same
+    recompute-affected-groups mode the two-sided module uses."""
     out: dict = {}
     for name, (fn, ref) in aggs.items():
         if fn == "count" and ref == "*":
             out[name] = ("count", None, None)
             continue
-        if fn in ("min", "max"):
-            raise ValueError(
-                f"matview_star: {fn} is not maintainable through the "
-                "factorized state (a retracted extremum needs a group "
-                "rescan)"
-            )
-        if fn not in ("sum", "avg", "count"):
+        if fn not in ("sum", "avg", "count", "min", "max"):
             raise ValueError(
                 f"matview_star: unsupported aggregate {fn!r} for {name!r}"
             )
@@ -133,7 +136,10 @@ def _parse_star_aggs(aggs: dict, sides: Sequence[str]) -> dict:
 
 
 def _side_cols(parsed: dict, side: str) -> list[str]:
-    return sorted({c for _fn, s, c in parsed.values() if s == side})
+    return sorted({
+        c for fn, s, c in parsed.values()
+        if s == side and fn in ("count", "sum", "avg")
+    })
 
 
 def _on_pairs(on) -> list[tuple[str, str]]:
@@ -163,6 +169,8 @@ def _products_star(parsed: dict, sides: Sequence[str]):
     for name, (_fn, side, col) in parsed.items():
         if side is None:
             continue  # count(*): carried by __d_rows
+        if _fn in ("min", "max"):
+            continue  # extrema travel via _mm_products, not products
         others = None
         for s in sides:
             if s == side:
@@ -183,13 +191,19 @@ def _sum_deltas_star(df: DataFrame, groups: Sequence[str],
         F.sum("__d_rows").cast("long").alias("__d_rows"),
         *[
             e
-            for name, (_fn, s, _c) in parsed.items()
-            if s is not None
+            for name, (fn, s, _c) in parsed.items()
+            if s is not None and fn in ("count", "sum", "avg")
             for e in (
                 F.sum(f"__d_sum_{name}").alias(f"__d_sum_{name}"),
                 F.sum(f"__d_cnt_{name}").cast("long")
                 .alias(f"__d_cnt_{name}"),
             )
+        ],
+        *[
+            (F.min if fn == "min" else F.max)(f"__d_{fn}_{name}")
+            .alias(name)
+            for name, (fn, _s, _c) in parsed.items()
+            if fn in ("min", "max")
         ],
     )
 
@@ -200,6 +214,8 @@ def _finalize_star(parsed: dict, rows_col, sum_of, cnt_of):
         if side is None:
             cols.append(rows_col.cast("long").alias(name))
             continue
+        if fn in ("min", "max"):
+            continue  # no internal sum/cnt pair: recompute paths emit
         s, c = sum_of(name), cnt_of(name).cast("long")
         if fn == "count":
             cols.append(c.alias(name))
@@ -210,6 +226,38 @@ def _finalize_star(parsed: dict, rows_col, sum_of, cnt_of):
         cols.append(s.alias(f"__sum_{name}"))
         cols.append(c.alias(f"__cnt_{name}"))
     return cols
+
+
+def _group_rollup_star(
+    joined: DataFrame, all_groups: Sequence[str], parsed: dict,
+    side_names: Sequence[str],
+) -> DataFrame:
+    """FULL per-group view rows from a join of every side's state —
+    shared by create and the minmax-mode refresh recompute (the star
+    twin of matview_join._group_rollup)."""
+    per_group = _sum_deltas_star(
+        joined.select(
+            *all_groups,
+            *_products_star(parsed, side_names),
+            *_mm_products(parsed),
+        ),
+        all_groups, parsed,
+    )
+    return per_group.select(
+        *all_groups,
+        *_finalize_star(
+            parsed,
+            F.col("__d_rows"),
+            lambda n: _z(f"__d_sum_{n}"),
+            lambda n: _z(f"__d_cnt_{n}"),
+        ),
+        *[
+            F.col(name)
+            for name, (fn, _s, _c) in parsed.items()
+            if fn in ("min", "max")
+        ],
+        F.col("__d_rows").cast("long").alias("__rows"),
+    )
 
 
 def _apply_filter(df: DataFrame, expr: str | None) -> DataFrame:
@@ -338,12 +386,13 @@ def tx_create_matview_star(
             shutil.rmtree(st, ignore_errors=True)
             tx.invalidate_fold_memo(st)
     cols_f = _side_cols(parsed, "fact")
+    mm_f = _mm_cols(parsed, "fact")
     # project EVERY side to its declared (key/group/aggregate) columns
     # BEFORE applying its filter: the refresh reads exactly those
     # columns from the feed, so a filter referencing anything else must
     # fail HERE, loudly, not at the first refresh
     f_df = tx.read_table(spark, fact).select(
-        *dict.fromkeys(fact_keys + group_by_fact + cols_f)
+        *dict.fromkeys(fact_keys + group_by_fact + cols_f + mm_f)
     )
     _validate_filter(spark, filters.get("fact"), f_df.schema, "fact")
     f_df = _apply_filter(f_df, filters.get("fact")).where(
@@ -352,13 +401,16 @@ def tx_create_matview_star(
     _check_group_nulls(f_df, group_by_fact, "fact")
     tx.tx_append(
         f_df.groupBy(*fact_keys, *group_by_fact).agg(
-            *_state_aggs(cols_f)
+            *_state_aggs(cols_f, mm_f)
         ),
         state_paths["fact"],
     )
     for d in dims:
         cols_d = _side_cols(parsed, d["name"])
-        dd = _dim_projected(spark, d, cols_d, None)
+        mm_d = _mm_cols(parsed, d["name"])
+        dd = _dim_projected(
+            spark, d, sorted(set(cols_d) | set(mm_d)), None
+        )
         _validate_filter(
             spark, filters.get(d["name"]), dd.schema, d["name"]
         )
@@ -366,7 +418,9 @@ def tx_create_matview_star(
         _check_group_nulls(dd, d["group_by"], d["name"])
         keys = [fc for fc, _dc in d["on"]]
         tx.tx_append(
-            dd.groupBy(*keys, *d["group_by"]).agg(*_state_aggs(cols_d)),
+            dd.groupBy(*keys, *d["group_by"]).agg(
+                *_state_aggs(cols_d, mm_d)
+            ),
             state_paths[d["name"]],
         )
     joined = _tagged(
@@ -384,20 +438,7 @@ def tx_create_matview_star(
             ),
             keys,
         )
-    per_group = _sum_deltas_star(
-        joined.select(*all_groups, *_products_star(parsed, sides)),
-        all_groups, parsed,
-    )
-    view = per_group.select(
-        *all_groups,
-        *_finalize_star(
-            parsed,
-            F.col("__d_rows"),
-            lambda n: _z(f"__d_sum_{n}"),
-            lambda n: _z(f"__d_cnt_{n}"),
-        ),
-        F.col("__d_rows").cast("long").alias("__rows"),
-    )
+    view = _group_rollup_star(joined, all_groups, parsed, sides)
     spec = {
         "fact": os.path.abspath(fact),
         "state_fact": os.path.abspath(state_paths["fact"]),
@@ -481,6 +522,35 @@ def matview_star_lag(dst: str) -> tuple[dict, dict]:
     return applied, current
 
 
+def _sdf_star(
+    spark: SparkSession,
+    side: dict,
+    lo: int,
+    hi: int,
+    cols_needed: Sequence[str],
+    filt: str | None,
+) -> DataFrame | None:
+    """One side's weighted change rows, canonicalized: feed columns
+    renamed to fact names, the side's pre-join filter applied (to old
+    and new rows alike — a per-row filter commutes with the multiset
+    delta), NULL join keys dropped, NULL group keys refused."""
+    src_cols = list(
+        dict.fromkeys(
+            side["colmap"].get(c, c)
+            for c in side["keys"] + side["group"] + list(cols_needed)
+        )
+    )
+    sdf = _weighted_delta_rows(spark, side["src"], lo, hi, src_cols)
+    if sdf is None:
+        return None
+    for fc, dc in side["colmap"].items():
+        if fc != dc:
+            sdf = sdf.withColumnRenamed(dc, fc)
+    sdf = _apply_filter(sdf, filt).where(_key_ok(side["keys"]))
+    _check_group_nulls(sdf, side["group"], side["name"])
+    return sdf
+
+
 def _delta_state_star(
     spark: SparkSession,
     side: dict,
@@ -489,29 +559,18 @@ def _delta_state_star(
     cols_agg: Sequence[str],
     filt: str | None,
     state_schema,
+    sdf: DataFrame | None = None,
 ) -> DataFrame | None:
     """Signed per-(key, group) summary of one side's change window —
     the star twin of matview_join's _delta_state, adding the dim
     column RENAME (feed columns carry source names) and the side's
-    pre-join filter (applied to old and new rows alike; a per-row
-    filter commutes with the multiset delta).  The weighted rows come
-    from the shared two-path builder: driver pandas for steady
-    deltas, executor-parallel past DIST_DELTA_ROWS."""
-    src_cols = list(
-        dict.fromkeys(
-            side["colmap"].get(c, c)
-            for c in side["keys"] + side["group"] + list(cols_agg)
-        )
-    )
-    sdf = _weighted_delta_rows(spark, side["src"], lo, hi, src_cols)
+    pre-join filter.  The weighted rows come from the shared two-path
+    builder (driver pandas for steady deltas, executor-parallel past
+    DIST_DELTA_ROWS), or from a prebuilt ``sdf``."""
+    if sdf is None:
+        sdf = _sdf_star(spark, side, lo, hi, cols_agg, filt)
     if sdf is None:
         return None
-    # canonicalize dim key names, then filter and key-null-drop
-    for fc, dc in side["colmap"].items():
-        if fc != dc:
-            sdf = sdf.withColumnRenamed(dc, fc)
-    sdf = _apply_filter(sdf, filt).where(_key_ok(side["keys"]))
-    _check_group_nulls(sdf, side["group"], side["name"])
     w = F.col("__w")
     exprs = [F.sum(w).cast("long").alias("__cnt")]
     for c in cols_agg:
@@ -526,6 +585,180 @@ def _delta_state_star(
     return d.select(
         *[F.col(c).cast(types[c]).alias(c) for c in d.columns]
     )
+
+
+def _new_state_star_mm(
+    spark: SparkSession,
+    side: dict,
+    lo: int,
+    hi: int,
+    sum_cols: Sequence[str],
+    mm_cols: Sequence[str],
+    filt: str | None,
+    old: DataFrame,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(post-window state expression, canonicalized weighted rows or
+    None) for one side of a minmax star view — the star twin of
+    matview_join._new_state_mm: sums merge algebraically, extrema
+    merge monotonically from added rows, removal-touched cells
+    recompute from the side's source at the window end (projected,
+    renamed, and filtered exactly like create)."""
+    keys = list(side["keys"]) + list(side["group"])
+    sdf = _sdf_star(
+        spark, side, lo, hi, sorted(set(sum_cols) | set(mm_cols)), filt
+    )
+    if sdf is None:
+        return old, None
+    d = _delta_state_star(
+        spark, side, lo, hi, sum_cols, filt, old.schema, sdf=sdf
+    )
+    pieces = [old, d]
+    if mm_cols:
+        pieces.append(
+            sdf.where(F.col("__w") > 0)
+            .groupBy(*keys)
+            .agg(
+                *[F.min(c).alias(f"__min_{c}") for c in mm_cols],
+                *[F.max(c).alias(f"__max_{c}") for c in mm_cols],
+            )
+        )
+    u = pieces[0]
+    for pc in pieces[1:]:
+        u = u.unionByName(pc, allowMissingColumns=True)
+    plain = [
+        c for c in old.columns
+        if c not in keys
+        and not c.startswith("__min_")
+        and not c.startswith("__max_")
+    ]
+    merged = (
+        u.groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in plain],
+            *[F.min(f"__min_{c}").alias(f"__min_{c}") for c in mm_cols],
+            *[F.max(f"__max_{c}").alias(f"__max_{c}") for c in mm_cols],
+        )
+        .where(F.col("__cnt") > 0)
+        .select(*old.columns)
+    )
+    rem_cells = sdf.where(F.col("__w") < 0).select(*keys).distinct()
+    if rem_cells.limit(1).count():
+        src_cols = list(
+            dict.fromkeys(
+                side["colmap"].get(c, c)
+                for c in keys + sorted(set(sum_cols) | set(mm_cols))
+            )
+        )
+        base = tx.read_table(spark, side["src"], version=hi).select(
+            *src_cols
+        )
+        for fc, dc in side["colmap"].items():
+            if fc != dc:
+                base = base.withColumnRenamed(dc, fc)
+        base = _apply_filter(base, filt).where(_key_ok(side["keys"]))
+        recomputed = (
+            base.join(rem_cells, keys, "left_semi")
+            .groupBy(*keys)
+            .agg(*_state_aggs(sum_cols, mm_cols))
+        )
+        types = {f.name: f.dataType for f in old.schema.fields}
+        recomputed = recomputed.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in old.columns]
+        )
+        merged = (
+            merged.join(rem_cells, keys, "left_anti")
+            .unionByName(recomputed)
+        )
+    return merged, sdf
+
+
+def _refresh_minmax_star(
+    spark, dst, spec, sides, parsed, filters, applied, current, bits
+) -> int:
+    """Refresh path for star views with min/max aggregates: advance
+    every side state as an expression (monotone extrema merges for
+    append-only windows, bounded per-cell source rescans under
+    removals), collect every view group the changed cells can reach
+    through the star join (via BOTH pre- and post-delta other sides),
+    and recompute exactly those groups from the post-delta states with
+    the create-time expression.  Exactly-once under the same packed
+    N-version token and merge order as the algebraic path."""
+    token = _pack([current[s["name"]] for s in sides], bits)
+    side_names = [s["name"] for s in sides]
+    all_groups: list[str] = []
+    for s in sides:
+        all_groups.extend(s["group"])
+    olds = {s["name"]: tx.read_table(spark, s["state"]) for s in sides}
+    news, sdfs = {}, {}
+    for s in sides:
+        name = s["name"]
+        news[name], sdfs[name] = _new_state_star_mm(
+            spark, s, applied[name], current[name],
+            _side_cols(parsed, name), _mm_cols(parsed, name),
+            filters.get(name), olds[name],
+        )
+    if all(v is None for v in sdfs.values()):
+        view_schema = tx.read_table(spark, dst).schema
+        v = tx.tx_merge(
+            spark, dst, spark.createDataFrame([], view_schema),
+            on=all_groups,
+            when_matched_update="all",
+            when_not_matched_insert=True,
+            stream_txn=(_APP, token),
+        )
+        _advance_states(spark, spec, sides, parsed, filters, token)
+        return v
+
+    def _star_join(rels: dict) -> DataFrame:
+        joined = _tagged(
+            rels["fact"], sides[0]["keys"] + sides[0]["group"], "fact"
+        )
+        for t in sides[1:]:
+            joined = joined.join(
+                _tagged(
+                    rels[t["name"]], t["keys"] + t["group"], t["name"]
+                ),
+                t["keys"],
+            )
+        return joined
+
+    pairs = []
+    for s in sides:
+        name = s["name"]
+        if sdfs[name] is None:
+            continue
+        cells = sdfs[name].select(*s["keys"], *s["group"]).distinct()
+        for states in (olds, news):
+            rels = {t["name"]: states[t["name"]] for t in sides}
+            rels[name] = cells
+            pairs.append(_star_join(rels).select(*all_groups))
+    affected = pairs[0]
+    for p in pairs[1:]:
+        affected = affected.unionByName(p)
+    affected = affected.distinct()
+    joined_new = _star_join(news).join(affected, all_groups, "left_semi")
+    recomputed = _group_rollup_star(
+        joined_new, all_groups, parsed, side_names
+    )
+    val_cols = [c for c in recomputed.columns if c not in all_groups]
+    src_df = (
+        affected.join(recomputed, all_groups, "left")
+        .select(
+            *all_groups,
+            *[F.col(c) for c in val_cols],
+            F.col("__rows").isNull().alias("__dead"),
+        )
+    )
+    v = tx.tx_merge(
+        spark, dst, src_df,
+        on=all_groups,
+        when_matched_delete="source.__dead",
+        when_matched_update="all",
+        when_not_matched_insert="NOT source.__dead",
+        stream_txn=(_APP, token),
+    )
+    _advance_states(spark, spec, sides, parsed, filters, token)
+    return v
 
 
 def tx_refresh_matview_star(spark: SparkSession, dst: str) -> int | None:
@@ -550,6 +783,11 @@ def tx_refresh_matview_star(spark: SparkSession, dst: str) -> int | None:
     )
     if all(current[s["name"]] <= applied[s["name"]] for s in sides):
         return None
+    if _has_minmax(parsed):
+        return _refresh_minmax_star(
+            spark, dst, spec, sides, parsed, filters, applied, current,
+            bits,
+        )
     token = _pack([current[s["name"]] for s in sides], bits)
     all_groups: list[str] = []
     for s in sides:
@@ -665,6 +903,42 @@ def _advance_states(spark, spec, sides, parsed, filters, token) -> None:
             continue
         keys = s["keys"] + s["group"]
         state = tx.read_table(spark, s["state"])
+        mm = _mm_cols(parsed, s["name"])
+        if mm:
+            # extrema cannot advance algebraically: derive the merge
+            # source from the post-window state expression
+            new_state, sdf = _new_state_star_mm(
+                spark, s, start, target, _side_cols(parsed, s["name"]),
+                mm, filters.get(s["name"]), state,
+            )
+            if sdf is None:
+                src_df = state.limit(0).select(
+                    "*", F.lit(False).alias("__dead")
+                )
+            else:
+                vals = [c for c in state.columns if c not in keys]
+                src_df = (
+                    sdf.select(*keys).distinct()
+                    .join(new_state, keys, "left")
+                    .select(
+                        *keys,
+                        *[F.col(c) for c in vals],
+                        F.col("__cnt").isNull().alias("__dead"),
+                    )
+                )
+            try:
+                tx.tx_merge(
+                    spark, s["state"], src_df,
+                    on=keys,
+                    when_matched_delete="source.__dead",
+                    when_matched_update="all",
+                    when_not_matched_insert="NOT source.__dead",
+                    stream_txn=(_APP, token),
+                )
+            except tx.ConcurrentWriteError as e:
+                if "already committed" not in str(e):
+                    raise
+            continue
         delta = _delta_state_star(
             spark, s, start, target, _side_cols(parsed, s["name"]),
             filters.get(s["name"]), state.schema,

@@ -207,10 +207,12 @@ def test_minmax_and_bad_side_refused_by_name(spark, tmp_path):
         spark.createDataFrame([(1, "g")], "k1 int, g1 string"), d1
     )
     dims = [{"name": "d1", "src": d1, "on": ["k1"], "group_by": ["g1"]}]
-    with pytest.raises(ValueError, match="min is not maintainable"):
+    # round 12: min/max is ACCEPTED (recompute-affected-groups mode,
+    # tests/test_matview_star_minmax.py); unknown fns still refuse
+    with pytest.raises(ValueError, match="unsupported aggregate"):
         ms.tx_create_matview_star(
             spark, str(tmp_path / "m1"), fact, dims,
-            aggs={"m": ("min", "fact.qty")},
+            aggs={"m": ("median", "fact.qty")},
         )
     with pytest.raises(ValueError, match="qualify the aggregate"):
         ms.tx_create_matview_star(
