@@ -369,9 +369,14 @@ FAMILY_REP: dict[str, str] = {
     # the pure-SQL streaming-view twin of the option-JSON streaming
     # source entry (the change-feed follower rep carries the family)
     "tx_stream_sql": "tx_feed_follower",
-    # round 12: the native streaming SINK (writeStream.format) joins
-    # the same streaming-txtable family
-    "tx_stream_sink": "tx_feed_follower",
+    # round-12 PRIMARY rotation: the native streaming SINK is a WRITE
+    # capability no PRIMARY entry covered (every stream entry reads) —
+    # it takes the slot of pipe_dedup_batch, whose batch-dedup family
+    # (reference D2) stays driver-checked through dedup_incremental
+    # (the harder batch form) and stream_dedup (D1); the format
+    # roundtrips it repped move under pipe_decode_roundtrip (the
+    # encode/decode roundtrip family rep)
+    "pipe_dedup_batch": "stream_dedup",
     # round 12: min/max join matviews (recompute-affected-groups mode)
     # extend the factorized-IVM family the PRIMARY join entry pins
     "tx_matview_minmax": "tx_matview_join",
@@ -663,7 +668,7 @@ FAMILY_REP: dict[str, str] = {
     # arithmetic-dims oracle over the 10-scan successive-approximation
     # stream (round 4)
     "mm_jpeg_progressive": "mm_jpeg_decode",
-    "source_orc_roundtrip": "pipe_dedup_batch",
+    "source_orc_roundtrip": "pipe_decode_roundtrip",
     "source_csv_malformed": "pipe_deadletter_split",
     "graph_khop_reach": "graph_pagerank_nations",
     # round-4 twelfth wave: the stream-static join is the third join
@@ -706,7 +711,7 @@ FAMILY_REP: dict[str, str] = {
     # round-4 fifteenth wave: native-XML roundtrip joins the FORMAT
     # family of its ORC sibling; binaryFile ingestion is the raw-asset
     # source feeding the multimodal decode family
-    "source_xml_roundtrip": "pipe_dedup_batch",
+    "source_xml_roundtrip": "pipe_decode_roundtrip",
     "source_binaryfile_ingest": "mm_jpeg_decode",
     # round-4 sixteenth wave: join-IVM joined the partial-aggregate
     # maintenance family; PROMOTED to PRIMARY in round 5 (VERDICT r4
