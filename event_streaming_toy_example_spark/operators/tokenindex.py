@@ -67,7 +67,15 @@ def token_filter_expr(col, token: str):
     """The EXACT row predicate ``has_token`` applies: token membership
     in the column's lowercased ``(?U)\\w+`` token array.  Build and
     probe agree by construction because both run this expression's
-    tokenizer."""
+    tokenizer.  Non-string probes are refused BY NAME: Spark would
+    implicitly cast them inside ``array_contains`` while the Bloom's
+    type-tagged canonical encoding would not — a silent false-skip
+    hazard."""
+    if not isinstance(token, str):
+        raise TypeError(
+            f"has_token value must be a string token, got "
+            f"{type(token).__name__}: {token!r}"
+        )
     return F.array_contains(
         F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0),
         token,

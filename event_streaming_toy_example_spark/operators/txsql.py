@@ -166,15 +166,28 @@ def _refresh_referenced_views(spark: SparkSession, stmt: str) -> None:
     """Re-materialize every KNOWN view whose name appears in the
     statement (word match over the session's view map — names are
     ``\\w+``), so a SELECT sees its base tables' current snapshots.
-    First-time names resolve through the lazy analysis-retry path."""
+    The definition is re-read FROM THE CATALOG (one LIST + one GET,
+    only for statements that mention a view): another session's
+    CREATE OR REPLACE is picked up, and a cross-session DROP VIEW
+    drops the local cache + temp view so the statement fails resolve
+    like any unknown name.  First-time names resolve through the lazy
+    analysis-retry path."""
     views = _session_views(spark)
     names = [n for n in views if not n.startswith("__materializing_")]
     if not names:
         return
     words = set(re.findall(r"\w+", stmt))
-    for n in names:
-        if n in words:
-            _materialize_view(spark, n, views[n])
+    hit = [n for n in names if n in words]
+    if not hit:
+        return
+    cataloged = whcat.catalog_views(_warehouse_dir(spark))
+    for n in hit:
+        sql = cataloged.get(n)
+        if sql is None:
+            views.pop(n, None)
+            spark.catalog.dropTempView(n)
+            continue
+        _materialize_view(spark, n, sql)
 
 
 def _warehouse_dir(spark: SparkSession) -> str:
@@ -481,6 +494,16 @@ _IN_RE = re.compile(
     r"^\s*(?P<col>\w+)\s+IN\s*\((?P<list>[^()]*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# HAS_TOKEN(col, 'word') — the token-Bloom predicate
+# (operators/tokenindex.py).  Unlike day(ts), this is NOT a SQL
+# built-in, so compiling it cannot change a statement's meaning — and
+# the raw-SQL fallback would only fail with Spark's undefined-function
+# error, so the compiled path is the ONLY way the text works.
+_HAS_TOKEN_RE = re.compile(
+    r"^\s*HAS_TOKEN\s*\(\s*(?P<col>\w+)\s*,\s*"
+    r"'(?P<tok>(?:[^']|'')*)'\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _compile_clauses(where: str) -> list[tuple] | None:
@@ -492,6 +515,16 @@ def _compile_clauses(where: str) -> list[tuple] | None:
         return None
     clauses: list[tuple] = []
     for term in _split_top(where, r"\s+AND\s+"):
+        m = _HAS_TOKEN_RE.match(term)
+        if m:
+            # lowercase the probe like tx_text_search: the index stores
+            # lowercased tokens, so the SQL surface is a
+            # case-insensitive word search
+            clauses.append((
+                m.group("col"), "has_token",
+                m.group("tok").replace("''", "'").lower(),
+            ))
+            continue
         m = _IN_RE.match(term)
         if m:
             try:
@@ -540,6 +573,10 @@ def _clauses_typed_ok(clauses: list[tuple], path: str) -> bool:
         if not isinstance(t, str):
             return False
         if op in ("isnull", "notnull"):
+            continue
+        if op == "has_token":
+            if t != "string":
+                return False
             continue
         vals = val if op == "in" else (val,)
         for v in vals:

@@ -1789,7 +1789,14 @@ def _clause_may_match(fstats: dict | None, col: str, op: str, val) -> bool:
         return s["rows"] > s["nulls"]
     if op == "has_token":
         # token-set membership (operators/tokenindex.py): min/max are
-        # meaningless, only the token Bloom can prove absence
+        # meaningless, only the token Bloom can prove absence.  The
+        # probe must be a string — a non-string would silently miss
+        # the type-tagged bloom while array_contains casts it
+        if not isinstance(val, str):
+            raise ValueError(
+                f"has_token value must be a string token, got "
+                f"{type(val).__name__}: {val!r}"
+            )
         if s["rows"] == s["nulls"]:
             return False
         bl = s.get("tbloom")

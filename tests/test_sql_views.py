@@ -148,6 +148,26 @@ def test_show_views_and_show_create_roundtrip(spark, tmp_path):
     assert got == {1: 5.0, 2: 13.0}
 
 
+def test_cross_session_replace_and_drop_propagate(spark, tmp_path):
+    """Session B has materialized v; session A then REPLACEs it (B's
+    next read picks up the new definition from the catalog) and DROPs
+    it (B's next read fails resolve instead of serving a ghost)."""
+    wh = tmp_path / "wh"
+    s1 = _seeded(spark, wh)
+    txsql.tx_sql(s1, "CREATE VIEW v AS SELECT COUNT(*) AS n FROM base")
+    s2 = _fresh_session(spark, wh)
+    assert txsql.tx_sql(s2, "SELECT * FROM v").first()["n"] == 3
+    txsql.tx_sql(
+        s1, "CREATE OR REPLACE VIEW v AS SELECT MAX(amt) AS n FROM base"
+    )
+    assert txsql.tx_sql(s2, "SELECT * FROM v").first()["n"] == 7.0
+    txsql.tx_sql(s1, "DROP VIEW v")
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        txsql.tx_sql(s2, "SELECT * FROM v").collect()
+
+
 def test_cyclic_views_refused_by_name(spark, tmp_path):
     wh = tmp_path / "wh"
     s1 = _seeded(spark, wh)

@@ -138,6 +138,17 @@ def test_token_search_respects_deletes(spark, tmp_path):
     assert got == [i for i in range(50, 100) if i % 5 == 3]
 
 
+def test_non_string_probe_refused_by_name(spark, tmp_path):
+    """A non-string has_token probe would silently miss the
+    type-tagged bloom while array_contains casts it (a false-skip
+    hazard) — both the planner and the row expression refuse."""
+    p, _df = _indexed(spark, tmp_path, n=20)
+    with pytest.raises(ValueError, match="must be a string token"):
+        tx.prune_files(p, [("body", "has_token", 5)])
+    with pytest.raises(TypeError, match="must be a string token"):
+        ti.token_filter_expr(F.col("body"), 5)
+
+
 def test_delete_with_has_token_clause(spark, tmp_path):
     """has_token works as a DELETE predicate too: _clause_all_match
     never drops a whole file on a Bloom (rewrite path only)."""
@@ -145,3 +156,27 @@ def test_delete_with_has_token_clause(spark, tmp_path):
     tx.tx_delete(spark, p, [("body", "has_token", "word3")])
     assert ti.tx_text_search(spark, p, "body", "word3").count() == 0
     assert tx.read_table(spark, p).count() == 81
+
+
+def test_has_token_from_sql_text(spark, tmp_path):
+    """HAS_TOKEN(col, 'word') compiles through the DML clause
+    compiler: DELETE FROM t WHERE HAS_TOKEN(...) routes onto the
+    engine clause (case-insensitive probe), and a non-string column
+    refuses compilation."""
+    from event_streaming_toy_example_spark.operators import txsql
+
+    p, _df = _indexed(spark, tmp_path)
+    assert txsql._compile_clauses("HAS_TOKEN(body, 'Word3')") == [
+        ("body", "has_token", "word3")
+    ]
+    txsql.tx_register(spark, p, "tok_docs")
+    txsql.tx_sql(
+        spark, "DELETE FROM tok_docs WHERE HAS_TOKEN(body, 'WORD3')"
+    )
+    assert ti.tx_text_search(spark, p, "body", "word3").count() == 0
+    assert tx.read_table(spark, p).count() == 81
+    # doc_id is not a string column: the typed gate rejects the
+    # compiled path (and the raw path names the unknown function)
+    assert not txsql._clauses_typed_ok(
+        [("doc_id", "has_token", "x")], p
+    )
