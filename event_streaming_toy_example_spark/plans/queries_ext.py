@@ -51,6 +51,9 @@ from event_streaming_toy_example_spark.functions.text import (
     token_count,
     tokens,
 )
+from event_streaming_toy_example_spark.streaming.tuning import (
+    stream_tuning,
+)
 from event_streaming_toy_example_spark.schemas import (
     EVENTS_TABLE_SCHEMA,
     load_table,
@@ -878,17 +881,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.unionAll(ev.where(F.col("event_id") % 20 == 0)), "dedup", sf_dir
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.schema(EVENTS_TABLE_SCHEMA)
-        .parquet(in_path)
-        .dropDuplicates(["event_id"])
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, "stream_dedup")
+    with stream_tuning(spark):
+        q = (
+            spark.readStream.schema(EVENTS_TABLE_SCHEMA)
+            .parquet(in_path)
+            .dropDuplicates(["event_id"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "stream_dedup")
     return spark.table(name).select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
@@ -925,14 +929,15 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, "stream_hourly_counts")
+    with stream_tuning(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "stream_hourly_counts")
     return spark.table(name).select(
         F.unix_micros(F.col("w.start")).alias("hour_start_us"),
         "event_type",

@@ -95,14 +95,19 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("e.ts").alias("error_us"),
     )
     name = f"sjo_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from event_streaming_toy_example_spark.streaming.tuning import (
+        stream_tuning,
     )
-    await_or_raise(q, "stream_join_outer")
+
+    with stream_tuning(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "stream_join_outer")
     return spark.table(name)
 
 

@@ -612,6 +612,11 @@ def q_stream_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, event_type string"
     ).parquet(staged)
     name = f"stream_cep_{_uuid.uuid4().hex[:8]}"
+    # deliberately NOT under stream_tuning(): this stream's micro-batch
+    # is Python-compute-bound (per-(user,day) sequence evaluation over
+    # the full event table), so it needs the batch shuffle width for
+    # worker parallelism — measured 15.0 s at 32 partitions vs 24.1 s
+    # at 8 (streaming/tuning.py module table, round 12)
     q = (
         cep_stateful(stream, day_col="day")
         .writeStream.format("memory")
@@ -907,17 +912,24 @@ def q_stream_watermark_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(in_path)
     )
     name = f"stream_wm_{_uuid.uuid4().hex[:8]}"
-    q = (
-        daily_counts_watermark_flush(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from event_streaming_toy_example_spark.streaming.tuning import (
+        stream_tuning,
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_watermark_flush did not finish in 300s")
+
+    with stream_tuning(spark):
+        q = (
+            daily_counts_watermark_flush(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_watermark_flush did not finish in 300s"
+            )
     return spark.table(name)
 
 

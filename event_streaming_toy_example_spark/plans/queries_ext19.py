@@ -76,14 +76,19 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     name = f"stream_sse_{_uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from event_streaming_toy_example_spark.streaming.tuning import (
+        stream_tuning,
     )
-    await_or_raise(q, "stream_static_enrich")
+
+    with stream_tuning(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "stream_static_enrich")
     return spark.table(name)
 
 

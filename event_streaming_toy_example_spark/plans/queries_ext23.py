@@ -122,51 +122,61 @@ def q_pysource_stream_agg(
         register_sensor_stream_source,
     )
 
+    from event_streaming_toy_example_spark.streaming.tuning import (
+        stream_tuning,
+    )
+
     register_sensor_stream_source(spark)
     name = f"pysrc_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("synthetic_sensor_stream")
-        .option("total", str(_STREAM_TOTAL))
-        .option("step", str(_STREAM_STEP))
-        .load()
-        .groupBy("sensor_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("reading_c").alias("sum_c"),
+    with stream_tuning(spark):
+        q = (
+            spark.readStream.format("synthetic_sensor_stream")
+            .option("total", str(_STREAM_TOTAL))
+            .option("step", str(_STREAM_STEP))
+            .load()
+            .groupBy("sensor_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("reading_c").alias("sum_c"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        got = prev = 0
-        stalls = 0
-        deadline = time.monotonic() + 300
-        while time.monotonic() < deadline:
-            q.processAllAvailable()
-            got = (
-                spark.table(name).agg(F.sum("n")).collect()[0][0] or 0
-            )
-            if got >= _STREAM_TOTAL:
-                break
-            # a source gone idle early would otherwise busy-spin the
-            # driver for the whole deadline: back off, and give up
-            # once the count stops advancing across several polls
-            stalls = stalls + 1 if got == prev else 0
-            if stalls >= 5:
-                raise TimeoutError(
-                    f"pysource stream stalled at {got}/"
-                    f"{_STREAM_TOTAL} rows"
+        try:
+            got = prev = 0
+            stalls = 0
+            deadline = time.monotonic() + 300
+            while time.monotonic() < deadline:
+                q.processAllAvailable()
+                got = (
+                    spark.table(name).agg(F.sum("n")).collect()[0][0] or 0
                 )
-            prev = got
-            time.sleep(0.5)
-        else:
-            raise TimeoutError(
-                f"pysource stream ingested {got}/{_STREAM_TOTAL} rows"
-            )
-    finally:
-        q.stop()
+                if got >= _STREAM_TOTAL:
+                    break
+                # a source gone idle early would otherwise busy-spin
+                # the driver for the whole deadline: back off, and give
+                # up once the count stops advancing across several
+                # polls.  The poll interval is dead DRIVER time between
+                # micro-batches (processAllAvailable already blocks on
+                # in-flight work), so it is short — 0.5 s polls were
+                # adding ~3 s of pure sleep per invocation (round-12
+                # measurement) without changing a single emitted row.
+                stalls = stalls + 1 if got == prev else 0
+                if stalls >= 50:
+                    raise TimeoutError(
+                        f"pysource stream stalled at {got}/"
+                        f"{_STREAM_TOTAL} rows"
+                    )
+                prev = got
+                time.sleep(0.05)
+            else:
+                raise TimeoutError(
+                    f"pysource stream ingested {got}/{_STREAM_TOTAL} rows"
+                )
+        finally:
+            q.stop()
     return spark.table(name).select(
         "sensor_id", "n", F.col("sum_c").cast("long").alias("sum_c")
     )

@@ -75,31 +75,38 @@ def q_stream_session_window(
         .parquet(in_path)
     )
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.withWatermark("ts", "1 minute")
-        .groupBy(
-            F.col("user_id"),
-            F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.max(F.unix_micros("ts")).alias("last_event_us"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            "last_event_us",
-            "n_events",
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from event_streaming_toy_example_spark.streaming.tuning import (
+        stream_tuning,
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_session_window did not finish in 300s")
+
+    with stream_tuning(spark):
+        q = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(
+                F.col("user_id"),
+                F.session_window("ts", f"{_GAP_MIN} minutes").alias("w"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.max(F.unix_micros("ts")).alias("last_event_us"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                "last_event_us",
+                "n_events",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_session_window did not finish in 300s"
+            )
     # sentinel filter on the OUTPUT (never before the watermark op)
     return spark.table(name).where(F.col("user_id") >= 0)
 

@@ -221,14 +221,19 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    from event_streaming_toy_example_spark.streaming.tuning import (
+        stream_tuning,
     )
-    await_or_raise(q, "stream_stream_join")
+
+    with stream_tuning(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "stream_stream_join")
     return spark.table(name)
 
 

@@ -495,14 +495,19 @@ def q_tx_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cc"),
     )
     name = f"txstream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from event_streaming_toy_example_spark.streaming.tuning import (
+        stream_tuning,
     )
-    await_or_raise(q, "tx_stream_source")
+
+    with stream_tuning(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "tx_stream_source")
     return spark.table(name)
 
 

@@ -569,14 +569,19 @@ def q_tx_stream_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
     """)
     name = f"txsqlstream_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from event_streaming_toy_example_spark.streaming.tuning import (
+        stream_tuning,
     )
-    await_or_raise(q, "tx_stream_sql")
+
+    with stream_tuning(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, "tx_stream_sql")
     return spark.table(name)
 
 
