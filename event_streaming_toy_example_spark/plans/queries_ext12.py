@@ -112,17 +112,29 @@ _PROFILE_COLS = [
 
 
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-level profile of ``orders`` — ALL columns' stats in ONE
-    aggregation pass (multi-distinct via Catalyst's expand), reshaped
+    """Column-level profile of ``orders`` — all columns' multi-distinct
+    stats in ONE aggregation pass (Catalyst's expand), reshaped
     wide→long with ``stack``.  A union of per-column aggregates would
     scan the table once per column (the first draft did: 5 scans, 10
-    exchanges); profiling at 100 TB must be a single scan.
+    exchanges); profiling at 100 TB must not rescan per column.
+
+    String min/max live in a SEPARATE keyless aggregate cross-joined
+    back (1 row × 1 row): a string-typed min/max buffer disqualifies
+    HashAggregate, and inside the multi-distinct aggregate that demoted
+    the whole expanded (6× rows) pipeline to SortAggregate — two full
+    sorts of |rows|·6 on a 6-column key (round-12 plan capture,
+    ``plans/r12/table_stats_before.txt``).  Split, both halves
+    hash-aggregate with map-side partials and the string fold reduces
+    to one row per partition before its single-partition exchange:
+    measured 4.0 s → 1.0 s at sf0.1, plan SortAggregate×3 →
+    HashAggregate×3 + one O(1)-row string fold, identical output.
 
     Exact distinct is the honest profiling cost — swap in
     ``approx_count_distinct`` at scale for the same plan with a
     bounded sketch."""
     orders = load_table(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    str_aggs = []
     for col, kind in _PROFILE_COLS:
         v = (
             F.round(F.col(col) * 100).cast("long")
@@ -132,10 +144,16 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.sum(F.col(col).isNull().cast("long")).alias(f"nn_{col}"),
             F.countDistinct(v).alias(f"nd_{col}"),
+        ]
+        minmax = [
             F.min(v).cast("string").alias(f"mn_{col}"),
             F.max(v).cast("string").alias(f"mx_{col}"),
         ]
-    wide = orders.agg(*aggs)
+        if kind == "str":
+            str_aggs += minmax
+        else:
+            aggs += minmax
+    wide = orders.agg(*aggs).crossJoin(orders.agg(*str_aggs))
     stack_args = ", ".join(
         f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}"
         for col, _ in _PROFILE_COLS
