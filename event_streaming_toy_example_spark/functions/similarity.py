@@ -25,27 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sequential-order double dot product of two float arrays.
-
-    ``dim`` (round-12 optimization, guide §4.1): when the vector width
-    is statically known, the product-sum unrolls into ``dim`` scalar
-    ``element_at`` terms folded left-to-right — pure whole-stage
-    codegen, bit-identical to the lambda fold (same left-associative
-    FP addition order starting from 0.0, verified on the full corpus),
-    measured ~1.5x faster per scored pair.  Without ``dim`` the
-    generic ``zip_with``+``aggregate`` form remains (higher-order
-    lambdas evaluate interpreted)."""
-    if dim is not None:
-        import functools
-        import operator
-
-        terms = [
-            F.element_at(a, i).cast("double")
-            * F.element_at(b, i).cast("double")
-            for i in range(1, dim + 1)
-        ]
-        return functools.reduce(operator.add, terms, F.lit(0.0))
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product of two float arrays."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -53,15 +34,13 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def l2_norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine_similarity(
-    a: Column, b: Column, dim: int | None = None
-) -> Column:
-    denom = l2_norm(a, dim) * l2_norm(b, dim)
-    return F.when(denom > 0, dot(a, b, dim) / denom).otherwise(F.lit(0.0))
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -70,14 +49,12 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus.
 
     One broadcast nested-loop join (no shuffle of the corpus), one
     window top-k per query. Ordering ties break on neighbor id so the
-    result is total-deterministic.  ``dim`` unrolls the cosine into
-    codegen (see :func:`dot`).
+    result is total-deterministic.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -88,9 +65,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("q_vec"), F.col("c_vec"), dim), 6
-            ).alias("cosine"),
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -297,9 +272,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                cosine_similarity(F.col("q_vec"), F.col("c_vec"), dim), 6
-            ).alias("cosine"),
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -319,20 +292,18 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
-    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids (by
     cosine). Centroids are broadcast; assignment is a map-side scored
     cross join + per-vector top-``n_probe`` — O(|corpus| * n_cells)
-    dot products, the standard IVF build/probe cost.  ``dim`` unrolls
-    the cosine into codegen (see :func:`dot`)."""
+    dot products, the standard IVF build/probe cost."""
     scored = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).crossJoin(F.broadcast(centroids)).select(
         "vid",
         "vec",
         "cell",
-        cosine_similarity(F.col("vec"), F.col("cent"), dim).alias("cscore"),
+        cosine_similarity(F.col("vec"), F.col("cent")).alias("cscore"),
     )
     w = Window.partitionBy("vid").orderBy(
         F.col("cscore").desc(), F.col("cell").asc()
@@ -403,7 +374,6 @@ def ivf_topk(
     seed: int = 42,
     train: bool = True,
     centroids: DataFrame | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: partition
     the corpus into ``n_cells`` Voronoi cells around centroids, then
@@ -439,15 +409,11 @@ def ivf_topk(
             .limit(n_cells)
         )
     # index: each corpus vector lives in exactly one cell
-    indexed = ivf_assign(
-        corpus, centroids, id_col, vec_col, n_probe=1, dim=dim
-    ).select(
+    indexed = ivf_assign(corpus, centroids, id_col, vec_col, n_probe=1).select(
         F.col("vid").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell"
     )
     # probe: each query searches its n_probe nearest cells
-    probes = ivf_assign(
-        queries, centroids, id_col, vec_col, n_probe=n_probe, dim=dim
-    ).select(
+    probes = ivf_assign(queries, centroids, id_col, vec_col, n_probe=n_probe).select(
         F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"), "cell"
     )
     # (query_id, neighbor_id) is already unique here: ivf_assign ranks
@@ -461,7 +427,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("q_vec"), F.col("c_vec"), dim), 6
+                cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
             ).alias("cosine"),
         )
     )
@@ -522,7 +488,7 @@ def embedding_near_dup_pairs(
                 F.col("r.id").alias("id_b"),
                 F.col("l.block").alias(block_col),
                 F.round(
-                    cosine_similarity(F.col("l.vec"), F.col("r.vec"), dim), 6
+                    cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6
                 ).alias("cosine"),
             )
             .where(F.col("cosine") >= threshold)
@@ -556,7 +522,7 @@ def embedding_near_dup_pairs(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
             F.round(
-                cosine_similarity(F.col("l.vec"), F.col("r.vec"), dim), 6
+                cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -664,7 +630,7 @@ def _encode_indexed(
     """Cell assignment + PQ codes over an already-normalized corpus,
     reusing prebuilt centroid/codebook broadcast relations."""
     return (
-        ivf_assign(corpus, cent_b, id_col, vec_col, n_probe=1, dim=m * sub_d)
+        ivf_assign(corpus, cent_b, id_col, vec_col, n_probe=1)
         .crossJoin(cb_row)
         .select(
             F.col("vid").alias("neighbor_id"),
@@ -798,7 +764,7 @@ def ivfpq_topk(
             ).persist()
         )
     probes = ivf_assign(
-        queries, cent_b, id_col, vec_col, n_probe=n_probe, dim=dim
+        queries, cent_b, id_col, vec_col, n_probe=n_probe
     ).select(F.col("vid").alias("query_id"), F.col("vec").alias("q_vec"), "cell")
     # ADC: approx distance = sum over subspaces of
     # sqdist(query sub-vector, codebook centroid of the stored code)
@@ -846,7 +812,7 @@ def ivfpq_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_similarity(F.col("q_vec"), F.col("c_vec"), dim), 6
+                cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6
             ).alias("cosine"),
         )
     )

@@ -442,8 +442,7 @@ _SIM_COSINE_SQL = (
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
     queries = embs.where(F.col("vec_id") < 5)
-    dim = len(embs.select("embedding").first()["embedding"])
-    return brute_force_topk(embs, queries, k=5, dim=dim)
+    return brute_force_topk(embs, queries, k=5)
 
 
 SQL_SIM_TOPK_BRUTEFORCE = f"""
@@ -469,10 +468,7 @@ def q_sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty (0.35 keeps ~14 pairs at sf0.001 / ~26 at sf0.01 — the
     thresholding logic is actually exercised)."""
     embs = load_table(spark, sf_dir, "embeddings")
-    dim = len(embs.select("embedding").first()["embedding"])
-    return embedding_near_dup_pairs(
-        embs, block_col="label", threshold=0.35, dim=dim
-    )
+    return embedding_near_dup_pairs(embs, block_col="label", threshold=0.35)
 
 
 SQL_SIM_EMBEDDING_NEAR_DUP = f"""
@@ -598,12 +594,7 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.where(F.col("vec_id") < 5)
     return topk_recall_contract(
         q_sim_lsh_topk_neighbors(spark, sf_dir),
-        brute_force_topk(
-            embs,
-            queries,
-            k=5,
-            dim=len(embs.select("embedding").first()["embedding"]),
-        ),
+        brute_force_topk(embs, queries, k=5),
         k=5,
         floor_ppm=_ANN_RECALL_FLOOR_PPM,
     )
@@ -638,7 +629,6 @@ def q_sim_ivf_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16,
         n_probe=8,
         centroids=spark.read.parquet(cent_path),
-        dim=len(embs.select("embedding").first()["embedding"]),
     )
 
 
@@ -649,12 +639,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.where(F.col("vec_id") < 5)
     return topk_recall_contract(
         q_sim_ivf_topk_neighbors(spark, sf_dir),
-        brute_force_topk(
-            embs,
-            queries,
-            k=5,
-            dim=len(embs.select("embedding").first()["embedding"]),
-        ),
+        brute_force_topk(embs, queries, k=5),
         k=5,
         floor_ppm=_ANN_RECALL_FLOOR_PPM,
     )

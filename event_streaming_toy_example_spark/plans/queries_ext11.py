@@ -230,12 +230,7 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.where(F.col("vec_id") < 5)
     return topk_recall_contract(
         q_sim_ivfpq_topk_neighbors(spark, sf_dir),
-        brute_force_topk(
-            embs,
-            queries,
-            k=5,
-            dim=len(embs.select("embedding").first()["embedding"]),
-        ),
+        brute_force_topk(embs, queries, k=5),
         k=5,
         floor_ppm=_ANN_RECALL_FLOOR_PPM,
     )
