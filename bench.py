@@ -489,29 +489,43 @@ def main(medians: bool = False) -> None:
         print(json.dumps(artifact))
         spark.stop()
         return
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                # calibration-relative ratios in the DRIVER artifact too
-                # (VERDICT r8 item 8): the round-8 in-loop capture ran on
-                # a 1.42x-loaded box and its raw totals read as a fake 2x
-                # regression — with the ratios inline, BENCH_rN vs
-                # BENCH_r{N-1} comparisons can be made box-independent
-                # without reaching for BENCH_MEDIANS.json
-                "queries_rel_calibration": {
-                    k: round(v / cal["total_sec"], 4)
-                    for k, v in timings.items()
-                },
-                "calibration": cal,
-                "sf": sf_val,
-                "ingest": ingest,
-            }
-        )
+    artifact = {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        # calibration-relative ratios in the DRIVER artifact too
+        # (VERDICT r8 item 8): the round-8 in-loop capture ran on
+        # a 1.42x-loaded box and its raw totals read as a fake 2x
+        # regression — with the ratios inline, BENCH_rN vs
+        # BENCH_r{N-1} comparisons can be made box-independent
+        # without reaching for BENCH_MEDIANS.json
+        "queries_rel_calibration": {
+            k: round(v / cal["total_sec"], 4) for k, v in timings.items()
+        },
+        "calibration": cal,
+        "sf": sf_val,
+        "ingest": ingest,
+    }
+    print(json.dumps(artifact))
+    # VERDICT r12 item 2 asked for the per-query dict inside the FINAL
+    # one-line JSON, but the driver's capture keeps only the last 2000
+    # chars of stdout (every BENCH_rN.json tail is exactly 2000 chars;
+    # round 3's 81-query single line was head-truncated inside that
+    # window and parsed as null) and the 160 query NAMES alone total
+    # 2859 chars — a final line carrying the dict can never parse and
+    # would lose the headline total too.  So the full artifact is
+    # (a) printed above as its own line, and (b) persisted to a file
+    # on EVERY run so per-query numbers are machine-readable without
+    # depending on the stdout window at all.
+    full_out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LAST.json"
     )
+    try:
+        with open(full_out, "w") as f:
+            json.dump(artifact, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line above still has it
     # capture-proof trailer: the driver keeps only the output TAIL, and
     # in round 3 the 81-query JSON line above got head-truncated —
     # BENCH_r03 recorded "parsed": null and the headline total survived
@@ -527,6 +541,10 @@ def main(medians: bool = False) -> None:
                 "calibration": cal,
                 "sf": sf_val,
                 "ingest": ingest,
+                # where the full per-query dict lives (see the capture-
+                # window note above): the preceding stdout line and this
+                # always-written file
+                "queries_file": "BENCH_FULL_LAST.json",
             }
         )
     )

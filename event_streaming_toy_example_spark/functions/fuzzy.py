@@ -101,7 +101,12 @@ def fuzzy_match_pairs(
             )
             .alias("bk"),
         )
-        .dropDuplicates(["k", "bk"])
+        # nm participates in the dedup key so the kept row is
+        # deterministic even if a caller's key_col is non-unique with
+        # differing names (ADVICE r12); with unique keys — every current
+        # caller — nm is functionally determined by k and the key set is
+        # identical to array_distinct's within-name dedup.
+        .dropDuplicates(["k", "nm", "bk"])
     )
     keyed = track(keyed.persist())
     a = keyed.select(

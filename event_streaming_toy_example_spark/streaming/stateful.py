@@ -151,39 +151,57 @@ def _cep_fn_factory(pattern: str):
     """Per-(user, day) transition function: append each batch's sorted
     type initials to the state string; a sentinel row (event_id == -1)
     closes the key — count non-overlapping regex matches, bind the
-    full sequence by md5, emit once, drop state."""
+    full sequence by md5, emit once, drop state.
+
+    The body is numpy, not pandas (VERDICT r12 item 1 / guide §4.3):
+    groups here are tiny (~3.5 rows per (user, day) at sf0.1) and the
+    function runs once per group — 40k times per micro-batch — so
+    per-call pandas overhead (concat + mergesort DataFrame sort + .str
+    accessor) dominated the entry.  ``np.lexsort`` over the two key
+    arrays is the same stable (ts_us, event_id) order; event_id is
+    unique so the order is total either way."""
     import hashlib
     import re
 
+    import numpy as np
+
     rx = re.compile(pattern)
+    # yielding one row per flushed key, 40k times per batch: a fresh
+    # pd.DataFrame([...], columns=...) costs ~280µs; copying a typed
+    # 1-row template and writing cells via .iat costs ~110µs (measured,
+    # round 13) — same blocks, same dtypes, 2.5x cheaper
+    out_template = pd.DataFrame(
+        [(0, "", 0, 0, "")], columns=[f.name for f in CEP_OUTPUT_SCHEMA.fields]
+    )
 
     def fn(
         key: tuple[Any, ...],
         pdf_iter: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        rows = pd.concat(list(pdf_iter), ignore_index=True)
-        rows = rows.sort_values(["ts_us", "event_id"], kind="mergesort")
-        seq = state.get[0] if state.exists else ""
-        real = rows["event_id"] != -1
-        flush = bool((~real).any())
+        chunks = list(pdf_iter)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        ts = rows["ts_us"].to_numpy()
+        eid = rows["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        eid = eid[order]
+        real = eid != -1
         # vectorized: the sentinel sorts last (max ts), so appending all
         # real initials in sorted order is exactly the per-row walk
-        seq += "".join(rows.loc[real, "event_type"].str[0])
-        if flush:
+        seq = ("" if not state.exists else state.get[0]) + "".join(
+            rows["initial"].to_numpy()[order][real]
+        )
+        if not real.all():  # sentinel present: flush
             state.remove()
-            yield pd.DataFrame(
-                [
-                    (
-                        int(key[0]),
-                        str(key[1]),
-                        len(seq),
-                        len(rx.findall(seq)),
-                        hashlib.md5(seq.encode()).hexdigest(),
-                    )
-                ],
-                columns=[f.name for f in CEP_OUTPUT_SCHEMA.fields],
-            )
+            out = out_template.copy()
+            out.iat[0, 0] = int(key[0])
+            out.iat[0, 1] = str(key[1])
+            out.iat[0, 2] = len(seq)
+            out.iat[0, 3] = len(rx.findall(seq))
+            out.iat[0, 4] = hashlib.md5(seq.encode()).hexdigest()
+            yield out
         else:
             state.update((seq,))
 
@@ -221,12 +239,16 @@ def cep_stateful(
     day = (
         F.col(day_col) if day_col else F.date_format(ts_col, "yyyy-MM-dd")
     )
+    # only the type INITIAL crosses the Python boundary: the substring
+    # runs in whole-stage codegen and the Arrow batches carry 1-char
+    # strings instead of full type names (guide §4.1 — pass only the
+    # columns, and bytes, the function needs)
     prepped = events.select(
         F.col(user_col).alias("user_id"),
         day.alias("day"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(id_col).alias("event_id"),
-        F.col(type_col).alias("event_type"),
+        F.substring(F.col(type_col), 1, 1).alias("initial"),
     )
     return prepped.groupBy("user_id", "day").applyInPandasWithState(
         _cep_fn_factory(pattern),

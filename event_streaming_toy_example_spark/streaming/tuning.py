@@ -39,6 +39,19 @@ deployment whose state genuinely needs more width (state must fit the
 executor heap per partition) sets ``spark_graft.stream.statePartitions``
 on the session or ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` in the
 environment; both override the heuristic.
+
+Concurrency note (ADVICE r12): ``stream_tuning`` mutates the
+session-global ``spark.sql.shuffle.partitions`` for the whole
+start→await region, so any OTHER query planned on the shared session
+inside that window — a concurrent stream, or a batch action issued from
+another driver thread — also plans at the reduced width.  Batch plans
+are insulated in practice (AQE coalesces/grows batch shuffles at
+runtime), but the scope is process-global state: callers driving
+several streaming queries concurrently from one session must either
+serialize the tuned regions or set the width once session-wide via the
+conf/env override instead of this context manager.  Nested/overlapping
+regions are not thread-safe (the restore writes back whatever value the
+region saw at entry).
 """
 
 from __future__ import annotations
@@ -53,15 +66,29 @@ _PARTS_ENV = "SPARK_GRAFT_STREAM_STATE_PARTITIONS"
 _SHUFFLE_KEY = "spark.sql.shuffle.partitions"
 
 
+def _parse_width(raw: str, source: str) -> int:
+    """Parse a width override, naming the misconfigured source in the
+    error instead of raising a bare ``ValueError`` from ``int()`` deep
+    inside query execution (ADVICE r12)."""
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        raise ValueError(
+            f"invalid streaming state-partition override {raw!r} from "
+            f"{source}: expected a positive integer"
+        ) from None
+
+
 def stream_state_partitions(spark: SparkSession) -> int:
     """Resolve the streaming state-partition width for this session:
-    explicit conf > env override > ``max(4, defaultParallelism // 4)``."""
+    explicit conf > env override > ``max(4, defaultParallelism // 4)``.
+    An empty conf/env value is treated as unset (falls through)."""
     conf = spark.conf.get(_PARTS_CONF, None)
     if conf:
-        return max(1, int(conf))
+        return _parse_width(conf, f"session conf {_PARTS_CONF}")
     env = os.environ.get(_PARTS_ENV)
     if env:
-        return max(1, int(env))
+        return _parse_width(env, f"environment variable {_PARTS_ENV}")
     return max(4, spark.sparkContext.defaultParallelism // 4)
 
 

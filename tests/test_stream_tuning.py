@@ -30,6 +30,9 @@ from event_streaming_toy_example_spark.streaming.tuning import (
 
 
 def test_resolver_precedence(spark, monkeypatch):
+    # the default assertion must not see a pre-exported override
+    # (ADVICE r12: the test failed in environments that export it)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
     default = max(4, spark.sparkContext.defaultParallelism // 4)
     assert stream_state_partitions(spark) == default
     monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "6")
@@ -37,6 +40,23 @@ def test_resolver_precedence(spark, monkeypatch):
     spark.conf.set("spark_graft.stream.statePartitions", "3")
     try:
         assert stream_state_partitions(spark) == 3
+    finally:
+        spark.conf.unset("spark_graft.stream.statePartitions")
+
+
+def test_resolver_rejects_malformed_override(spark, monkeypatch):
+    """A malformed override names its source (ADVICE r12) instead of
+    raising a bare ValueError from int() mid-query."""
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "eight")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_STREAM_STATE_PARTITIONS"):
+        stream_state_partitions(spark)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    spark.conf.set("spark_graft.stream.statePartitions", "many")
+    try:
+        with pytest.raises(
+            ValueError, match="spark_graft.stream.statePartitions"
+        ):
+            stream_state_partitions(spark)
     finally:
         spark.conf.unset("spark_graft.stream.statePartitions")
 

@@ -17,7 +17,7 @@ from event_streaming_toy_example_spark.session import get_spark  # noqa: E402
 
 TAG = sys.argv[1] if len(sys.argv) > 1 else "before"
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
 
 
 def main() -> None:
