@@ -101,7 +101,21 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Generated-class cache (STATIC conf, default 100 entries): a
+        # session running many distinct query shapes — this engine's
+        # catalog is 227 — evicts and re-Janino-compiles codegen units
+        # on every revisit, and each fresh class restarts cold in the
+        # JIT.  Sized for a long-lived multi-query session; override via
+        # env for constrained drivers.  Entries are small (bytecode +
+        # weak-ref keys), so the memory cost is a few tens of MB.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
     )
+    extra_java = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if extra_java:
+        builder = builder.config("spark.driver.extraJavaOptions", extra_java)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 
